@@ -1,0 +1,148 @@
+"""Auxiliary subsystems: checkpoint/resume, metrics, resize-preserves-fields,
+trace record/replay, app CLI smoke (SURVEY.md §5)."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpufluid import FluidConfig, init_state, make_step
+from tpufluid.checkpoint import load_state, save_state
+from tpufluid.metrics import MetricsLogger, diagnostics
+from tpufluid.ops.splat import splat_field
+from tpufluid.state import resize_state
+from tpufluid.trace import PointerTracer, Trace, swirl_trace
+
+CFG = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, CANVAS_WIDTH=128,
+                  CANVAS_HEIGHT=64, MAX_SPLATS=4, USE_PALLAS=False).validate()
+
+
+def _some_state(cfg=CFG):
+    s = init_state(cfg)
+    s.dye = splat_field(s.dye, 0.4, 0.6, jnp.asarray([0.5, 0.2, 0.9]), 0.01, cfg.aspect_ratio)
+    s.velocity = splat_field(s.velocity, 0.4, 0.6, jnp.asarray([40.0, -20.0]), 0.01, cfg.aspect_ratio)
+    return s
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    s = _some_state()
+    p = str(tmp_path / "ck.npz")
+    save_state(p, s, CFG, step=123, extra={"note": "hi"})
+    s2, cfg2, step, extra = load_state(p)
+    assert cfg2 == CFG and step == 123 and extra == {"note": "hi"}
+    np.testing.assert_array_equal(np.asarray(s.dye), np.asarray(s2.dye))
+    np.testing.assert_array_equal(np.asarray(s.velocity), np.asarray(s2.velocity))
+
+
+def test_resume_continues_identically(tmp_path):
+    """Stop at step 10, resume, and land bit-identical with the straight run."""
+    cfg = CFG
+    trace = swirl_trace(cfg, 20, seed=5)
+    step = make_step(cfg)
+    dt = jnp.float32(trace.dt)
+
+    s = init_state(cfg)
+    for t in range(10):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+    p = str(tmp_path / "mid.npz")
+    save_state(p, s, cfg, step=10)
+    for t in range(10, 20):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+
+    s2, cfg2, at, _ = load_state(p)
+    for t in range(at, 20):
+        s2 = step(s2, dt, jnp.asarray(trace.batches[t]))
+    np.testing.assert_array_equal(np.asarray(s.dye), np.asarray(s2.dye))
+    np.testing.assert_array_equal(np.asarray(s.velocity), np.asarray(s2.velocity))
+
+
+def test_resize_preserves_fields():
+    """Resolution change resamples the running fields (script.js:1108-1126)."""
+    s = _some_state()
+    cfg2 = FluidConfig(**{**CFG.__dict__, "SIM_RESOLUTION": 64, "DYE_RESOLUTION": 32})
+    s2 = resize_state(s, cfg2)
+    assert s2.velocity.shape[-2:] == (cfg2.sim_size[1], cfg2.sim_size[0])
+    assert s2.dye.shape[-2:] == (cfg2.dye_size[1], cfg2.dye_size[0])
+    # Total dye mass approximately preserved by bilinear resampling.
+    m1 = float(jnp.sum(s.dye)) / s.dye[0].size
+    m2 = float(jnp.sum(s2.dye)) / s2.dye[0].size
+    assert abs(m1 - m2) < 0.1 * abs(m1) + 1e-6
+
+
+def test_metrics_logger(tmp_path):
+    s = _some_state()
+    path = str(tmp_path / "m.jsonl")
+    lg = MetricsLogger(path)
+    rec = lg.log(7, s, CFG, phase="test")
+    lg.close()
+    assert rec["step"] == 7 and rec["nonfinite"] == 0 and rec["max_speed"] > 0
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["phase"] == "test"
+
+
+def test_diagnostics_detects_nonfinite():
+    s = _some_state()
+    s.velocity = s.velocity.at[0, 0, 0].set(jnp.nan)
+    assert diagnostics(s, CFG)["nonfinite"] >= 1
+
+
+def test_trace_roundtrip(tmp_path):
+    tr = swirl_trace(CFG, 30, seed=2)
+    p = str(tmp_path / "t.npz")
+    tr.save(p)
+    tr2 = Trace.load(p)
+    assert tr2.num_steps == 30 and tr2.dt == tr.dt
+    np.testing.assert_array_equal(tr.batches, tr2.batches)
+
+
+def test_pointer_aspect_corrections():
+    """correctDeltaX/Y (script.js:1553-1563): wide canvas divides dy by aspect."""
+    cfg = FluidConfig(CANVAS_WIDTH=200, CANVAS_HEIGHT=100, USE_PALLAS=False)
+    tr = PointerTracer(cfg, seed=0)
+    tr.feed("down", pid=0, x=100, y=50)
+    tr.feed("move", pid=0, x=120, y=40)
+    events = tr.drain_step(1 / 60)
+    assert len(events) == 1
+    x, y, dx, dy, color = events[0]
+    assert x == pytest.approx(0.6) and y == pytest.approx(0.6)
+    assert dx == pytest.approx(0.1 * cfg.SPLAT_FORCE)          # no x correction (aspect>1)
+    assert dy == pytest.approx(0.1 / 2.0 * cfg.SPLAT_FORCE)    # dy /= aspect
+
+
+def test_pointer_tall_canvas_corrects_dx():
+    cfg = FluidConfig(CANVAS_WIDTH=100, CANVAS_HEIGHT=200, USE_PALLAS=False)
+    tr = PointerTracer(cfg, seed=0)
+    tr.feed("down", pid=0, x=50, y=100)
+    tr.feed("move", pid=0, x=60, y=100)
+    (x, y, dx, dy, _), = tr.drain_step(1 / 60)
+    assert dx == pytest.approx(0.1 * 0.5 * cfg.SPLAT_FORCE)    # dx *= aspect (0.5)
+    assert dy == pytest.approx(0.0)
+
+
+def test_burst_matches_reference_random_splat_semantics():
+    """multipleSplats: n events, colors 10x-brightened 0.15*HSV, vel in +/-500."""
+    from tpufluid.trace import random_splats
+
+    rng = np.random.default_rng(0)
+    ev = random_splats(rng, 20)
+    assert len(ev) == 20
+    for x, y, dx, dy, c in ev:
+        assert 0 <= x <= 1 and 0 <= y <= 1
+        assert -500 <= dx <= 500 and -500 <= dy <= 500
+        assert max(c) <= 1.5 + 1e-9  # 0.15 * 10
+        assert max(c) >= 1.5 - 1e-6 - 1.5 * 1e-6 or max(c) > 0  # hue channel saturates
+
+
+def test_app_cli_smoke(tmp_path):
+    from tpufluid.app import main
+
+    out = str(tmp_path / "run")
+    main(["--steps", "12", "--sim-res", "24", "--dye-res", "24", "--canvas", "48x48",
+          "--render-every", "6", "--metrics-every", "6", "--ckpt-every", "12",
+          "--out", out, "--jacobi-iters", "4"])
+    files = os.listdir(out)
+    assert "metrics.jsonl" in files
+    assert any(f.startswith("frame_") for f in files)
+    assert any(f.startswith("ckpt_") for f in files)

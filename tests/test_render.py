@@ -1,0 +1,137 @@
+"""Render pipeline tests: composite math, flag variants, blend modes,
+bloom chain geometry, capture/export (SURVEY.md §4.3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufluid import FluidConfig, init_state
+from tpufluid.ops.bloom import apply_bloom, bloom_prefilter
+from tpufluid.ops.display import blend_premultiplied, checkerboard, linear_to_gamma
+from tpufluid.ops.splat import splat_field
+from tpufluid.ops.sunrays import sunrays_mask
+from tpufluid.render import capture_frame, render_frame
+from tpufluid.io import frame_to_uint8, load_png, save_png
+
+CFG = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, CANVAS_WIDTH=128,
+                  CANVAS_HEIGHT=96, BLOOM_RESOLUTION=32, SUNRAYS_RESOLUTION=24,
+                  MAX_SPLATS=4, USE_PALLAS=False).validate()
+
+
+def _dyed_state(cfg=CFG):
+    s = init_state(cfg)
+    s.dye = splat_field(s.dye, 0.5, 0.5, jnp.asarray([0.8, 0.3, 0.1]), 0.02, cfg.aspect_ratio)
+    return s
+
+
+def test_render_shape_and_alpha():
+    s = _dyed_state()
+    f = np.asarray(render_frame(s, CFG))
+    assert f.shape == (4, 96, 128)
+    assert np.isfinite(f).all()
+    # Opaque background (not TRANSPARENT): alpha saturates to 1.
+    np.testing.assert_allclose(f[3], 1.0, atol=1e-5)
+
+
+def test_back_color_fills_empty_regions():
+    cfg = FluidConfig(**{**CFG.__dict__, "BACK_COLOR": (255, 0, 0), "BLOOM": False,
+                         "SUNRAYS": False, "SHADING": False})
+    s = init_state(cfg)  # zero dye
+    f = np.asarray(render_frame(s, cfg))
+    # display rgba = 0 everywhere; blend => back color shows through.
+    np.testing.assert_allclose(f[0], 1.0, atol=1e-5)
+    np.testing.assert_allclose(f[1], 0.0, atol=1e-5)
+
+
+def test_transparent_capture_is_raw_display():
+    cfg = FluidConfig(**{**CFG.__dict__, "TRANSPARENT": True})
+    s = _dyed_state(cfg)
+    cap = np.asarray(capture_frame(s, cfg))
+    cw, ch = cfg.capture_size
+    assert cap.shape == (4, ch, cw)
+    # No blending: alpha = max(rgb) per displayShader (script.js:608-609).
+    np.testing.assert_allclose(cap[3], cap[:3].max(axis=0), atol=1e-5)
+
+
+def test_transparent_screen_gets_checkerboard():
+    cfg = FluidConfig(**{**CFG.__dict__, "TRANSPARENT": True, "BLOOM": False,
+                         "SUNRAYS": False, "SHADING": False})
+    s = init_state(cfg)
+    f = np.asarray(render_frame(s, cfg, to_screen=True))
+    vals = sorted(set(round(float(v), 3) for v in np.unique(f[0])))
+    assert vals == [0.8, 0.9], vals
+
+
+def test_display_flag_variants_differ():
+    s = _dyed_state()
+    base = FluidConfig(**{**CFG.__dict__, "SHADING": False, "BLOOM": False, "SUNRAYS": False})
+    f0 = np.asarray(render_frame(s, base))
+    for flag in ("SHADING", "BLOOM", "SUNRAYS"):
+        cfg = FluidConfig(**{**base.__dict__, flag: True})
+        f = np.asarray(render_frame(s, cfg))
+        assert np.abs(f - f0).max() > 1e-4, f"{flag} had no effect"
+
+
+def test_bloom_skipped_below_two_mips():
+    cfg = FluidConfig(**{**CFG.__dict__, "BLOOM_RESOLUTION": 4})
+    assert len(cfg.bloom_mip_sizes()) < 2
+    dye = jnp.ones((3, 16, 16))
+    bw, bh = cfg.bloom_size
+    out = apply_bloom(dye, (bh, bw), cfg.bloom_mip_sizes(), 0.6, 0.7, 0.8)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_bloom_prefilter_curve():
+    """Soft-knee: brightness below threshold-knee is crushed, far above passes."""
+    bright = jnp.full((3, 8, 8), 2.0)
+    dark = jnp.full((3, 8, 8), 0.01)
+    b = np.asarray(bloom_prefilter(bright, (8, 8), 0.6, 0.7))
+    d = np.asarray(bloom_prefilter(dark, (8, 8), 0.6, 0.7))
+    np.testing.assert_allclose(b, 2.0 * (2.0 - 0.6) / 2.0, rtol=1e-4)  # c*(br-T)/br
+    assert np.abs(d).max() < 1e-4
+
+
+def test_sunrays_mask_formula(rng):
+    dye = jnp.asarray(rng.random((3, 8, 8)).astype(np.float32))
+    m = np.asarray(sunrays_mask(dye))
+    br = np.asarray(dye).max(axis=0)
+    np.testing.assert_allclose(m, 1.0 - np.minimum(np.maximum(br * 20.0, 0.0), 0.8), rtol=1e-5)
+
+
+def test_linear_to_gamma():
+    c = jnp.asarray([0.0, 0.5, 1.0])
+    out = np.asarray(linear_to_gamma(c))
+    want = np.maximum(1.055 * np.power(np.asarray([0.0, 0.5, 1.0]), 1 / 2.4) - 0.055, 0.0)
+    np.testing.assert_allclose(out, want, rtol=1e-5)
+
+
+def test_blend_premultiplied():
+    src = jnp.asarray([0.4, 0.2, 0.1, 0.5]).reshape(4, 1, 1)
+    dst = jnp.asarray([1.0, 1.0, 1.0, 1.0]).reshape(4, 1, 1)
+    out = np.asarray(blend_premultiplied(src, dst))
+    np.testing.assert_allclose(out[:, 0, 0], [0.9, 0.7, 0.6, 1.0], rtol=1e-5)
+
+
+def test_checkerboard_values():
+    f = np.asarray(checkerboard((16, 16), 1.0))
+    assert set(round(float(v), 3) for v in np.unique(f[0])) <= {0.8, 0.9}
+
+
+def test_png_roundtrip(tmp_path):
+    """save_png -> load_png reproduces clamp01*255 quantization (script.js:309-323)."""
+    s = _dyed_state()
+    f = np.asarray(render_frame(s, CFG))
+    p = str(tmp_path / "frame.png")
+    save_png(f, p)
+    back = load_png(p)  # (C, H, W), bottom-up, [0, 1]
+    assert back.shape == f.shape
+    want = np.floor(np.clip(f, 0, 1) * 255.0) / 255.0
+    np.testing.assert_allclose(back, want, atol=1.01 / 255.0)
+
+
+def test_uint8_quantization_clamps():
+    f = np.asarray([[[1.7]], [[-0.2]], [[0.5]], [[2.0]]])  # (4,1,1)
+    out = frame_to_uint8(f)
+    assert out[0, 0, 0] == 255 and out[0, 0, 1] == 0
+    assert out[0, 0, 2] == int(0.5 * 255)

@@ -1,0 +1,72 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (SURVEY.md §4.5):
+the shard_map halo-exchange step must match the single-device step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufluid import FluidConfig, init_state
+from tpufluid.step import fluid_step
+from tpufluid.parallel import exchange_halo_rows, make_mesh, shard_state
+from tpufluid.parallel.sharded_step import make_sharded_step
+from tpufluid.trace import swirl_trace
+
+# Square canvas => sim grid exactly 64x64, dye 128x128; heights divide 8.
+CFG = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=128, CANVAS_WIDTH=256,
+                  CANVAS_HEIGHT=256, MAX_SPLATS=4, USE_PALLAS=False).validate()
+DT = np.float32(1 / 60)
+
+
+def test_exchange_halo_rows_matches_edge_pad():
+    mesh = make_mesh()
+    f = jnp.arange(8 * 16 * 4, dtype=jnp.float32).reshape(16, 32)
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(blk):
+        return exchange_halo_rows(blk, 2)
+
+    out = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=P("y", None),
+                                out_specs=P("y", None)))(f)
+    # Each device block is 2 rows; padded to 6. Reassembled output interleaves
+    # ghosts; check one device's block against the global edge-padded truth.
+    out = np.asarray(out)
+    want_pad = np.pad(np.asarray(f), ((2, 2), (0, 0)), mode="edge")
+    for k in range(8):
+        blk = out[k * 6:(k + 1) * 6]
+        np.testing.assert_array_equal(blk, want_pad[k * 2:k * 2 + 6])
+
+
+@pytest.mark.parametrize("steps", [1, 10])
+def test_sharded_step_matches_single_device(steps):
+    cfg = CFG
+    trace = swirl_trace(cfg, steps, seed=11)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh()
+    sharded = make_sharded_step(cfg, mesh)
+
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(steps):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+
+    # Same math, different fusion/partitioning: fp noise amplifies chaotically
+    # with horizon (advection gather has floor() discontinuities), so the
+    # tolerance scales with the step count.
+    tol = 5e-5 if steps == 1 else 2e-3
+    scale_v = max(float(jnp.abs(s1.velocity).max()), 1e-3)
+    scale_d = max(float(jnp.abs(s1.dye).max()), 1e-3)
+    assert float(jnp.abs(jnp.asarray(s8.velocity) - s1.velocity).max()) < tol * scale_v
+    assert float(jnp.abs(jnp.asarray(s8.dye) - s1.dye).max()) < tol * scale_d
+    assert float(jnp.abs(jnp.asarray(s8.pressure) - s1.pressure).max()) < 2 * tol * max(
+        float(jnp.abs(s1.pressure).max()), 1e-3)
+
+
+def test_sharded_step_rejects_indivisible_grid():
+    cfg = FluidConfig(SIM_RESOLUTION=30, DYE_RESOLUTION=30, CANVAS_WIDTH=30,
+                      CANVAS_HEIGHT=30, USE_PALLAS=False).validate()
+    with pytest.raises(ValueError):
+        make_sharded_step(cfg, make_mesh())

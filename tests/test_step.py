@@ -1,0 +1,128 @@
+"""Integration tests of the jitted step: determinism, stability, warm start,
+multi-step scan equivalence (SURVEY.md §4.2, §4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpufluid import FluidConfig, init_state, make_step
+from tpufluid.step import fluid_step, make_multi_step
+from tpufluid.trace import swirl_trace
+
+CFG = FluidConfig(SIM_RESOLUTION=48, DYE_RESOLUTION=96, CANVAS_WIDTH=192,
+                  CANVAS_HEIGHT=128, MAX_SPLATS=4, USE_PALLAS=False).validate()
+DT = np.float32(1 / 60)
+
+
+def _run(n_steps, cfg=CFG, seed=3):
+    trace = swirl_trace(cfg, n_steps, seed=seed)
+    step = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    s = init_state(cfg)
+    for t in range(n_steps):
+        s = step(s, DT, jnp.asarray(trace.batches[t]))
+    return jax.block_until_ready(s)
+
+
+def test_determinism_bit_identical():
+    a = _run(30)
+    b = _run(30)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_donated_step_matches_undonated():
+    cfg = CFG
+    trace = swirl_trace(cfg, 20)
+    donated = make_step(cfg)
+    plain = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    s1 = init_state(cfg)
+    s2 = init_state(cfg)
+    for t in range(20):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = donated(s1, DT, sp)
+        s2 = plain(s2, DT, sp)
+    np.testing.assert_array_equal(np.asarray(s1.dye), np.asarray(s2.dye))
+    np.testing.assert_array_equal(np.asarray(s1.velocity), np.asarray(s2.velocity))
+
+
+def test_multi_step_scan_matches_loop():
+    """scan-of-steps == loop-of-jitted-steps up to fp reassociation.
+
+    The two compile to different fusions, so results differ at the ulp level;
+    the advection gather then amplifies ulps chaotically over long horizons.
+    Compare a short horizon against the field scale.
+    """
+    cfg = CFG
+    n = 3
+    trace = swirl_trace(cfg, n, seed=3)
+    multi = make_multi_step(cfg)
+    s_scan = multi(init_state(cfg), DT, jnp.asarray(trace.batches))
+    s_loop = _run(n, seed=3)
+    vel_scale = float(jnp.abs(s_loop.velocity).max())
+    dye_scale = float(jnp.abs(s_loop.dye).max())
+    assert float(jnp.abs(s_scan.velocity - s_loop.velocity).max()) < 1e-3 * vel_scale
+    assert float(jnp.abs(s_scan.dye - s_loop.dye).max()) < 1e-3 * dye_scale
+
+
+def test_long_run_stays_bounded_and_finite():
+    """The demo's stability property: velocity bounded (clamp at 1000 +
+    projection + dissipation), no NaN/Inf over a long horizon."""
+    s = _run(150)
+    v = np.asarray(s.velocity)
+    d = np.asarray(s.dye)
+    assert np.isfinite(v).all() and np.isfinite(d).all()
+    assert np.abs(v).max() <= 1000.0
+    assert d.min() >= 0.0
+
+
+def test_energy_decays_without_input():
+    """With no splats and VELOCITY_DISSIPATION > 0, kinetic energy decays."""
+    cfg = CFG
+    s = _run(20)
+    step = make_step(cfg)
+    none = jnp.zeros((cfg.MAX_SPLATS, 8), jnp.float32)
+    e0 = float(jnp.sum(s.velocity.astype(jnp.float32) ** 2))
+    for _ in range(30):
+        s = step(s, DT, none)
+    e1 = float(jnp.sum(s.velocity.astype(jnp.float32) ** 2))
+    assert e1 < e0
+
+
+def test_dye_decays_without_input():
+    """DENSITY_DISSIPATION=1: dye mass shrinks by ~1/(1+dt) per step."""
+    cfg = CFG
+    s = _run(20)
+    step = make_step(cfg)
+    none = jnp.zeros((cfg.MAX_SPLATS, 8), jnp.float32)
+    m0 = float(jnp.sum(s.dye.astype(jnp.float32)))
+    for _ in range(60):
+        s = step(s, DT, none)
+    m1 = float(jnp.sum(s.dye.astype(jnp.float32)))
+    assert m1 < m0 * 0.75
+
+
+def test_pressure_warm_start():
+    """pressure enters the Jacobi solve scaled by cfg.PRESSURE (script.js:1253-1257):
+    with 0 iterations configured, out = warm-started field untouched by sweeps."""
+    cfg = FluidConfig(SIM_RESOLUTION=16, DYE_RESOLUTION=16, CANVAS_WIDTH=16,
+                      CANVAS_HEIGHT=16, PRESSURE_ITERATIONS=0, MAX_SPLATS=4,
+                      CURL=0.0, USE_PALLAS=False).validate()
+    s = init_state(cfg)
+    s.pressure = jnp.ones_like(s.pressure) * 2.0
+    out = jax.jit(lambda st, dt, sp: fluid_step(st, dt, sp, cfg))(
+        s, DT, jnp.zeros((4, 8), jnp.float32))
+    np.testing.assert_allclose(np.asarray(out.pressure), 2.0 * cfg.PRESSURE, rtol=1e-6)
+
+
+def test_bfloat16_state_runs():
+    cfg = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, DTYPE="bfloat16",
+                      MAX_SPLATS=4, USE_PALLAS=False).validate()
+    trace = swirl_trace(cfg, 10)
+    step = make_step(cfg)
+    s = init_state(cfg)
+    assert s.velocity.dtype == jnp.bfloat16
+    for t in range(10):
+        s = step(s, DT, jnp.asarray(trace.batches[t]))
+    assert s.dye.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(s.dye, dtype=np.float32)).all()

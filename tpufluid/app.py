@@ -1,0 +1,107 @@
+"""Headless driver — the reference's rAF update() loop (script.js:1172-1229)
+without vsync: replay a trace (or synthesize one), step, optionally render
+frames to PNG, log metrics, checkpoint.
+
+CLI:
+  python -m tpufluid.app --steps 600 --sim-res 128 --dye-res 512 \
+      --render-every 10 --out out/run1 [--trace trace.npz] [--ckpt ck.npz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpufluid", description=__doc__)
+    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--sim-res", type=int, default=128)
+    p.add_argument("--dye-res", type=int, default=1024)
+    p.add_argument("--canvas", type=str, default="1280x720")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16", "float16"])
+    p.add_argument("--jacobi-iters", type=int, default=20)
+    p.add_argument("--trace", type=str, default=None, help="replay a recorded .npz trace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--render-every", type=int, default=0, help="0 = no frames")
+    p.add_argument("--out", type=str, default="out/run")
+    p.add_argument("--metrics-every", type=int, default=60)
+    p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--no-sunrays", action="store_true")
+    p.add_argument("--no-shading", action="store_true")
+    p.add_argument("--paused", action="store_true",
+                   help="skip stepping (render-only), reference config.PAUSED")
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_argparser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from tpufluid import FluidConfig, init_state, make_render, make_step
+    from tpufluid.checkpoint import load_state, save_state
+    from tpufluid.io import save_png
+    from tpufluid.metrics import MetricsLogger
+    from tpufluid.trace import Trace, swirl_trace
+
+    cw, ch = (int(x) for x in args.canvas.split("x"))
+    config = FluidConfig(
+        SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
+        CANVAS_WIDTH=cw, CANVAS_HEIGHT=ch, DTYPE=args.dtype,
+        PRESSURE_ITERATIONS=args.jacobi_iters,
+        BLOOM=not args.no_bloom, SUNRAYS=not args.no_sunrays,
+        SHADING=not args.no_shading, PAUSED=args.paused,
+    ).validate()
+
+    os.makedirs(args.out, exist_ok=True)
+    start_step = 0
+    if args.resume:
+        state, config, start_step, _ = load_state(args.resume)
+        print(f"resumed from {args.resume} at step {start_step}")
+    else:
+        state = init_state(config)
+
+    if args.trace:
+        trace = Trace.load(args.trace)
+    else:
+        trace = swirl_trace(config, args.steps, seed=args.seed)
+
+    step = make_step(config)
+    render = make_render(config)
+    logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    dt = jnp.float32(trace.dt)
+    none_batch = jnp.zeros((config.MAX_SPLATS, 8), jnp.float32)
+
+    t0 = time.time()
+    for t in range(start_step, args.steps):
+        batch = jnp.asarray(trace.batches[t]) if t < trace.num_steps else none_batch
+        if not config.PAUSED:
+            state = step(state, dt, batch)
+        if args.render_every and (t + 1) % args.render_every == 0:
+            frame = render(state)
+            save_png(np.asarray(frame), os.path.join(args.out, f"frame_{t + 1:06d}.png"))
+        if args.metrics_every and (t + 1) % args.metrics_every == 0:
+            rec = logger.log(t + 1, state, config)
+            print(f"step {t + 1}: max|v|={rec['max_speed']:.1f} "
+                  f"E={rec['kinetic_energy']:.3g} dye={rec['dye_mass']:.3g}")
+        if args.ckpt_every and (t + 1) % args.ckpt_every == 0:
+            save_state(os.path.join(args.out, f"ckpt_{t + 1:06d}.npz"),
+                       state, config, step=t + 1)
+
+    jax.block_until_ready(state.velocity)
+    elapsed = time.time() - t0
+    n = args.steps - start_step
+    print(f"{n} steps in {elapsed:.2f}s = {n / max(elapsed, 1e-9):.0f} steps/s")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

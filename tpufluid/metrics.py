@@ -1,0 +1,77 @@
+"""Run metrics & observability (SURVEY.md §5.5).
+
+The reference has no metrics beyond console.trace on shader errors; this
+module provides the structured per-run counters the TPU build needs:
+steps/sec, max |v|, post-projection divergence, kinetic energy, dye mass,
+frame checksums — logged as JSONL. All diagnostics are computed device-side
+in one jitted function (a single scalar transfer per report).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import lru_cache
+from typing import IO, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpufluid.config import FluidConfig
+from tpufluid.ops import stencil
+from tpufluid.state import FluidState
+
+
+@lru_cache(maxsize=None)
+def _make_diagnostics(config: FluidConfig):
+    def diag(state: FluidState):
+        v = state.velocity.astype(jnp.float32)
+        d = state.dye.astype(jnp.float32)
+        div = stencil.divergence(v)
+        return {
+            "max_speed": jnp.max(jnp.sqrt(v[0] ** 2 + v[1] ** 2)),
+            "kinetic_energy": jnp.sum(v * v) * 0.5,
+            "dye_mass": jnp.sum(d),
+            "dye_max": jnp.max(d),
+            "div_rms": jnp.sqrt(jnp.mean(div * div)),
+            "div_max": jnp.max(jnp.abs(div)),
+            "vel_checksum": jnp.sum(jnp.abs(v)),
+            "nonfinite": jnp.sum(~jnp.isfinite(v)) + jnp.sum(~jnp.isfinite(d)),
+        }
+
+    return jax.jit(diag)
+
+
+def diagnostics(state: FluidState, config: FluidConfig) -> dict:
+    """Device-side diagnostics -> host dict of python floats."""
+    out = _make_diagnostics(config)(state)
+    return {k: float(v) for k, v in out.items()}
+
+
+class MetricsLogger:
+    """JSONL metrics stream. Each record: step index, wall time, diagnostics."""
+
+    def __init__(self, path: Optional[str] = None, stream: Optional[IO] = None):
+        self._own = False
+        if stream is not None:
+            self.stream = stream
+        elif path is not None:
+            self.stream = open(path, "a")
+            self._own = True
+        else:
+            self.stream = None
+        self.t0 = time.time()
+
+    def log(self, step: int, state: FluidState, config: FluidConfig, **extra) -> dict:
+        rec = {"step": step, "wall_s": round(time.time() - self.t0, 3)}
+        rec.update(diagnostics(state, config))
+        rec.update(extra)
+        if self.stream is not None:
+            self.stream.write(json.dumps(rec) + "\n")
+            self.stream.flush()
+        return rec
+
+    def close(self):
+        if self._own and self.stream is not None:
+            self.stream.close()
+            self.stream = None

@@ -1,0 +1,121 @@
+"""Bilinear texture sampling — the TPU equivalent of GLSL ``texture2D``.
+
+The reference leans on hardware LINEAR filtering with CLAMP_TO_EDGE wrap for
+every cross-resolution read (velocity at dye uv, bloom mip up/down, sunrays,
+display composite) and falls back to a manual 4-tap bilerp when the extension
+is missing (/root/reference/script.js:758-770). This module *is* that bilerp,
+vectorized: texel centers at (i + 0.5)/N, out-of-range taps clamped to the
+edge texel (CLAMP_TO_EDGE, script.js:1051-1052) or wrapped (REPEAT, used only
+by the dither texture, script.js:1133-1134).
+
+Sampling compiles to an XLA gather; uv grids that are statically affine
+(resampling) instead use take-based row/col gathers which XLA lowers well.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def _gather2d(tex: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """tex (..., H, W) indexed at integer (iy, ix) of any broadcastable shape."""
+    if tex.ndim == 2:
+        return tex[iy, ix]
+    return tex[..., iy, ix]  # leading channel dims broadcast
+
+
+def sample_bilinear(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``tex`` (..., H, W) at uv coords with LINEAR + CLAMP_TO_EDGE.
+
+    Matches GLSL texture2D semantics and the reference's manual bilerp
+    (script.js:758-770): st = uv * size - 0.5; corners at floor(st) and +1,
+    each tap clamped to [0, N-1]; bilinear mix by fract(st).
+    Returns shape (..., *u.shape).
+    """
+    h, w = tex.shape[-2], tex.shape[-1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(tex.dtype)
+    fy = (y - y0).astype(tex.dtype)
+
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+
+    a = _gather2d(tex, iy0, ix0)
+    b = _gather2d(tex, iy0, ix1)
+    c = _gather2d(tex, iy1, ix0)
+    d = _gather2d(tex, iy1, ix1)
+
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    return top + (bot - top) * fy
+
+
+def sample_bilinear_repeat(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Same as sample_bilinear but with REPEAT wrap (dither texture tiling)."""
+    h, w = tex.shape[-2], tex.shape[-1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0).astype(tex.dtype)
+    fy = (y - y0).astype(tex.dtype)
+
+    ix0 = jnp.mod(x0.astype(jnp.int32), w)
+    ix1 = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    iy0 = jnp.mod(y0.astype(jnp.int32), h)
+    iy1 = jnp.mod(y0.astype(jnp.int32) + 1, h)
+
+    a = _gather2d(tex, iy0, ix0)
+    b = _gather2d(tex, iy0, ix1)
+    c = _gather2d(tex, iy1, ix0)
+    d = _gather2d(tex, iy1, ix1)
+
+    top = a + (b - a) * fx
+    bot = c + (d - c) * fx
+    return top + (bot - top) * fy
+
+
+def uv_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(u, v) arrays of shape (h, w) at texel centers: ((j+0.5)/w, (i+0.5)/h)."""
+    u = (jnp.arange(w, dtype=dtype) + 0.5) / w
+    v = (jnp.arange(h, dtype=dtype) + 0.5) / h
+    return jnp.broadcast_to(u[None, :], (h, w)), jnp.broadcast_to(v[:, None], (h, w))
+
+
+def resample_bilinear(tex: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Resample to (out_h, out_w) by sampling at the target's texel centers.
+
+    This is the reference's resize-with-copy (copy shader through a LINEAR
+    texture into a differently-sized FBO, script.js:1108-1126) and its bloom
+    down/upsample geometry. Separable: one row gather + one column gather
+    instead of a 2-D gather, which XLA lowers to cheap takes.
+    """
+    out_h, out_w = out_hw
+    h, w = tex.shape[-2], tex.shape[-1]
+
+    # Column (u) axis.
+    x = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * w - 0.5
+    x0 = jnp.floor(x)
+    fx = (x - x0).astype(tex.dtype)
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    t = jnp.take(tex, ix0, axis=-1) * (1 - fx) + jnp.take(tex, ix1, axis=-1) * fx
+
+    # Row (v) axis.
+    y = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * h - 0.5
+    y0 = jnp.floor(y)
+    fy = (y - y0).astype(tex.dtype)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    fy = fy.reshape((-1,) + (1,) * 0)
+    a = jnp.take(t, iy0, axis=-2)
+    b = jnp.take(t, iy1, axis=-2)
+    fy = fy[:, None]
+    return a * (1 - fy) + b * fy

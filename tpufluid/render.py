@@ -1,0 +1,106 @@
+"""render(state) -> RGBA frame — reference render(target)
+(/root/reference/script.js:1296-1348) as one pure jitted function.
+
+Order (matching the reference exactly):
+  bloom chain -> sunrays (mask, march, 1x blur) -> background (flat BACK_COLOR
+  or checkerboard in transparent screen mode) -> display composite, blended
+  premultiplied (ONE, ONE_MINUS_SRC_ALPHA) unless rendering an offscreen
+  transparent capture (blend disabled, raw RGBA out).
+
+Output is a float (4, H, W) RGBA array in [0, ~]; quantization to uint8 PNG
+(clamp01 * 255 + vertical flip, reference normalizeTexture script.js:309-323)
+happens in tpufluid.io.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpufluid.config import FluidConfig
+from tpufluid.ops.bloom import apply_bloom
+from tpufluid.ops.display import blend_premultiplied, checkerboard, display_composite
+from tpufluid.ops.sunrays import apply_sunrays
+from tpufluid.state import FluidState
+from tpufluid.utils.bluenoise import blue_noise_64
+
+
+def render_frame(
+    state: FluidState,
+    config: FluidConfig,
+    out_hw: Optional[Tuple[int, int]] = None,
+    to_screen: bool = True,
+    dither: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render the full display pipeline -> (4, out_h, out_w) float RGBA.
+
+    to_screen=False is the offscreen-capture path (captureScreenshot,
+    script.js:287-299): with TRANSPARENT it skips background and blending.
+    """
+    if out_hw is None:
+        out_hw = (config.CANVAS_HEIGHT, config.CANVAS_WIDTH)
+    dye = state.dye.astype(jnp.float32)
+
+    bloom_tex = None
+    if config.BLOOM:
+        bw, bh = config.bloom_size
+        bloom_tex = apply_bloom(
+            dye, (bh, bw), config.bloom_mip_sizes(),
+            config.BLOOM_THRESHOLD, config.BLOOM_SOFT_KNEE, config.BLOOM_INTENSITY,
+        )
+
+    sunrays_tex = None
+    if config.SUNRAYS:
+        sw, sh = config.sunrays_size
+        sunrays_tex = apply_sunrays(dye, (sh, sw), config.SUNRAYS_WEIGHT)
+
+    if config.BLOOM and dither is None:
+        dither = jnp.asarray(blue_noise_64())
+
+    display = display_composite(
+        dye, out_hw,
+        shading=config.SHADING,
+        bloom_tex=bloom_tex,
+        sunrays_tex=sunrays_tex,
+        dither_tex=dither if config.BLOOM else None,
+    )
+
+    blend = to_screen or not config.TRANSPARENT  # script.js:1304-1310
+    if not config.TRANSPARENT:
+        r, g, b = config.BACK_COLOR
+        back = jnp.concatenate([
+            jnp.full((1,) + out_hw, r / 255.0, jnp.float32),
+            jnp.full((1,) + out_hw, g / 255.0, jnp.float32),
+            jnp.full((1,) + out_hw, b / 255.0, jnp.float32),
+            jnp.ones((1,) + out_hw, jnp.float32),
+        ])
+    elif to_screen:
+        back = checkerboard(out_hw, config.aspect_ratio)
+    else:
+        back = None
+
+    if blend and back is not None:
+        return blend_premultiplied(display, back)
+    return display
+
+
+@lru_cache(maxsize=None)
+def make_render(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None,
+                to_screen: bool = True):
+    """Compile render(state, dither) for a given config/target size."""
+    fn = partial(render_frame, config=config, out_hw=out_hw, to_screen=to_screen)
+
+    def render(state: FluidState, dither: Optional[jnp.ndarray] = None):
+        return fn(state, dither=dither)
+
+    return jax.jit(render)
+
+
+def capture_frame(state: FluidState, config: FluidConfig,
+                  dither: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Offscreen capture at CAPTURE_RESOLUTION (captureScreenshot, script.js:287-299)."""
+    cw, ch = config.capture_size
+    return render_frame(state, config, out_hw=(ch, cw), to_screen=False, dither=dither)

@@ -1,0 +1,85 @@
+"""The simulation step — reference ``step(dt)`` (/root/reference/script.js:1231-1294)
+as ONE pure jitted function.
+
+Pass order (identical to the reference, which executes ~27 GL draw calls):
+  splats -> curl -> vorticity confinement -> divergence -> pressure warm-start
+  (x PRESSURE) -> Jacobi x N -> gradient subtract -> self-advect velocity ->
+  advect dye.
+
+The reference's applyInputs() runs immediately before step() each frame
+(script.js:1181-1183), so splat injection is folded into the same jit here.
+Buffer donation replaces the FBO ping-pong: XLA aliases the state buffers
+in place, so a step at steady state allocates nothing.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+
+from tpufluid.config import FluidConfig
+from tpufluid.ops import splat as splat_ops
+from tpufluid.ops import stencil
+from tpufluid.ops.advect import advect
+from tpufluid.state import FluidState
+
+
+def apply_splats(state: FluidState, splats: jnp.ndarray, config: FluidConfig) -> FluidState:
+    """Inject a (MAX_SPLATS, 8) batch of impulses (reference splat(), script.js:1441-1455)."""
+    velocity, dye = splat_ops.apply_splat_batch(
+        state.velocity, state.dye, splats,
+        radius=config.splat_radius_uv(), aspect=config.aspect_ratio,
+    )
+    return FluidState(velocity=velocity, dye=dye, pressure=state.pressure)
+
+
+def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
+    """One simulation step. ``dt`` is a traced scalar (seconds), ``splats`` a
+    (MAX_SPLATS, 8) event batch (rows with active=0 are no-ops)."""
+    if config.USE_PALLAS:
+        from tpufluid.ops.pallas import dispatch as K
+    else:
+        K = stencil
+
+    state = apply_splats(state, splats, config)
+    vel = state.velocity
+
+    curl_field = K.curl(vel)
+    vel = K.vorticity_confinement(vel, curl_field, config.CURL, dt)
+    div = K.divergence(vel)
+
+    pressure = state.pressure * config.PRESSURE  # warm start (script.js:1253-1257)
+    pressure = K.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
+    vel = K.gradient_subtract(vel, pressure)
+
+    vel = advect(vel, vel, dt, config.VELOCITY_DISSIPATION)
+    dye = advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
+
+    return FluidState(velocity=vel, dye=dye, pressure=pressure)
+
+
+@lru_cache(maxsize=None)
+def make_step(config: FluidConfig):
+    """Compile step(state, dt, splats) -> state with donated state buffers."""
+    step = partial(fluid_step, config=config)
+    return jax.jit(step, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def make_multi_step(config: FluidConfig):
+    """Compile multi_step(state, dt, splats_seq) -> state: a lax.scan of steps.
+
+    ``splats_seq`` has shape (T, MAX_SPLATS, 8) — one event batch per step.
+    This is the trace-replay / benchmark entry point: T steps, one dispatch.
+    """
+
+    def multi(state: FluidState, dt, splats_seq):
+        def body(s, splats_t):
+            return fluid_step(s, dt, splats_t, config), None
+
+        out, _ = jax.lax.scan(body, state, splats_seq)
+        return out
+
+    return jax.jit(multi, donate_argnums=0)
