@@ -1,0 +1,50 @@
+"""Golden-frame regression (SURVEY.md §4.3): deterministic trace -> N steps ->
+full render; compare against a committed golden (tolerance for backend fp
+variation). Regenerate with: python tests/test_golden.py"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpufluid import FluidConfig, init_state
+from tpufluid.render import render_frame
+from tpufluid.step import fluid_step
+from tpufluid.trace import swirl_trace
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden_frame.npz")
+
+CFG = FluidConfig(SIM_RESOLUTION=48, DYE_RESOLUTION=96, CANVAS_WIDTH=192,
+                  CANVAS_HEIGHT=144, BLOOM_RESOLUTION=48, SUNRAYS_RESOLUTION=32,
+                  MAX_SPLATS=8, USE_PALLAS=False).validate()
+STEPS = 90
+
+
+def _compute_frame():
+    step = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, CFG))
+    trace = swirl_trace(CFG, STEPS, seed=2024)
+    s = init_state(CFG)
+    dt = jnp.float32(trace.dt)
+    for t in range(STEPS):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+    frame = render_frame(s, CFG, out_hw=(96, 128))
+    return np.asarray(frame, dtype=np.float32)
+
+
+def test_golden_frame():
+    frame = _compute_frame()
+    want = np.load(GOLDEN)["frame"]
+    assert frame.shape == want.shape
+    # fp reassociation across jax versions/backends + 90 chaotic steps:
+    # demand close agreement in uint8-quantization terms.
+    err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1)).max()
+    assert err < 8.0 / 255.0, f"golden frame drifted: max err {err:.4f}"
+    # and near-exact agreement in the mean
+    mean_err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1)).mean()
+    assert mean_err < 1.0 / 255.0, f"golden mean err {mean_err:.5f}"
+
+
+if __name__ == "__main__":
+    np.savez_compressed(GOLDEN, frame=_compute_frame())
+    print("wrote", GOLDEN)

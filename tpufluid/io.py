@@ -51,3 +51,16 @@ def save_video_frames(frames: Iterable[np.ndarray], out_dir: str,
         save_png(f, os.path.join(out_dir, f"{prefix}_{i:06d}.png"))
         n += 1
     return n
+
+
+def save_gif(frames: Iterable[np.ndarray], path: str, fps: float = 60.0) -> int:
+    """Animated GIF export (no ffmpeg in the image; PNG sequence + save_gif
+    cover the reference's screenshot/video capability, script.js:287-349)."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(frame_to_uint8(f)[..., :3], mode="RGB") for f in frames]
+    if not imgs:
+        return 0
+    imgs[0].save(path, save_all=True, append_images=imgs[1:],
+                 duration=max(int(1000.0 / fps), 10), loop=0)
+    return len(imgs)

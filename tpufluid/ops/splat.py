@@ -38,27 +38,38 @@ def splat_field(field: jnp.ndarray, x, y, amount, radius: float, aspect: float) 
     return field + amount.astype(field.dtype)[:, None, None] * g[None]
 
 
+def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
+               radius: float, aspect: float) -> jnp.ndarray:
+    """field (C, H, W) + sum over S splats of gauss_s * amount_s, one fused pass.
+
+    Unrolled over the (static, small) splat count so XLA fuses all gaussians
+    into a single traversal of the field — the reference pays one full-grid
+    draw call per splat (script.js:1443-1454).
+    """
+    h, w = field.shape[-2], field.shape[-1]
+    u, v = uv_grid(h, w)
+    acc = field.astype(jnp.float32) if field.dtype != jnp.float32 else field
+    for s in range(splats.shape[0]):
+        px = (u - splats[s, SPLAT_X]) * aspect
+        py = v - splats[s, SPLAT_Y]
+        g = jnp.exp(-(px * px + py * py) / radius)
+        acc = acc + amounts[s][:, None, None] * g[None]
+    return acc.astype(field.dtype)
+
+
 def apply_splat_batch(velocity: jnp.ndarray, dye: jnp.ndarray, splats: jnp.ndarray,
                       radius: float, aspect: float):
     """Apply a (S, 8) batch of splat events to velocity (2,H,W) and dye (3,Hd,Wd).
 
-    Inactive rows (active == 0) are masked to zero contribution. The loop is a
-    fori_loop so S stays off the memory high-water mark (a broadcast (S, Hd, Wd)
-    intermediate at dye resolution would be ~100 MB).
+    Inactive rows (active == 0) are masked to zero contribution (amount * 0),
+    matching the reference exactly for active rows (splat(), script.js:1441-1455).
     """
-    s = splats.shape[0]
-
-    def body(i, carry):
-        vel, d = carry
-        row = splats[i]
-        active = row[SPLAT_ACTIVE]
-        vamt = jnp.stack([row[SPLAT_DX], row[SPLAT_DY]]) * active
-        camt = row[SPLAT_R:SPLAT_B + 1] * active
-        vel = splat_field(vel, row[SPLAT_X], row[SPLAT_Y], vamt, radius, aspect)
-        d = splat_field(d, row[SPLAT_X], row[SPLAT_Y], camt, radius, aspect)
-        return vel, d
-
-    return jax.lax.fori_loop(0, s, body, (velocity, dye))
+    active = splats[:, SPLAT_ACTIVE:SPLAT_ACTIVE + 1]
+    vamt = splats[:, SPLAT_DX:SPLAT_DY + 1] * active
+    camt = splats[:, SPLAT_R:SPLAT_B + 1] * active
+    velocity = _splat_sum(velocity, splats, vamt, radius, aspect)
+    dye = _splat_sum(dye, splats, camt, radius, aspect)
+    return velocity, dye
 
 
 def make_splat_array(events, max_splats: int) -> jnp.ndarray:
