@@ -40,3 +40,50 @@ def test_jacobi_zero_iters_identity(rng):
     d = jnp.zeros((64, 128), jnp.float32)
     out = pj.jacobi_pressure(p, d, 0)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(p))
+
+
+def test_fused_stencil_matches_oracle(rng):
+    import tpufluid.ops.pallas.stencil as ps
+
+    vel = jnp.asarray((rng.standard_normal((2, 64, 128)) * 100).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+    with _interp(ps):
+        v2, d2 = ps.curl_vorticity_divergence(vel, 30.0, dt)
+    c = stencil.curl(vel)
+    v1 = stencil.vorticity_confinement(vel, c, 30.0, dt)
+    d1 = stencil.divergence(v1)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3])
+def test_advect_matches_oracle(channels, rng):
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 64, 128
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400).astype(np.float32)),
+                   -1000, 1000)
+    shape = (H, W) if channels == 1 else (channels, H, W)
+    src = jnp.asarray(rng.random(shape).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 0.7)
+    want = advect(vel, src, dt, 0.7)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_advect_extreme_velocity_clamped_displacement(rng):
+    """At the +/-1000 clamp the backtrace stays within the HALO window."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 64, 128
+    vel = jnp.where(jnp.asarray(rng.random((2, H, W))) > 0.5, 1000.0, -1000.0).astype(jnp.float32)
+    src = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 1.0)
+    want = advect(vel, src, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)

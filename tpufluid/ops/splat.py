@@ -40,21 +40,27 @@ def splat_field(field: jnp.ndarray, x, y, amount, radius: float, aspect: float) 
 
 def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
                radius: float, aspect: float) -> jnp.ndarray:
-    """field (C, H, W) + sum over S splats of gauss_s * amount_s, one fused pass.
+    """field (C, H, W) + sum over S splats of gauss_s * amount_s.
 
-    Unrolled over the (static, small) splat count so XLA fuses all gaussians
-    into a single traversal of the field — the reference pays one full-grid
-    draw call per splat (script.js:1443-1454).
+    TPU-native trick: the gaussian is separable —
+      exp(-(px^2 + py^2)/r) = exp(-px^2/r) (x only) * exp(-py^2/r) (y only)
+    so the S-splat batch is a rank-S update: per channel,
+      field_c += Gy (H,S) @ diag(amount_sc) @ Gx (S,W),
+    one einsum that XLA runs on the MXU with O(H+W) transcendentals per splat
+    instead of O(H*W) — the reference pays one full-grid exp pass per splat
+    (script.js:1443-1454).
     """
     h, w = field.shape[-2], field.shape[-1]
-    u, v = uv_grid(h, w)
-    acc = field.astype(jnp.float32) if field.dtype != jnp.float32 else field
-    for s in range(splats.shape[0]):
-        px = (u - splats[s, SPLAT_X]) * aspect
-        py = v - splats[s, SPLAT_Y]
-        g = jnp.exp(-(px * px + py * py) / radius)
-        acc = acc + amounts[s][:, None, None] * g[None]
-    return acc.astype(field.dtype)
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    px = (u[None, :] - splats[:, SPLAT_X][:, None]) * aspect   # (S, W)
+    py = v[None, :] - splats[:, SPLAT_Y][:, None]              # (S, H)
+    gx = jnp.exp(-(px * px) / radius)
+    gy = jnp.exp(-(py * py) / radius)
+    # (C,H,W) update: sum_s amounts[s,c] * gy[s,h] * gx[s,w]
+    bump = jnp.einsum("sc,sh,sw->chw", amounts.astype(jnp.float32), gy, gx,
+                      preferred_element_type=jnp.float32)
+    return (field.astype(jnp.float32) + bump).astype(field.dtype)
 
 
 def apply_splat_batch(velocity: jnp.ndarray, dye: jnp.ndarray, splats: jnp.ndarray,

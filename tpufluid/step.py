@@ -38,24 +38,26 @@ def apply_splats(state: FluidState, splats: jnp.ndarray, config: FluidConfig) ->
 def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """One simulation step. ``dt`` is a traced scalar (seconds), ``splats`` a
     (MAX_SPLATS, 8) event batch (rows with active=0 are no-ops)."""
-    if config.USE_PALLAS:
-        from tpufluid.ops.pallas import dispatch as K
-    else:
-        K = stencil
-
     state = apply_splats(state, splats, config)
     vel = state.velocity
 
-    curl_field = K.curl(vel)
-    vel = K.vorticity_confinement(vel, curl_field, config.CURL, dt)
-    div = K.divergence(vel)
+    if config.USE_PALLAS:
+        from tpufluid.ops.pallas import dispatch as K
 
-    pressure = state.pressure * config.PRESSURE  # warm start (script.js:1253-1257)
-    pressure = K.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
-    vel = K.gradient_subtract(vel, pressure)
-
-    vel = advect(vel, vel, dt, config.VELOCITY_DISSIPATION)
-    dye = advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
+        vel, div = K.pre_pressure(vel, config.CURL, dt)
+        pressure = state.pressure * config.PRESSURE  # warm start (script.js:1253-1257)
+        pressure = K.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
+        vel = K.project_and_self_advect(vel, pressure, dt, config.VELOCITY_DISSIPATION)
+        dye = K.advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
+    else:
+        curl_field = stencil.curl(vel)
+        vel = stencil.vorticity_confinement(vel, curl_field, config.CURL, dt)
+        div = stencil.divergence(vel)
+        pressure = state.pressure * config.PRESSURE
+        pressure = stencil.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
+        vel = stencil.gradient_subtract(vel, pressure)
+        vel = advect(vel, vel, dt, config.VELOCITY_DISSIPATION)
+        dye = advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
 
     return FluidState(velocity=vel, dye=dye, pressure=pressure)
 
