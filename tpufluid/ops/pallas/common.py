@@ -1,0 +1,49 @@
+"""Shared window machinery for the stencil/advection kernels.
+
+Instead of edge-padding arrays in HBM (a full extra copy per field per pass),
+every kernel reads an IN-BOUNDS haloed window: block i wants rows
+[i*R - halo, i*R + R + halo), which is clamped to [start, start + R + 2*halo)
+with start = clamp(i*R - halo, 0, H - R - 2*halo). The kernel recomputes
+``start`` from its program id, so the target rows sit at dynamic (but
+8-aligned) offset ``i*R - start`` inside the window, and global boundary
+semantics (CLAMP_TO_EDGE / -C reflection) are realized with masks on global
+row ids — never with padded data.
+
+All row quantities (R, halo) are multiples of the sublane count so dynamic
+window starts and offsets stay provably tile-aligned.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+
+SUBLANE = 8
+LANE = 128
+
+
+def window_start(i, rows_per_block: int, halo: int, h: int):
+    """Clamped window start row for block i (traced or static).
+
+    Every branch of the clip is a multiple of the sublane count (R, halo and
+    h are), and pl.multiple_of tells Mosaic so.
+    """
+    lo = i * rows_per_block - halo
+    return pl.multiple_of(jnp.clip(lo, 0, h - rows_per_block - 2 * halo), SUBLANE)
+
+
+def make_window_index_map(rows_per_block: int, halo: int, h: int, lead_dims: int = 0):
+    """BlockSpec index_map returning the clamped start (Element indexing)."""
+
+    def index_map(i):
+        start = window_start(i, rows_per_block, halo, h)
+        return (0,) * lead_dims + (start, 0)
+
+    return index_map
+
+
+def local_offset(i, rows_per_block: int, halo: int, h: int):
+    """Row offset of block i's target rows inside its clamped window."""
+    start = window_start(i, rows_per_block, halo, h)
+    return pl.multiple_of(i * rows_per_block - start, SUBLANE)

@@ -1,20 +1,22 @@
 """Fused pre-pressure stencil kernel: curl -> vorticity confinement -> divergence.
 
-The reference runs these as three full-grid GL passes (script.js:1234-1251);
-XLA also leaves them as 3+ HBM round-trips (measured ~4 ms total at 1024^2 on
-v5e). This kernel computes all three in ONE pass over the velocity field:
-row blocks with a 3-row halo (one stencil layer per stage), neighbors via
-pltpu.roll + global-boundary masking (same scheme as the Jacobi kernel).
+The reference runs these as three full-grid GL passes (script.js:1234-1251).
+This kernel computes all three in ONE HBM pass over the velocity field: row
+blocks with an 8-row in-bounds halo window (3 stencil layers needed; windows
+clamped per ops/pallas/common.py so no edge-pad copy is materialized),
+neighbors via pltpu.roll + global-boundary masking.
 
 Outputs the post-confinement velocity (clamped to +/-1000, script.js:863) and
 its divergence (with the -C no-slip wall reflection, script.js:804-807).
+Optionally fuses the velocity splat batch (reference splat(),
+script.js:1443-1449) as a separable rank-S bump added before curl.
 Semantics identical to the jnp oracle chain in tpufluid.ops.stencil.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,18 +26,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax._src.pallas.core import Element as _Element
 
-_HALO = 4  # curl(1) + vorticity(1) + divergence(1) + 1 for 8-row alignment
+from tpufluid.ops.pallas.common import (
+    LANE, SUBLANE, make_window_index_map, window_start,
+)
+
+_HALO = 8  # >= 3 stencil layers, multiple of the sublane count
 _VMEM_BUDGET = 10 * 1024 * 1024
-_LANE = 128
-_SUBLANE = 8
 
 
 def _pick_block_rows(h: int, w: int, itemsize: int) -> int:
     best = 0
-    for r in range(_SUBLANE, h + 1, _SUBLANE):
-        if h % r:
+    for r in range(SUBLANE, h + 1, SUBLANE):
+        if h % r or r + 2 * _HALO > h:
             continue
-        # ~6 live (R+6, w) planes (u, v, curl, temps) + outputs
         if 8 * (r + 2 * _HALO) * w * itemsize <= _VMEM_BUDGET:
             best = r
     return best
@@ -43,27 +46,30 @@ def _pick_block_rows(h: int, w: int, itemsize: int) -> int:
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     h, w = shape
-    if w % _LANE or h % _SUBLANE:
+    if itemsize != 4:
+        return False  # Mosaic dynamic gather/rotate support 32-bit only here
+    if w % LANE or h % SUBLANE:
         return False
     return _pick_block_rows(h, w, itemsize) > 0
 
 
-def _kernel(dt_ref, vel_ref, out_vel_ref, out_div_ref, *, curl_strength: float,
-            rows_per_block: int, h_global: int):
+def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, *,
+            curl_strength: float, rows_per_block: int, h_global: int,
+            with_splats: bool):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
     dt = dt_ref[0]
+    start = window_start(i, rows_per_block, _HALO, h_global)
 
-    row0 = i * rows_per_block - _HALO
-    rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + row0
+    rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
     first_row = rows == 0
     last_row = rows == h_global - 1
     first_col = cols == 0
     last_col = cols == w - 1
 
-    def shift_l(x):  # value of the left neighbor (clamped)
+    def shift_l(x):
         return jnp.where(first_col, x, pltpu.roll(x, 1, axis=1))
 
     def shift_r(x):
@@ -77,6 +83,19 @@ def _kernel(dt_ref, vel_ref, out_vel_ref, out_div_ref, *, curl_strength: float,
 
     u = vel_ref[0]
     v = vel_ref[1]
+
+    if with_splats:
+        # Separable rank-S gaussian bump: gy is precomputed over all H rows;
+        # take this window's slice (gy laid out (H, S) so rows are sublanes).
+        gy = gy_ref[pl.ds(pl.multiple_of(start, SUBLANE), blk_h), :]  # (blk_h, S)
+        gx = gx_ref[:]                               # (S, w)
+        amt = amt_ref[:]                             # (S, 2)
+        u = u + jax.lax.dot_general(
+            gy * amt[None, :, 0], gx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        v = v + jax.lax.dot_general(
+            gy * amt[None, :, 1], gx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # curl = 0.5 * (R.y - L.y - T.x + B.x)   (script.js:814-833)
     c = 0.5 * (shift_r(v) - shift_l(v) - shift_t(u) + shift_b(u))
@@ -96,33 +115,58 @@ def _kernel(dt_ref, vel_ref, out_vel_ref, out_div_ref, *, curl_strength: float,
     above_v = jnp.where(last_row, -v, shift_t(v))
     div = 0.5 * (right_u - left_u + above_v - below_v)
 
-    sl = slice(_HALO, _HALO + rows_per_block)
-    out_vel_ref[0] = u[sl]
-    out_vel_ref[1] = v[sl]
-    out_div_ref[:] = div[sl]
+    off = i * rows_per_block - start
+    r = rows_per_block
+    ou = jnp.zeros((r, w), u.dtype)
+    ov = jnp.zeros((r, w), v.dtype)
+    od = jnp.zeros((r, w), div.dtype)
+    for k in range(0, 2 * _HALO + 1, SUBLANE):
+        ou = jnp.where(off == k, u[k:k + r], ou)
+        ov = jnp.where(off == k, v[k:k + r], ov)
+        od = jnp.where(off == k, div[k:k + r], od)
+    out_vel_ref[0] = ou
+    out_vel_ref[1] = ov
+    out_div_ref[:] = od
 
 
-def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt):
-    """(vel', div) — fused curl+confinement+divergence over (2, H, W) velocity."""
+def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
+                              splat_gy: Optional[jnp.ndarray] = None,
+                              splat_gx: Optional[jnp.ndarray] = None,
+                              splat_amt: Optional[jnp.ndarray] = None):
+    """(vel', div) — fused (optional splat) + curl + confinement + divergence.
+
+    splat_gy (H, S), splat_gx (S, W), splat_amt (S, 2): the separable splat
+    factors (see ops.splat._splat_sum); pass all three or none.
+    """
     _, h, w = velocity.shape
     rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
     if rows_per_block == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
     n_blocks = h // rows_per_block
-    vel_pad = jnp.pad(velocity, ((0, 0), (_HALO, _HALO), (0, 0)), mode="edge")
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
+    with_splats = splat_gy is not None
+    if not with_splats:
+        s = 8
+        splat_gy = jnp.zeros((h, s), velocity.dtype)
+        splat_gx = jnp.zeros((s, w), velocity.dtype)
+        splat_amt = jnp.zeros((s, 2), jnp.float32)
+
+    win = rows_per_block + 2 * _HALO
+    idx = make_window_index_map(rows_per_block, _HALO, h, lead_dims=1)
     kernel = functools.partial(_kernel, curl_strength=float(curl_strength),
-                               rows_per_block=rows_per_block, h_global=h)
+                               rows_per_block=rows_per_block, h_global=h,
+                               with_splats=with_splats)
     out_vel, out_div = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(rows_per_block + 2 * _HALO),
-                          _Element(w)),
-                         lambda i: (0, i * rows_per_block, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
+                         idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gy (H, S) whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # gx (S, W) whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # amt (S, 2) whole
         ],
         out_specs=(
             pl.BlockSpec((2, rows_per_block, w), lambda i: (0, i, 0),
@@ -139,5 +183,5 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt):
             bytes_accessed=6 * h * w * velocity.dtype.itemsize,
             transcendentals=h * w,
         ),
-    )(dt_arr, vel_pad)
+    )(dt_arr, velocity, splat_gy, splat_gx, splat_amt)
     return out_vel, out_div
