@@ -74,6 +74,91 @@ def test_advect_matches_oracle(channels, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_ragged_shapes_via_padding(rng):
+    """The demo's aspect-fitted grids are ragged (e.g. 228x128); kernels get
+    edge-padded inputs + true_shape masks. Verify vs the oracle on the true
+    region for every kernel."""
+    from tpufluid.ops.pallas.common import pad_to, round_up
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.project_advect as ppa
+    import tpufluid.ops.pallas.stencil as ps
+    from tpufluid.ops.advect import advect
+
+    h, w = 60, 200
+    hp, wp = max(round_up(h, 8), 56), round_up(w, 128)
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, h, w)) * 300).astype(np.float32)),
+                   -1000, 1000)
+    dt = jnp.float32(1 / 60)
+
+    # jacobi
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    with _interp(pj):
+        got = pj.jacobi_pressure(pad_to(p, hp, wp), pad_to(d, hp, wp), 12,
+                                 true_shape=(h, w))[:h, :w]
+    want = stencil.jacobi_pressure(p, d, 12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # fused stencil
+    with _interp(ps):
+        v2, d2 = ps.curl_vorticity_divergence(pad_to(vel, hp, wp), 30.0, dt,
+                                              true_shape=(h, w))
+    c = stencil.curl(vel)
+    v1 = stencil.vorticity_confinement(vel, c, 30.0, dt)
+    d1 = stencil.divergence(v1)
+    np.testing.assert_allclose(np.asarray(v2[..., :h, :w]), np.asarray(v1), rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d2[:h, :w]), np.asarray(d1), rtol=2e-5, atol=1e-4)
+
+    # advect
+    src = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    with _interp(pa):
+        got = pa.advect_pallas(pad_to(vel, hp, wp), pad_to(src, hp, wp), dt, 1.0,
+                               true_shape=(h, w))[..., :h, :w]
+    want = advect(vel, src, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    # fused project+advect
+    with _interp(ppa):
+        got = ppa.gradsub_advect_velocity(pad_to(vel, hp, wp), pad_to(p, hp, wp),
+                                          dt, 0.2, true_shape=(h, w))[..., :h, :w]
+    v1 = stencil.gradient_subtract(vel, p)
+    want = advect(v1, v1, dt, 0.2)
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got - want).max()) < 5e-5 * scale
+
+
+def test_advect_cross_resolution_scaled_velocity(rng):
+    """Dye advection: coarse velocity resampled to the dye grid and rescaled
+    to dye-texels/s; halo/span sized for the ratio (the demo's two-grid
+    scheme, script.js:1276)."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+    from tpufluid.ops.sampling import resample_bilinear
+
+    hv, wv = 16, 128
+    h, w = 64, 256  # 4x rows, 2x cols
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, hv, wv)) * 400).astype(np.float32)),
+                   -1000, 1000)
+    dye = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+
+    halo = pa.halo_for_displacement(1000 / 60 * h / hv)
+    span = pa.group_span_for_displacement(1000 / 60 * w / wv)
+    assert halo >= 68 and span >= 1
+
+    from tpufluid.ops.pallas.common import pad_to
+
+    hp = max(h, 8 + 2 * halo)  # dispatch pads so the window fits (min_h)
+    vel_r = resample_bilinear(vel, (h, w))
+    vel_r = jnp.stack([vel_r[0] * (w / wv), vel_r[1] * (h / hv)])
+    with _interp(pa):
+        got = pa.advect_pallas(pad_to(vel_r, hp, w), pad_to(dye, hp, w), dt, 1.0,
+                               halo=halo, span=span, rows_per_block=8,
+                               true_shape=(h, w))[..., :h, :w]
+    want = advect(vel, dye, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_advect_extreme_velocity_clamped_displacement(rng):
     """At the +/-1000 clamp the backtrace stays within the HALO window."""
     import tpufluid.ops.pallas.advect as pa

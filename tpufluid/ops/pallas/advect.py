@@ -3,30 +3,35 @@
 XLA lowers the backtrace gather to scalar loads (~35 ms for 1024^2 on v5e —
 99% of the whole step). This kernel exploits the displacement bound the
 reference guarantees by construction (|v| <= 1000 sim-texels/s after the
-vorticity clamp script.js:863, dt <= 1/60 s script.js:1191 => backtrace moves
-at most ~17 texels):
+vorticity clamp script.js:863, dt <= 1/60 s script.js:1191 => the backtrace
+moves at most ~17 *sim* texels — scaled by the source/sim resolution ratio
+for dye):
 
-  * grid over row blocks; the source is read through an IN-BOUNDS clamped
-    24-row halo window (ops/pallas/common.py — no HBM edge-pad copies);
-  * the row component of the gather becomes a fori_loop over the *actual*
-    integer row-offset range present in the block (typically ~4 iterations,
-    worst case ~38), each using a row-aligned operand built from an 8-aligned
-    dynamic window slice + static sub-offset select;
+  * 2-D grid over (row, column) tiles; the source is read through an
+    IN-BOUNDS clamped halo window in BOTH axes (ops/pallas/common.py — no
+    HBM edge-pad copies). Small tiles matter: the gather loop's trip count
+    tracks the VELOCITY RANGE inside the tile, so tiling in x too keeps it
+    near the local physical variation instead of the full-row range;
+  * the row component of the gather is a fori_loop over the actual integer
+    row-offset range present in the tile, each iteration using a row-aligned
+    operand produced by a *dynamic* sublane rotate (tpu.DynamicRotate;
+    wrapped rows only ever combine with exactly-zero bilinear weights);
   * the column component is a true vectorized gather: per 128-lane group,
-    jnp.take_along_axis against the {-1, 0, +1} neighboring source lane
-    groups (Mosaic lowers these to tpu.dynamic_gather) — legal because the
-    column displacement is also bounded by 17 < 128;
+    jnp.take_along_axis against the +/-span neighboring source lane groups
+    (Mosaic lowers these to tpu.dynamic_gather);
   * bilinear weights and the 1/(1 + dissipation*dt) decay (script.js:780-781)
     are applied in-register.
 
-Cross-resolution (dye) advection first resamples the coarse velocity to the
-dye grid with the cheap separable XLA path, then uses this same-grid kernel.
+Cross-resolution (dye) advection resamples the coarse velocity to the dye
+grid and rescales it to dye-texels/s (dispatch.advect), then uses this
+same-grid kernel with halo/span sized for the ratio.
 Semantics match tpufluid.ops.advect.advect (the oracle).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Tuple
 
 import jax
@@ -37,53 +42,88 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax._src.pallas.core import Element as _Element
 
-from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, make_window_index_map, window_start,
-)
+from tpufluid.ops.pallas.common import LANE, SUBLANE
 
 HALO = 24  # ceil(1000/60) + bilinear corner + margin, multiple of sublanes
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 8 * 1024 * 1024
+_PREF_ROWS = 16   # measured optimum at 1024^2
+_PREF_COLS = 256
 
 
-def _pick_block_rows(h: int, w: int, channels: int, itemsize: int) -> int:
-    # Prefer SMALL blocks: the gather loop's trip count scales with the
-    # velocity range inside the block (measured optimum r=16 at 1024^2).
-    best = 0
+def halo_for_displacement(max_disp: float) -> int:
+    """Row halo for a max backtrace displacement in *source* texels."""
+    return max(HALO, -(-(int(math.ceil(max_disp)) + 2) // SUBLANE) * SUBLANE)
+
+
+def group_span_for_displacement(max_disp: float) -> int:
+    """Lane-group neighbor span for the windowed column gather."""
+    return max(1, int(math.ceil((max_disp + 2) / LANE)))
+
+
+def _pick_tile(h: int, w: int, channels: int, itemsize: int,
+               halo: int = HALO, span: int = 1) -> Tuple[int, int]:
+    """(rows, cols) per tile: prefer small tiles (gather work tracks the
+    local velocity range), subject to VMEM and divisibility."""
+    rows = 0
     for r in range(SUBLANE, h + 1, SUBLANE):
-        if h % r or r + 2 * HALO > h:
-            continue
-        vmem = (channels * (8 * r + 2 * HALO + SUBLANE) + 10 * r) * w * itemsize
-        if vmem <= _VMEM_BUDGET:
-            best = r
-            if r >= 16:
+        if h % r == 0 and r + 2 * halo <= h:
+            rows = r
+            if r >= _PREF_ROWS:
                 break
-    return best
+    if rows == 0:
+        return (0, 0)
+    cols = 0
+    for cb in range(LANE, w + 1, LANE):
+        if w % cb == 0 and cb + 2 * span * LANE <= w:
+            cols = cb
+            if cb >= _PREF_COLS:
+                break
+    if cols == 0:
+        cols = w  # single column tile, no column windowing needed
+    # VMEM: window + rotate copy 2*C*(r+2halo)*(cb+2span*128) + temps
+    while True:
+        cbw = cols + (2 * span * LANE if cols != w else 0)
+        vmem = (channels * (2 * (rows + 2 * halo)) * cbw
+                + (channels * 8 + 10) * rows * cbw) * itemsize
+        if vmem <= _VMEM_BUDGET or rows == SUBLANE:
+            break
+        rows //= 2
+        while rows >= SUBLANE and h % rows:
+            rows -= SUBLANE
+        if rows < SUBLANE:
+            return (0, 0)
+    if vmem > _VMEM_BUDGET:
+        return (0, 0)
+    return rows, cols
 
 
-def supported(src_shape: Tuple[int, ...], itemsize: int = 4) -> bool:
+def supported(src_shape: Tuple[int, ...], itemsize: int = 4, halo: int = HALO,
+              span: int = 1) -> bool:
     h, w = src_shape[-2], src_shape[-1]
     c = src_shape[0] if len(src_shape) == 3 else 1
     if itemsize != 4:
         return False  # Mosaic dynamic gather/rotate support 32-bit only here
     if w % LANE or h % SUBLANE:
         return False
-    return _pick_block_rows(h, w, c, itemsize) > 0
+    return _pick_tile(h, w, c, itemsize, halo, span)[0] > 0
 
 
-def _gather_lanes_windowed(rows, idx, w):
-    """rows (C, R, W) gathered along lanes at integer idx (R, W), |idx - j| < 128.
+def _gather_lanes_windowed(rows, idx, span: int = 1):
+    """rows (C, R, CBW) gathered along lanes at integer idx (R, CBW) local to
+    the window; |idx - j| <= span * 128 + 128.
 
-    Decomposes W into 128-lane groups; each output group gathers from its
-    {-1, 0, +1} neighbor groups via per-group take_along_axis.
+    Decomposes CBW into 128-lane groups; each output group gathers from its
+    +/-(span+1) neighbor groups via per-group take_along_axis. Out-of-window
+    indices contribute zero (callers guarantee zero weight there).
     """
-    c, r, _ = rows.shape
-    n_groups = w // LANE
+    c, r, cbw = rows.shape
+    n_groups = cbw // LANE
     out = []
     for g in range(n_groups):
         sl = slice(g * LANE, (g + 1) * LANE)
         idx_g = idx[:, sl]
         acc = jnp.zeros((c, r, LANE), dtype=rows.dtype)
-        for s in (-1, 0, 1):
+        for s in range(-span - 1, span + 2):
             gg = g + s
             if gg < 0 or gg >= n_groups:
                 continue
@@ -98,112 +138,189 @@ def _gather_lanes_windowed(rows, idx, w):
     return jnp.concatenate(out, axis=-1)
 
 
-def bilinear_backtrace_gather(window, x, yp, fx_dtype=jnp.float32):
-    """Gather src at (x, yp) with bilinear weights; yp in window-local texels.
-
-    window: (C, WIN, W) VALUE holding the haloed row window.
-    x: (R, W) float column coords (already j - dt*u); clamped to [0, W-1].
-    yp: (R, W) float window-local row coords; caller guarantees the backtrace
-    stays inside the window (displacement bound) and that window rows are
-    globally valid, so clamping to the window extent == CLAMP_TO_EDGE.
-
-    Row alignment per integer offset ``oy`` uses a *dynamic* sublane rotate
-    (tpu.DynamicRotate): rotated row i == window[(i + oy) mod WIN]. Wrapped
-    rows are only ever combined with exactly-zero bilinear weights (a clamped
-    integer coordinate has zero fractional part), so the wrap is harmless.
-    Returns (C, R, W) float32.
-    """
+def bilinear_backtrace_gather(window, x, yp, w_true=None, yp_hi=None,
+                              span: int = 1):
+    """Full-width-window bilinear gather (target lanes aligned with window
+    lanes): window (C, WIN, W), x/yp (R, W) window-local texel coords.
+    Used by the fused project+advect kernel (ratio-1, row windows only)."""
     c, win, w = window.shape
-    r = x.shape[0]
+    r, cb = x.shape
+    x_hi = jnp.float32(w - 1 if w_true is None else w_true - 1)
+    if yp_hi is None:
+        yp_hi = jnp.float32(win - 1)
+    return _gather_full(window, x, yp, 0.0, x_hi, yp_hi, span, r, cb, 0)
 
-    x0 = jnp.floor(x)
-    fx = (x - x0).astype(fx_dtype)
+
+def _clamped_start(i, block: int, halo: int, total: int, align: int):
+    lo = i * block - halo
+    return pl.multiple_of(jnp.clip(lo, 0, total - block - 2 * halo), align)
+
+
+def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *, dissipation: float,
+                   rows: int, cols: int, h_global: int, w_global: int,
+                   channels: int, h_true: int, w_true: int, halo: int,
+                   span: int, col_halo: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dt = dt_ref[0]
+    r, cb = rows, cols
+
+    rstart = _clamped_start(i, r, halo, h_global, SUBLANE)
+    roff = (i * r - rstart).astype(jnp.float32)
+
+    window = src_ref[:]
+    cbw = window.shape[-1]
+    if col_halo:
+        cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
+        coff = j * cb - cstart
+        # Align the window so the target block always sits at lane offset
+        # col_halo: one dynamic lane-rotate makes the gather's group offset
+        # static. (Only edge tiles have coff != col_halo.)
+        window = pltpu.roll(window, jnp.mod(col_halo - coff, cbw), axis=2)
+    else:
+        cstart = j * cb
+
+    rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
+    cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
+
+    vel_u = vel_ref[0].astype(jnp.float32)
+    vel_v = vel_ref[1].astype(jnp.float32)
+
+    # Aligned-window coords: global x = j*cb + local - dt*u; aligned local
+    # x = global - j*cb + col_halo.
+    x_local = cols_local + jnp.float32(col_halo) - dt * vel_u
+    yp = rows_local + roff - dt * vel_v
+
+    # Global CLAMP_TO_EDGE bounds in aligned-window coords.
+    jcb = (j * cb).astype(jnp.float32)
+    x_lo = jnp.maximum(jnp.float32(col_halo) - jcb, 0.0)
+    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + col_halo,
+                       jnp.float32(cbw - 1))
+    yp_hi = jnp.minimum(jnp.float32(window.shape[-2] - 1),
+                        jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
+
+    acc = _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb,
+                       col_halo // LANE)
+    out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
+
+
+def _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb, goff):
+    """Bilinear gather on an ALIGNED window: target lanes sit at the STATIC
+    lane offset goff*128 inside the (C, WIN, CBW) window, so each output
+    lane-group reads from window groups g + goff +/- span (2*span+1 TAAs)."""
+    c, win, cbw = window.shape
+
+    x_local = jnp.clip(x_local, x_lo, x_hi)
+    x0 = jnp.floor(x_local)
+    fx = (x_local - x0).astype(jnp.float32)
     x0i = x0.astype(jnp.int32)
-    x0c = jnp.clip(x0i, 0, w - 1)
-    x1c = jnp.clip(x0i + 1, 0, w - 1)
+    x1i = jnp.minimum((x0i + 1).astype(jnp.float32), x_hi).astype(jnp.int32)
 
-    yp = jnp.clip(yp, 0.0, jnp.float32(win - 1))
+    yp = jnp.clip(yp, 0.0, yp_hi)
     y0 = jnp.floor(yp)
     fy = (yp - y0).astype(jnp.float32)
-    rows_local = lax.broadcasted_iota(jnp.int32, (r, w), 0)
+    rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0)
     y0_rel = y0.astype(jnp.int32) - rows_local
 
     oy_min = jnp.min(y0_rel)
     oy_max = jnp.max(y0_rel)
 
+    n_groups_out = cb // LANE
+    n_groups_win = cbw // LANE
+
+    def gather_at(idx, rows_op):
+        out = []
+        for g_out in range(n_groups_out):
+            sl = slice(g_out * LANE, (g_out + 1) * LANE)
+            idx_g = idx[:, sl]
+            acc = jnp.zeros((rows_op.shape[0], r, LANE), dtype=rows_op.dtype)
+            for s in range(-span, span + 1):
+                gg = g_out + goff + s
+                if gg < 0 or gg >= n_groups_win:
+                    continue
+                local = idx_g - gg * LANE
+                valid = (local >= 0) & (local < LANE)
+                local_c = jnp.clip(local, 0, LANE - 1)
+                op = rows_op[:, :, gg * LANE:(gg + 1) * LANE]
+                vals = [jnp.take_along_axis(op[ch], local_c, axis=1)
+                        for ch in range(rows_op.shape[0])]
+                v = jnp.stack(vals)
+                acc = acc + jnp.where(valid[None], v, 0.0)
+            out.append(acc)
+        return jnp.concatenate(out, axis=-1)
+
     def body(oy, acc):
         shift = jnp.mod(win - oy, win)
         rolled = pltpu.roll(window, shift, axis=1)
         rows_op = rolled[:, :r, :]
-        g0 = _gather_lanes_windowed(rows_op, x0c, w)
-        g1 = _gather_lanes_windowed(rows_op, x1c, w)
+        g0 = gather_at(x0i, rows_op)
+        g1 = gather_at(x1i, rows_op)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
-        # Operand row oy serves as y0 (weight 1-fy) where y0_rel == oy and as
-        # y0+1 (weight fy) where y0_rel == oy - 1.
         wgt = (jnp.where(y0_rel == oy, 1.0 - fy, 0.0)
                + jnp.where(y0_rel == oy - 1, fy, 0.0))
         return acc + gx * wgt[None]
 
-    acc = jnp.zeros((c, r, w), dtype=jnp.float32)
+    acc = jnp.zeros((window.shape[0], r, cb), dtype=jnp.float32)
     return lax.fori_loop(oy_min, oy_max + 2, body, acc)
 
 
-def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *, dissipation: float,
-                   rows_per_block: int, h_global: int, channels: int):
-    r = rows_per_block
-    w = vel_ref.shape[-1]
-    i = pl.program_id(0)
-    dt = dt_ref[0]
-    start = window_start(i, r, HALO, h_global)
-    off = (i * r - start).astype(jnp.float32)
-
-    rows_local = lax.broadcasted_iota(jnp.int32, (r, w), 0).astype(jnp.float32)
-    cols = lax.broadcasted_iota(jnp.int32, (r, w), 1).astype(jnp.float32)
-
-    vel_u = vel_ref[0].astype(jnp.float32)
-    vel_v = vel_ref[1].astype(jnp.float32)
-
-    # Backtraced coordinate in texel units (x = u*W - 0.5 = j - dt*vel_u);
-    # row coordinate mapped into window-local units (+off).
-    x = cols - dt * vel_u
-    yp = rows_local + off - dt * vel_v
-
-    acc = bilinear_backtrace_gather(src_ref[:], x, yp)
-    out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
-
-
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
-                  dissipation: float, rows_per_block: int = 0) -> jnp.ndarray:
-    """Same-grid semi-Lagrangian advection. velocity (2,H,W); source (C,H,W)
-    or (H,W) on the SAME grid."""
+                  dissipation: float, rows_per_block: int = 0,
+                  true_shape=None, halo: int = HALO, span: int = 1) -> jnp.ndarray:
+    """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
+    texels/second*; source (C,H,W) or (H,W) on the SAME grid.
+
+    halo/span size the row halo and lane-group gather span for the maximum
+    backtrace displacement in source texels (halo_for_displacement /
+    group_span_for_displacement); the defaults cover the same-grid bound."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
-    if rows_per_block == 0:
-        rows_per_block = _pick_block_rows(h, w, c, src.dtype.itemsize)
-    if rows_per_block == 0:
+    if true_shape is None:
+        true_shape = (h, w)
+    rows, cols = _pick_tile(h, w, c, src.dtype.itemsize, halo, span)
+    if rows_per_block:
+        rows = rows_per_block
+    if rows == 0:
         raise ValueError(f"unsupported shape {source.shape}")
-    n_blocks = h // rows_per_block
+    col_halo = span * LANE if cols != w else 0
+    n_r = h // rows
+    n_c = w // cols
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
-    win = rows_per_block + 2 * HALO
-    idx = make_window_index_map(rows_per_block, HALO, h, lead_dims=1)
+    win = rows + 2 * halo
+    cbw = cols + 2 * col_halo
+
+    def vel_idx(i, j):
+        return (0, i * rows, j * cols)
+
+    def src_idx(i, j):
+        rs = jnp.clip(i * rows - halo, 0, h - win)
+        rs = pl.multiple_of(rs, SUBLANE)
+        if col_halo:
+            cs = jnp.clip(j * cols - col_halo, 0, w - cbw)
+            cs = pl.multiple_of(cs, LANE)
+        else:
+            cs = j * cols
+        return (0, rs, cs)
+
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
-        rows_per_block=rows_per_block, h_global=h, channels=c,
+        rows=rows, cols=cols, h_global=h, w_global=w, channels=c,
+        h_true=true_shape[0], w_true=true_shape[1],
+        halo=halo, span=span, col_halo=col_halo,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_r, n_c),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(rows_per_block), _Element(w)),
-                         lambda i: (0, i * rows_per_block, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_Element(c, (0, 0)), _Element(win), _Element(w)),
-                         idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
+                         vel_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(c, (0, 0)), _Element(win), _Element(cbw)),
+                         src_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, rows_per_block, w), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
         cost_estimate=pl.CostEstimate(

@@ -47,3 +47,21 @@ def local_offset(i, rows_per_block: int, halo: int, h: int):
     """Row offset of block i's target rows inside its clamped window."""
     start = window_start(i, rows_per_block, halo, h)
     return pl.multiple_of(i * rows_per_block - start, SUBLANE)
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pad_to(x: jnp.ndarray, h_pad: int, w_pad: int) -> jnp.ndarray:
+    """Edge-pad the trailing (H, W) dims up to (h_pad, w_pad).
+
+    Edge mode means a clamped read into the pad region returns the same value
+    as a CLAMP_TO_EDGE read of the true array — but kernels must still mask
+    multi-stage/iterated neighbor reads at the TRUE extents (pad cells evolve
+    as garbage)."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h == h_pad and w == w_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, h_pad - h), (0, w_pad - w)]
+    return jnp.pad(x, pad, mode="edge")

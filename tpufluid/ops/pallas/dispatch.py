@@ -1,19 +1,33 @@
 """Backend dispatch: fused Pallas kernels on TPU, jnp oracle elsewhere.
 
 Dispatch is resolved at trace time (backend and shapes are static), so there
-is zero runtime cost. Any shape the kernels do not support (lane-unaligned
-widths, tiny grids) silently falls back to the jnp path, which is always
-semantically identical.
+is zero runtime cost. Ragged grids (the reference's aspect-fitted sizes,
+e.g. 228x128 sim / 1821x1024 dye at a 1280x720 canvas) are edge-padded up to
+tile alignment and the kernels mask boundary semantics at the TRUE extents;
+anything else falls back to the jnp path, which is always semantically
+identical.
 """
 
 from __future__ import annotations
+
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from tpufluid.ops import stencil as _jnp
 from tpufluid.ops.advect import advect as _jnp_advect_fn
-from tpufluid.ops.sampling import resample_bilinear, sample_bilinear, uv_grid
+from tpufluid.ops.sampling import resample_bilinear
+from tpufluid.ops.pallas.common import LANE, SUBLANE, pad_to, round_up
+
+# Minimum padded height so a (8 + 2*halo)-row window fits.
+_MIN_H = {"jacobi": 56, "stencil": 24, "advect": 56}
+# Don't pad when the overhead would exceed ~60% extra area.
+_MAX_PAD_FRACTION = 0.6
+
+# Reference bounds: velocity clamped to +/-1000 sim-texels/s (script.js:863),
+# dt clamped to 1/60 s (script.js:1191).
+_MAX_DISP_SIM_TEXELS = 1000.0 / 60.0
 
 
 def _on_tpu() -> bool:
@@ -23,24 +37,55 @@ def _on_tpu() -> bool:
         return False
 
 
-def pre_pressure(velocity, curl_strength, dt):
-    """(vel', divergence): curl -> vorticity confinement -> divergence."""
-    if _on_tpu():
+def _padded_shape(h: int, w: int, kind: str, min_h: int = 0) -> Optional[Tuple[int, int]]:
+    hp = max(round_up(h, SUBLANE), _MIN_H[kind], min_h)
+    wp = round_up(w, LANE)
+    if hp * wp > (1 + _MAX_PAD_FRACTION) * h * w:
+        return None
+    return hp, wp
+
+
+def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
+    """(vel', divergence): curl -> vorticity confinement -> divergence.
+
+    splat_factors: optional (gy (H,S), gx (S,W), amt (S,2)) separable splat
+    bump fused before curl (TPU kernel path only; callers pre-apply the bump
+    on fallback paths)."""
+    h, w = velocity.shape[-2:]
+    if _on_tpu() and velocity.dtype.itemsize == 4:
         from tpufluid.ops.pallas import stencil as _pl
 
-        if _pl.supported(velocity.shape[-2:], velocity.dtype.itemsize):
-            return _pl.curl_vorticity_divergence(velocity, curl_strength, dt)
+        pad = _padded_shape(h, w, "stencil")
+        if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
+            gy = gx = amt = None
+            if splat_factors is not None:
+                gy, gx, amt = splat_factors
+                gy = jnp.pad(gy, ((0, pad[0] - h), (0, 0)), mode="edge")
+                gx = jnp.pad(gx, ((0, 0), (0, pad[1] - w)), mode="edge")
+            vel_p = pad_to(velocity, *pad)
+            out_v, out_d = _pl.curl_vorticity_divergence(
+                vel_p, curl_strength, dt, gy, gx, amt, true_shape=(h, w))
+            return out_v[..., :h, :w], out_d[..., :h, :w]
+
+    if splat_factors is not None:
+        gy, gx, amt = splat_factors
+        velocity = (velocity.astype(jnp.float32)
+                    + jnp.einsum("sc,hs,sw->chw", amt, gy, gx)).astype(velocity.dtype)
     c = _jnp.curl(velocity)
     vel = _jnp.vorticity_confinement(velocity, c, curl_strength, dt)
     return vel, _jnp.divergence(vel)
 
 
 def jacobi_pressure(pressure, div, iterations):
-    if _on_tpu():
+    h, w = pressure.shape
+    if _on_tpu() and pressure.dtype.itemsize == 4:
         from tpufluid.ops.pallas import jacobi as _pl
 
-        if _pl.supported(pressure.shape, pressure.dtype.itemsize):
-            return _pl.jacobi_pressure(pressure, div, iterations)
+        pad = _padded_shape(h, w, "jacobi")
+        if pad is not None and _pl.supported(pad, pressure.dtype.itemsize):
+            p = _pl.jacobi_pressure(pad_to(pressure, *pad), pad_to(div, *pad),
+                                    iterations, true_shape=(h, w))
+            return p[:h, :w]
     return _jnp.jacobi_pressure(pressure, div, iterations)
 
 
@@ -50,11 +95,16 @@ def gradient_subtract(velocity, pressure):
 
 def project_and_self_advect(velocity, pressure, dt, dissipation):
     """Fused (vel - grad p) -> self-advection; falls back to two passes."""
-    if _on_tpu():
+    h, w = velocity.shape[-2:]
+    if _on_tpu() and velocity.dtype.itemsize == 4:
         from tpufluid.ops.pallas import project_advect as _pl
 
-        if _pl.supported(velocity.shape[-2:], velocity.dtype.itemsize):
-            return _pl.gradsub_advect_velocity(velocity, pressure, dt, dissipation)
+        pad = _padded_shape(h, w, "advect")
+        if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
+            out = _pl.gradsub_advect_velocity(
+                pad_to(velocity, *pad), pad_to(pressure, *pad), dt, dissipation,
+                true_shape=(h, w))
+            return out[..., :h, :w]
     vel = gradient_subtract(velocity, pressure)
     return advect(vel, vel, dt, dissipation)
 
@@ -64,16 +114,44 @@ def advect(velocity, source, dt, dissipation):
 
     Cross-resolution (dye) advection resamples velocity to the source grid
     with the cheap separable path first (reference samples velocity bilinearly
-    at dye uv, script.js:773-777 — identical math), then runs the same-grid
-    gather kernel.
+    at dye uv, script.js:773-777 — identical math), RESCALES it to
+    source-grid texels/second (the reference's displacement is dt * vel *
+    simTexelSize in uv, script.js:1276 — i.e. dye-texel displacement scales
+    by the dye/sim resolution ratio), then runs the same-grid gather kernel
+    with a halo/gather-span sized for the scaled displacement bound.
     """
     h, w = source.shape[-2], source.shape[-1]
-    if _on_tpu():
+    hv, wv = velocity.shape[-2], velocity.shape[-1]
+    if _on_tpu() and source.dtype.itemsize == 4:
         from tpufluid.ops.pallas import advect as _pl
 
-        if _pl.supported(source.shape, source.dtype.itemsize):
-            vel = velocity
-            if velocity.shape[-2:] != (h, w):
-                vel = resample_bilinear(velocity, (h, w))
-            return _pl.advect_pallas(vel, source, dt, dissipation)
+        halo = _pl.halo_for_displacement(_MAX_DISP_SIM_TEXELS * h / hv)
+        span = _pl.group_span_for_displacement(_MAX_DISP_SIM_TEXELS * w / wv)
+        pad = _padded_shape(h, w, "advect", min_h=8 + 2 * halo)
+        c = source.shape[0] if source.ndim == 3 else 1
+        if pad is not None:
+            all_ch = _pl.supported((c,) + pad, source.dtype.itemsize, halo)
+            per_ch = all_ch or _pl.supported((1,) + pad, source.dtype.itemsize, halo)
+            if per_ch:
+                vel = velocity
+                if (hv, wv) != (h, w):
+                    vel = resample_bilinear(velocity, (h, w))
+                    # sim-texels/s -> source-texels/s
+                    vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
+                vel_p = pad_to(vel, *pad)
+                src_p = pad_to(source, *pad)
+                if all_ch:
+                    out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
+                                            true_shape=(h, w), halo=halo, span=span)
+                elif source.ndim == 3:
+                    # Large-halo windows don't fit VMEM with all channels live:
+                    # one kernel launch per channel.
+                    out = jnp.stack([
+                        _pl.advect_pallas(vel_p, src_p[ch], dt, dissipation,
+                                          true_shape=(h, w), halo=halo, span=span)
+                        for ch in range(c)])
+                else:
+                    out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
+                                            true_shape=(h, w), halo=halo, span=span)
+                return out[..., :h, :w]
     return _jnp_advect_fn(velocity, source, dt, dissipation)

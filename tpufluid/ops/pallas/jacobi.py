@@ -58,7 +58,8 @@ def supported(shape: Tuple[int, int], itemsize: int = 4, halo: int = _HALO) -> b
 
 
 def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
-                         rows_per_block: int, h_global: int):
+                         rows_per_block: int, h_global: int, h_true: int,
+                         w_true: int):
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
     w = p_ref.shape[1]
@@ -67,9 +68,9 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
     first_row = rows == 0
-    last_row = rows == h_global - 1
+    last_row = rows == h_true - 1
     first_col = cols == 0
-    last_col = cols == w - 1
+    last_col = cols == w_true - 1
 
     div = d_ref[:]
     p = p_ref[:]
@@ -90,12 +91,13 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
 
 
 def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
-                  rows_per_block: int) -> jnp.ndarray:
+                  rows_per_block: int, true_shape) -> jnp.ndarray:
     h, w = p.shape
     n_blocks = h // rows_per_block
     kernel = functools.partial(
         _jacobi_chunk_kernel, sweeps=sweeps, halo=halo,
         rows_per_block=rows_per_block, h_global=h,
+        h_true=true_shape[0], w_true=true_shape[1],
     )
     win = rows_per_block + 2 * halo
     idx = make_window_index_map(rows_per_block, halo, h)
@@ -118,11 +120,16 @@ def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
 
 
 def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
-                    chunk: int = 20) -> jnp.ndarray:
-    """``iterations`` Jacobi sweeps, K=chunk sweeps per HBM pass."""
+                    chunk: int = 20, true_shape=None) -> jnp.ndarray:
+    """``iterations`` Jacobi sweeps, K=chunk sweeps per HBM pass.
+
+    true_shape: (h_true, w_true) when the arrays are edge-padded to tile
+    alignment; boundary masks act at the true extents."""
     if iterations == 0:
         return pressure
     h, w = pressure.shape
+    if true_shape is None:
+        true_shape = (h, w)
     chunk = min(chunk, iterations)
     rows_per_block = _pick_block_rows(h, w, _HALO, pressure.dtype.itemsize)
     if rows_per_block == 0:
@@ -132,6 +139,6 @@ def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
     done = 0
     while done < iterations:
         k = min(chunk, iterations - done)
-        p = _jacobi_chunk(p, div, k, _HALO, rows_per_block)
+        p = _jacobi_chunk(p, div, k, _HALO, rows_per_block, true_shape)
         done += k
     return p

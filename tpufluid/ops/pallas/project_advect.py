@@ -61,7 +61,7 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
 
 
 def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
-            rows_per_block: int, h_global: int):
+            rows_per_block: int, h_global: int, h_true: int, w_true: int):
     r = rows_per_block
     blk_h = vel_ref.shape[1]          # r + 2*HALO
     w = vel_ref.shape[2]
@@ -72,9 +72,9 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
     rows_g = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
     first_row = rows_g == 0
-    last_row = rows_g == h_global - 1
+    last_row = rows_g == h_true - 1
     first_col = cols == 0
-    last_col = cols == w - 1
+    last_col = cols == w_true - 1
 
     # vel' = vel - un-halved grad(p) over the whole window. Row neighbors via
     # sublane roll: the outermost window rows pick up a wrapped neighbor, but
@@ -102,14 +102,18 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
 
     x = colsf - dt * uu
     yp = rows_local + off.astype(jnp.float32) - dt * vv
-    acc = bilinear_backtrace_gather(velp, x, yp)
+    yp_hi = jnp.minimum(jnp.float32(blk_h - 1),
+                        jnp.float32(h_true - 1) - start.astype(jnp.float32))
+    acc = bilinear_backtrace_gather(velp, x, yp, w_true=w_true, yp_hi=yp_hi)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
 def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
-                            dissipation: float) -> jnp.ndarray:
+                            dissipation: float, true_shape=None) -> jnp.ndarray:
     """vel - grad(pressure), then self-advected: one fused HBM pass."""
     _, h, w = velocity.shape
+    if true_shape is None:
+        true_shape = (h, w)
     r = _pick_block_rows(h, w, velocity.dtype.itemsize)
     if r == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
@@ -120,7 +124,8 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
     idx1 = make_window_index_map(r, HALO, h, lead_dims=1)
     idx0 = make_window_index_map(r, HALO, h, lead_dims=0)
     kernel = functools.partial(_kernel, dissipation=float(dissipation),
-                               rows_per_block=r, h_global=h)
+                               rows_per_block=r, h_global=h,
+                               h_true=true_shape[0], w_true=true_shape[1])
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),

@@ -55,7 +55,7 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
 
 def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, *,
             curl_strength: float, rows_per_block: int, h_global: int,
-            with_splats: bool):
+            h_true: int, w_true: int, with_splats: bool):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
@@ -65,9 +65,9 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
     first_row = rows == 0
-    last_row = rows == h_global - 1
+    last_row = rows == h_true - 1
     first_col = cols == 0
-    last_col = cols == w - 1
+    last_col = cols == w_true - 1
 
     def shift_l(x):
         return jnp.where(first_col, x, pltpu.roll(x, 1, axis=1))
@@ -132,13 +132,16 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
 def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
                               splat_gy: Optional[jnp.ndarray] = None,
                               splat_gx: Optional[jnp.ndarray] = None,
-                              splat_amt: Optional[jnp.ndarray] = None):
+                              splat_amt: Optional[jnp.ndarray] = None,
+                              true_shape=None):
     """(vel', div) — fused (optional splat) + curl + confinement + divergence.
 
     splat_gy (H, S), splat_gx (S, W), splat_amt (S, 2): the separable splat
     factors (see ops.splat._splat_sum); pass all three or none.
     """
     _, h, w = velocity.shape
+    if true_shape is None:
+        true_shape = (h, w)
     rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
     if rows_per_block == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
@@ -156,6 +159,7 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
     idx = make_window_index_map(rows_per_block, _HALO, h, lead_dims=1)
     kernel = functools.partial(_kernel, curl_strength=float(curl_strength),
                                rows_per_block=rows_per_block, h_global=h,
+                               h_true=true_shape[0], w_true=true_shape[1],
                                with_splats=with_splats)
     out_vel, out_div = pl.pallas_call(
         kernel,
