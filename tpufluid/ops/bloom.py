@@ -19,7 +19,7 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
-from tpufluid.ops.sampling import resample_bilinear, sample_bilinear, uv_grid
+from tpufluid.ops.sampling import resample_bilinear, sample_affine
 
 
 def bloom_prefilter(dye_rgb: jnp.ndarray, out_hw: Tuple[int, int],
@@ -42,16 +42,15 @@ def blur4(src: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
 
     Target texel centers sample the source bilinearly at uv +/- (1/sw, 0) and
     uv +/- (0, 1/sh); the average of the four taps is the dual up/downsample
-    filter of the reference's mip chain.
+    filter of the reference's mip chain. Offsets are constant, so every tap
+    is a separable affine sample (no 2-D gather).
     """
-    out_h, out_w = out_hw
     sh, sw = src.shape[-2], src.shape[-1]
-    u, v = uv_grid(out_h, out_w)
     tx, ty = 1.0 / sw, 1.0 / sh
-    s = sample_bilinear(src, u - tx, v)
-    s = s + sample_bilinear(src, u + tx, v)
-    s = s + sample_bilinear(src, u, v - ty)
-    s = s + sample_bilinear(src, u, v + ty)
+    s = sample_affine(src, out_hw, ou=-tx)
+    s = s + sample_affine(src, out_hw, ou=tx)
+    s = s + sample_affine(src, out_hw, ov=-ty)
+    s = s + sample_affine(src, out_hw, ov=ty)
     return s * 0.25
 
 

@@ -13,7 +13,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from tpufluid.ops.sampling import sample_bilinear, sample_bilinear_repeat, uv_grid
+from tpufluid.ops.sampling import sample_affine, uv_grid
 
 
 def linear_to_gamma(color: jnp.ndarray) -> jnp.ndarray:
@@ -37,15 +37,16 @@ def display_composite(
     texelSize to 1/target size, script.js:1336-1340).
     """
     out_h, out_w = out_hw
-    u, v = uv_grid(out_h, out_w)
-    c = sample_bilinear(dye_rgb, u, v)
+    c = sample_affine(dye_rgb, out_hw)
 
     if shading:
+        # Neighbors offset by one *display* texel; constant offsets, so each
+        # tap is a separable affine sample (no 2-D gather).
         tx, ty = 1.0 / out_w, 1.0 / out_h
-        lc = sample_bilinear(dye_rgb, u - tx, v)
-        rc = sample_bilinear(dye_rgb, u + tx, v)
-        tc = sample_bilinear(dye_rgb, u, v + ty)
-        bc = sample_bilinear(dye_rgb, u, v - ty)
+        lc = sample_affine(dye_rgb, out_hw, ou=-tx)
+        rc = sample_affine(dye_rgb, out_hw, ou=tx)
+        tc = sample_affine(dye_rgb, out_hw, ov=ty)
+        bc = sample_affine(dye_rgb, out_hw, ov=-ty)
         norm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=0))
         dx = norm(rc) - norm(lc)
         dy = norm(tc) - norm(bc)
@@ -56,10 +57,10 @@ def display_composite(
 
     bloom = None
     if bloom_tex is not None:
-        bloom = sample_bilinear(bloom_tex, u, v)
+        bloom = sample_affine(bloom_tex, out_hw)
 
     if sunrays_tex is not None:
-        rays = sample_bilinear(sunrays_tex, u, v)
+        rays = sample_affine(sunrays_tex, out_hw)
         c = c * rays[None]
         if bloom is not None:
             bloom = bloom * rays[None]
@@ -70,7 +71,8 @@ def display_composite(
             # (ditherScale = target/texture size, script.js:1626-1631).
             scale_x = out_w / dither_tex.shape[-1]
             scale_y = out_h / dither_tex.shape[-2]
-            noise = sample_bilinear_repeat(dither_tex, u * scale_x, v * scale_y)
+            noise = sample_affine(dither_tex, out_hw, su=scale_x, sv=scale_y,
+                                  wrap=True)
             bloom = bloom + (noise * 2.0 - 1.0)[None] / 255.0
         bloom = linear_to_gamma(bloom)
         c = c + bloom

@@ -89,6 +89,51 @@ def uv_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray
     return jnp.broadcast_to(u[None, :], (h, w)), jnp.broadcast_to(v[:, None], (h, w))
 
 
+def sample_affine(tex: jnp.ndarray, out_hw: Tuple[int, int],
+                  su: float = 1.0, ou: float = 0.0,
+                  sv: float = 1.0, ov: float = 0.0,
+                  wrap: bool = False) -> jnp.ndarray:
+    """Bilinear-sample ``tex`` (..., H, W) at the AFFINE uv map
+    u = su * u_out + ou, v = sv * v_out + ov over an (out_h, out_w) raster.
+
+    Because the coordinate map is affine, the sample is separable: one
+    row-take + one column-take with per-axis lerp weights — no per-element
+    2-D gather (XLA's scalar-gather path). This covers every sampling pattern
+    of the reference's render pipeline: resampling (identity map), shading /
+    blur / bloom taps (pure offsets), the sunrays radial march (scale toward
+    center: coord = uv*(1-k) + 0.5*k), and dither tiling (scale > 1 + REPEAT).
+    CLAMP_TO_EDGE by default; wrap=True gives REPEAT (dither texture).
+    """
+    out_h, out_w = out_hw
+    h, w = tex.shape[-2], tex.shape[-1]
+
+    u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * su + ou
+    x = u * w - 0.5
+    x0 = jnp.floor(x)
+    fx = (x - x0).astype(tex.dtype)
+    if wrap:
+        ix0 = jnp.mod(x0.astype(jnp.int32), w)
+        ix1 = jnp.mod(x0.astype(jnp.int32) + 1, w)
+    else:
+        ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+        ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    t = jnp.take(tex, ix0, axis=-1) * (1 - fx) + jnp.take(tex, ix1, axis=-1) * fx
+
+    v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * sv + ov
+    y = v * h - 0.5
+    y0 = jnp.floor(y)
+    fy = (y - y0).astype(tex.dtype)[:, None]
+    if wrap:
+        iy0 = jnp.mod(y0.astype(jnp.int32), h)
+        iy1 = jnp.mod(y0.astype(jnp.int32) + 1, h)
+    else:
+        iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+        iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    a = jnp.take(t, iy0, axis=-2)
+    b = jnp.take(t, iy1, axis=-2)
+    return a * (1 - fy) + b * fy
+
+
 def resample_bilinear(tex: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:
     """Resample to (out_h, out_w) by sampling at the target's texel centers.
 

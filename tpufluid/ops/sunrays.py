@@ -18,7 +18,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from tpufluid.ops.sampling import sample_bilinear, uv_grid
+from tpufluid.ops.sampling import sample_affine
 
 SUNRAYS_ITERATIONS = 16
 _DENSITY = 0.3
@@ -33,19 +33,18 @@ def sunrays_mask(dye_rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def sunrays_march(mask_alpha: jnp.ndarray, out_hw: Tuple[int, int], weight: float) -> jnp.ndarray:
-    """16-step radial march (sunraysShader, script.js:691-724) -> (h, w) R field."""
-    out_h, out_w = out_hw
-    u, v = uv_grid(out_h, out_w)
-    dir_u = (u - 0.5) * (_DENSITY / SUNRAYS_ITERATIONS)
-    dir_v = (v - 0.5) * (_DENSITY / SUNRAYS_ITERATIONS)
+    """16-step radial march (sunraysShader, script.js:691-724) -> (h, w) R field.
 
-    color = sample_bilinear(mask_alpha, u, v)
-    coord_u, coord_v = u, v
+    Step k samples at coord = uv - k*dir with dir = (uv-0.5)*Density/16, i.e.
+    coord = uv*(1 - k*Density/16) + 0.5*k*Density/16 — an affine scale toward
+    the screen center, so every tap is a separable sample (no 2-D gather).
+    """
+    color = sample_affine(mask_alpha, out_hw)
     decay = 1.0
-    for _ in range(SUNRAYS_ITERATIONS):
-        coord_u = coord_u - dir_u
-        coord_v = coord_v - dir_v
-        col = sample_bilinear(mask_alpha, coord_u, coord_v)
+    for k in range(1, SUNRAYS_ITERATIONS + 1):
+        scale = 1.0 - k * (_DENSITY / SUNRAYS_ITERATIONS)
+        off = 0.5 * k * (_DENSITY / SUNRAYS_ITERATIONS)
+        col = sample_affine(mask_alpha, out_hw, su=scale, ou=off, sv=scale, ov=off)
         color = color + col * (decay * weight)
         decay *= _DECAY
     return color * _EXPOSURE
@@ -54,17 +53,17 @@ def sunrays_march(mask_alpha: jnp.ndarray, out_hw: Tuple[int, int], weight: floa
 def blur_separable(tex: jnp.ndarray, iterations: int = 1) -> jnp.ndarray:
     """Separable 3-tap blur with 1.33333-texel linear taps (blurShader, 479-494)."""
     h, w = tex.shape[-2], tex.shape[-1]
-    u, v = uv_grid(h, w)
     off = 1.33333333
     tx, ty = off / w, off / h
     out = tex
+    hw = (h, w)
     for _ in range(iterations):
-        out = (sample_bilinear(out, u, v) * 0.29411764
-               + sample_bilinear(out, u - tx, v) * 0.35294117
-               + sample_bilinear(out, u + tx, v) * 0.35294117)
-        out = (sample_bilinear(out, u, v) * 0.29411764
-               + sample_bilinear(out, u, v - ty) * 0.35294117
-               + sample_bilinear(out, u, v + ty) * 0.35294117)
+        out = (sample_affine(out, hw) * 0.29411764
+               + sample_affine(out, hw, ou=-tx) * 0.35294117
+               + sample_affine(out, hw, ou=tx) * 0.35294117)
+        out = (sample_affine(out, hw) * 0.29411764
+               + sample_affine(out, hw, ov=-ty) * 0.35294117
+               + sample_affine(out, hw, ov=ty) * 0.35294117)
     return out
 
 
