@@ -38,6 +38,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-shading", action="store_true")
     p.add_argument("--paused", action="store_true",
                    help="skip stepping (render-only), reference config.PAUSED")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace of the run into this dir")
+    p.add_argument("--gif", type=str, default=None,
+                   help="also write rendered frames as an animated GIF")
     return p
 
 
@@ -79,15 +83,22 @@ def main(argv: Optional[list] = None) -> None:
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     dt = jnp.float32(trace.dt)
     none_batch = jnp.zeros((config.MAX_SPLATS, 8), jnp.float32)
+    gif_frames = []
 
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.time()
     for t in range(start_step, args.steps):
         batch = jnp.asarray(trace.batches[t]) if t < trace.num_steps else none_batch
         if not config.PAUSED:
-            state = step(state, dt, batch)
+            with jax.profiler.TraceAnnotation("fluid_step"):
+                state = step(state, dt, batch)
         if args.render_every and (t + 1) % args.render_every == 0:
-            frame = render(state)
-            save_png(np.asarray(frame), os.path.join(args.out, f"frame_{t + 1:06d}.png"))
+            with jax.profiler.TraceAnnotation("render"):
+                frame = np.asarray(render(state))
+            save_png(frame, os.path.join(args.out, f"frame_{t + 1:06d}.png"))
+            if args.gif:
+                gif_frames.append(frame)
         if args.metrics_every and (t + 1) % args.metrics_every == 0:
             rec = logger.log(t + 1, state, config)
             print(f"step {t + 1}: max|v|={rec['max_speed']:.1f} "
@@ -98,8 +109,17 @@ def main(argv: Optional[list] = None) -> None:
 
     jax.block_until_ready(state.velocity)
     elapsed = time.time() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
     n = args.steps - start_step
     print(f"{n} steps in {elapsed:.2f}s = {n / max(elapsed, 1e-9):.0f} steps/s")
+    if args.gif and gif_frames:
+        from tpufluid.io import save_gif
+
+        fps = args.render_every and (60.0 / args.render_every) or 60.0
+        save_gif(gif_frames, os.path.join(args.out, "run.gif"), fps=max(fps, 5.0))
+        print(f"gif written to {os.path.join(args.out, 'run.gif')}")
     logger.close()
 
 

@@ -1,5 +1,9 @@
 """Backend dispatch: fused Pallas kernels on TPU, jnp oracle elsewhere.
 
+bfloat16 states (the reference's half-float storage budget) route through the
+f32 kernels with casts at the HBM boundary — Mosaic's dynamic gather/rotate
+are 32-bit-only here, and computing in f32 matches the highp shader math.
+
 Dispatch is resolved at trace time (backend and shapes are static), so there
 is zero runtime cost. Ragged grids (the reference's aspect-fitted sizes,
 e.g. 228x128 sim / 1821x1024 dye at a 1280x720 canvas) are edge-padded up to
@@ -45,6 +49,30 @@ def _padded_shape(h: int, w: int, kind: str, min_h: int = 0) -> Optional[Tuple[i
     return hp, wp
 
 
+def _is_half(x):
+    return x.dtype.itemsize == 2
+
+
+def _cast_through(fn):
+    """Route half-precision states through the f32 kernels (casts at the HBM
+    boundary); outputs are cast back to the original storage dtype."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*args, **kwargs):
+        arrs = [a for a in args if hasattr(a, "dtype")]
+        if _on_tpu() and arrs and _is_half(arrs[0]):
+            dtype = arrs[0].dtype
+            args = tuple(a.astype(jnp.float32) if hasattr(a, "dtype") and _is_half(a)
+                         else a for a in args)
+            out = fn(*args, **kwargs)
+            return jax.tree.map(lambda x: x.astype(dtype), out)
+        return fn(*args, **kwargs)
+
+    return wrapped
+
+
+@_cast_through
 def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
     """(vel', divergence): curl -> vorticity confinement -> divergence.
 
@@ -76,6 +104,7 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
     return vel, _jnp.divergence(vel)
 
 
+@_cast_through
 def jacobi_pressure(pressure, div, iterations):
     h, w = pressure.shape
     if _on_tpu() and pressure.dtype.itemsize == 4:
@@ -93,6 +122,7 @@ def gradient_subtract(velocity, pressure):
     return _jnp.gradient_subtract(velocity, pressure)
 
 
+@_cast_through
 def project_and_self_advect(velocity, pressure, dt, dissipation):
     """Fused (vel - grad p) -> self-advection; falls back to two passes."""
     h, w = velocity.shape[-2:]
@@ -109,6 +139,7 @@ def project_and_self_advect(velocity, pressure, dt, dissipation):
     return advect(vel, vel, dt, dissipation)
 
 
+@_cast_through
 def advect(velocity, source, dt, dissipation):
     """Semi-Lagrangian advection; velocity (2,Hs,Ws), source (...,H,W).
 
