@@ -112,6 +112,28 @@ def test_sample_repeat_wraps(rng):
     np.testing.assert_allclose(a, b, rtol=1e-5)
 
 
+def test_sample_affine_matches_oracle(rng):
+    """Separable affine sampling == per-texel bilinear at the same coords
+    (clamp and repeat wrap), for offset taps and the sunrays scale-to-center."""
+    from tpufluid.ops.sampling import sample_affine
+
+    tex = rng.standard_normal((3, 9, 13)).astype(np.float32)
+    for su, ou, sv, ov in [(1.0, 0.0, 1.0, 0.0), (1.0, -0.07, 1.0, 0.11),
+                           (0.85, 0.075, 0.85, 0.075), (1.3, -0.2, 0.6, 0.3)]:
+        out = np.asarray(sample_affine(jnp.asarray(tex), (6, 10), su, ou, sv, ov))
+        for i in range(6):
+            for j in range(10):
+                u = (j + 0.5) / 10 * su + ou
+                v = (i + 0.5) / 6 * sv + ov
+                want = ref.np_sample_bilinear(tex, u, v)
+                np.testing.assert_allclose(out[:, i, j], want, rtol=1e-4, atol=1e-5)
+    # repeat wrap tiles
+    d = rng.random((4, 4)).astype(np.float32)
+    a = np.asarray(sample_affine(jnp.asarray(d), (8, 8), su=2.0, sv=2.0, wrap=True))
+    np.testing.assert_allclose(a[:, :4], a[:, 4:], rtol=1e-5)
+    np.testing.assert_allclose(a[:4], a[4:], rtol=1e-5)
+
+
 def test_resample_matches_pointwise_sampling(rng):
     tex = rng.standard_normal((2, 7, 9)).astype(np.float32)
     out = np.asarray(resample_bilinear(jnp.asarray(tex), (13, 5)))
