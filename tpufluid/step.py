@@ -38,6 +38,10 @@ def apply_splats(state: FluidState, splats: jnp.ndarray, config: FluidConfig) ->
 def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """One simulation step. ``dt`` is a traced scalar (seconds), ``splats`` a
     (MAX_SPLATS, 8) event batch (rows with active=0 are no-ops)."""
+    # The reference clamps dt to 1/60 s every frame (calcDeltaTime,
+    # script.js:1188-1194); the Pallas advection kernels also size their
+    # halo windows from this bound.
+    dt = jnp.minimum(jnp.asarray(dt, jnp.float32), 1.0 / 60.0)
     state = apply_splats(state, splats, config)
     vel = state.velocity
 
