@@ -90,11 +90,14 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
         gy = gy_ref[pl.ds(pl.multiple_of(start, SUBLANE), blk_h), :]  # (blk_h, S)
         gx = gx_ref[:]                               # (S, w)
         amt = amt_ref[:]                             # (S, 2)
+        # Static slices + reshape (Mosaic can't lower fancy [None,:,0] gathers).
+        amt_u = amt[:, 0:1].reshape(1, -1)
+        amt_v = amt[:, 1:2].reshape(1, -1)
         u = u + jax.lax.dot_general(
-            gy * amt[None, :, 0], gx, (((1,), (0,)), ((), ())),
+            gy * amt_u, gx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         v = v + jax.lax.dot_general(
-            gy * amt[None, :, 1], gx, (((1,), (0,)), ((), ())),
+            gy * amt_v, gx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     # curl = 0.5 * (R.y - L.y - T.x + B.x)   (script.js:814-833)

@@ -63,6 +63,20 @@ def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
     return (field.astype(jnp.float32) + bump).astype(field.dtype)
 
 
+def splat_factors(splats: jnp.ndarray, h: int, w: int, radius: float,
+                  aspect: float, amount_cols: slice):
+    """Separable factors of the splat batch for fusion into other kernels:
+    (gy (H, S), gx (S, W), amt (S, C)) with inactive rows zeroed."""
+    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    px = (u[None, :] - splats[:, SPLAT_X][:, None]) * aspect
+    py = v[None, :] - splats[:, SPLAT_Y][:, None]
+    gx = jnp.exp(-(px * px) / radius)
+    gy = jnp.exp(-(py * py) / radius).T
+    amt = splats[:, amount_cols] * splats[:, SPLAT_ACTIVE:SPLAT_ACTIVE + 1]
+    return gy, gx, amt
+
+
 def apply_splat_batch(velocity: jnp.ndarray, dye: jnp.ndarray, splats: jnp.ndarray,
                       radius: float, aspect: float):
     """Apply a (S, 8) batch of splat events to velocity (2,H,W) and dye (3,Hd,Wd).

@@ -42,18 +42,34 @@ def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState
     # script.js:1188-1194); the Pallas advection kernels also size their
     # halo windows from this bound.
     dt = jnp.minimum(jnp.asarray(dt, jnp.float32), 1.0 / 60.0)
-    state = apply_splats(state, splats, config)
-    vel = state.velocity
 
     if config.USE_PALLAS:
         from tpufluid.ops.pallas import dispatch as K
+        from tpufluid.ops.splat import SPLAT_B, SPLAT_DX, SPLAT_DY, SPLAT_R, splat_factors
 
-        vel, div = K.pre_pressure(vel, config.CURL, dt)
+        # Dye splat as the rank-S MXU update; the velocity splat is fused
+        # into the pre-pressure stencil kernel (one fewer HBM pass).
+        radius, aspect = config.splat_radius_uv(), config.aspect_ratio
+        dh, dw = state.dye.shape[-2:]
+        gy_d, gx_d, amt_d = splat_factors(splats, dh, dw, radius, aspect,
+                                          slice(SPLAT_R, SPLAT_B + 1))
+        dye0 = (state.dye.astype(jnp.float32)
+                + jnp.einsum("hs,sc,sw->chw", gy_d, amt_d, gx_d,
+                             preferred_element_type=jnp.float32)).astype(state.dye.dtype)
+        state = FluidState(velocity=state.velocity, dye=dye0, pressure=state.pressure)
+
+        vh, vw = state.velocity.shape[-2:]
+        gy_v, gx_v, amt_v = splat_factors(splats, vh, vw, radius, aspect,
+                                          slice(SPLAT_DX, SPLAT_DY + 1))
+        vel, div = K.pre_pressure(state.velocity, config.CURL, dt,
+                                  splat_factors=(gy_v, gx_v, amt_v))
         pressure = state.pressure * config.PRESSURE  # warm start (script.js:1253-1257)
         pressure = K.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
         vel = K.project_and_self_advect(vel, pressure, dt, config.VELOCITY_DISSIPATION)
         dye = K.advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
     else:
+        state = apply_splats(state, splats, config)
+        vel = state.velocity
         curl_field = stencil.curl(vel)
         vel = stencil.vorticity_confinement(vel, curl_field, config.CURL, dt)
         div = stencil.divergence(vel)
