@@ -12,7 +12,6 @@ shader recompilation (script.js:1160-1166) and uniform re-binds.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Tuple
 
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ emits raw frames for ffmpeg.
 from __future__ import annotations
 
 import os
-from typing import Iterable, Optional
+from typing import Iterable
 
 import numpy as np
 

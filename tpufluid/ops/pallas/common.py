@@ -16,7 +16,6 @@ window starts and offsets stay provably tile-aligned.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 
 SUBLANE = 8

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas.core import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, local_offset, make_window_index_map, window_start,
+    LANE, SUBLANE, make_window_index_map, window_start,
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024

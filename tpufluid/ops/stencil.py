@@ -19,7 +19,6 @@ half-float/mediump fidelity.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

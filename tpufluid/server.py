@@ -115,7 +115,6 @@ class FluidServer:
 
         from tpufluid.io import frame_to_uint8
         from tpufluid.ops.splat import SPLAT_COLS
-        from tpufluid.trace import random_splats
 
         from PIL import Image
 
