@@ -146,3 +146,39 @@ def test_app_cli_smoke(tmp_path):
     assert "metrics.jsonl" in files
     assert any(f.startswith("frame_") for f in files)
     assert any(f.startswith("ckpt_") for f in files)
+
+
+def test_multitouch_pointers():
+    """Multiple simultaneous pointers (reference multitouch, script.js:1485-1507):
+    each touch id gets its own pointer and contributes its own splat."""
+    cfg = FluidConfig(CANVAS_WIDTH=100, CANVAS_HEIGHT=100, USE_PALLAS=False)
+    tr = PointerTracer(cfg, seed=0)
+    tr.feed("down", pid=1, x=20, y=20)
+    tr.feed("down", pid=2, x=80, y=80)
+    tr.feed("move", pid=1, x=30, y=20)
+    tr.feed("move", pid=2, x=80, y=70)
+    events = tr.drain_step(1 / 60)
+    assert len(events) == 2
+    xs = sorted(e[0] for e in events)
+    assert xs[0] == pytest.approx(0.3) and xs[1] == pytest.approx(0.8)
+    # one lifted, the other keeps splatting
+    tr.feed("up", pid=1)
+    tr.feed("move", pid=1, x=40, y=20)   # ignored: not down
+    tr.feed("move", pid=2, x=80, y=60)
+    events = tr.drain_step(1 / 60)
+    assert len(events) == 1
+
+
+def test_cli_all_gui_knobs(tmp_path):
+    """Every dat.GUI knob has a CLI flag and reaches the config."""
+    from tpufluid.app import build_argparser
+
+    args = build_argparser().parse_args([
+        "--density-dissipation", "2", "--velocity-dissipation", "0.5",
+        "--pressure", "0.6", "--vorticity", "50", "--splat-radius", "0.5",
+        "--bloom-intensity", "1.2", "--bloom-threshold", "0.3",
+        "--sunrays-weight", "0.7", "--back-color", "10,20,30", "--transparent",
+        "--no-colorful",
+    ])
+    assert args.vorticity == 50 and args.back_color == "10,20,30"
+    assert args.transparent and args.no_colorful

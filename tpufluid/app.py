@@ -26,6 +26,21 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16", "float16"])
     p.add_argument("--jacobi-iters", type=int, default=20)
+    # every dat.GUI knob of the reference (script.js:208-281)
+    p.add_argument("--density-dissipation", type=float, default=1.0)
+    p.add_argument("--velocity-dissipation", type=float, default=0.2)
+    p.add_argument("--pressure", type=float, default=0.8)
+    p.add_argument("--vorticity", type=float, default=30.0, help="CURL strength")
+    p.add_argument("--splat-radius", type=float, default=0.25)
+    p.add_argument("--splat-force", type=float, default=6000.0)
+    p.add_argument("--bloom-intensity", type=float, default=0.8)
+    p.add_argument("--bloom-threshold", type=float, default=0.6)
+    p.add_argument("--sunrays-weight", type=float, default=1.0)
+    p.add_argument("--back-color", type=str, default="0,0,0", help="R,G,B 0-255")
+    p.add_argument("--transparent", action="store_true")
+    p.add_argument("--no-colorful", action="store_true")
+    p.add_argument("--capture", type=str, default=None,
+                   help="write a CAPTURE_RESOLUTION screenshot at the end (reference captureScreenshot)")
     p.add_argument("--trace", type=str, default=None, help="replay a recorded .npz trace")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--render-every", type=int, default=0, help="0 = no frames")
@@ -57,10 +72,18 @@ def main(argv: Optional[list] = None) -> None:
     from tpufluid.trace import Trace, swirl_trace
 
     cw, ch = (int(x) for x in args.canvas.split("x"))
+    back = tuple(int(x) for x in args.back_color.split(","))
     config = FluidConfig(
         SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
         CANVAS_WIDTH=cw, CANVAS_HEIGHT=ch, DTYPE=args.dtype,
         PRESSURE_ITERATIONS=args.jacobi_iters,
+        DENSITY_DISSIPATION=args.density_dissipation,
+        VELOCITY_DISSIPATION=args.velocity_dissipation,
+        PRESSURE=args.pressure, CURL=args.vorticity,
+        SPLAT_RADIUS=args.splat_radius, SPLAT_FORCE=args.splat_force,
+        BLOOM_INTENSITY=args.bloom_intensity, BLOOM_THRESHOLD=args.bloom_threshold,
+        SUNRAYS_WEIGHT=args.sunrays_weight, BACK_COLOR=back,
+        TRANSPARENT=args.transparent, COLORFUL=not args.no_colorful,
         BLOOM=not args.no_bloom, SUNRAYS=not args.no_sunrays,
         SHADING=not args.no_shading, PAUSED=args.paused,
     ).validate()
@@ -114,6 +137,11 @@ def main(argv: Optional[list] = None) -> None:
         print(f"profiler trace written to {args.profile}")
     n = args.steps - start_step
     print(f"{n} steps in {elapsed:.2f}s = {n / max(elapsed, 1e-9):.0f} steps/s")
+    if args.capture:
+        from tpufluid.render import capture_frame
+
+        save_png(np.asarray(capture_frame(state, config)), args.capture)
+        print(f"capture written to {args.capture}")
     if args.gif and gif_frames:
         from tpufluid.io import save_gif
 

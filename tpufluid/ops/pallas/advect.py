@@ -45,8 +45,8 @@ from jax._src.pallas.core import Element as _Element
 from tpufluid.ops.pallas.common import LANE, SUBLANE
 
 HALO = 24  # ceil(1000/60) + bilinear corner + margin, multiple of sublanes
-_VMEM_BUDGET = 8 * 1024 * 1024
-_PREF_ROWS = 16   # measured optimum at 1024^2
+_VMEM_BUDGET = 12 * 1024 * 1024
+_PREF_ROWS = 16   # gather-span cost beats window-overlap traffic at 1024^2
 _PREF_COLS = 256
 
 

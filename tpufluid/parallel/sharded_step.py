@@ -90,6 +90,7 @@ def dye_halo_width(config: FluidConfig) -> int:
 
 def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """The shard_map body: identical math to fluid_step on row blocks."""
+    dt = jnp.minimum(jnp.asarray(dt, jnp.float32), MAX_DT)  # calcDeltaTime clamp
     idx = lax.axis_index(ROW_AXIS)
     n = lax.axis_size(ROW_AXIS)
 
