@@ -70,3 +70,26 @@ def test_sharded_step_rejects_indivisible_grid():
                       CANVAS_HEIGHT=30, USE_PALLAS=False).validate()
     with pytest.raises(ValueError):
         make_sharded_step(cfg, make_mesh())
+
+
+def test_auto_sharded_step_matches_single_device():
+    """GSPMD path: jit(fluid_step) with NamedSharding annotations — XLA
+    partitions the stencils/gathers itself (the scaling-book baseline)."""
+    from tpufluid.parallel.auto import make_auto_sharded_step
+
+    cfg = FluidConfig(**{**CFG.__dict__})
+    mesh = make_mesh()
+    auto = make_auto_sharded_step(cfg, mesh)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    trace = swirl_trace(cfg, 5, seed=11)
+
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(5):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = auto(s8, DT, sp)
+    scale = max(float(jnp.abs(s1.velocity).max()), 1e-3)
+    assert float(jnp.abs(jnp.asarray(s8.velocity) - s1.velocity).max()) < 1e-3 * scale
+    # output really is sharded over the mesh
+    assert len(s8.velocity.sharding.device_set) == 8

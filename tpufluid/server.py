@@ -90,7 +90,10 @@ class FluidServer:
         self.lock = threading.Lock()
         self.frame_bytes: Optional[bytes] = None
         self.steps_done = 0
-        self.recorded = []  # per-step splat batches for later Trace export
+        # Per-step splat batches for Trace export; capped at ~10 minutes of
+        # session so a long-running server doesn't grow without bound.
+        self.recorded = []
+        self.max_recorded = 36000
         self._stop = threading.Event()
 
     def handle_events(self, events) -> None:
@@ -133,7 +136,8 @@ class FluidServer:
             batch = np.zeros((max_s, SPLAT_COLS), np.float32)
             for i, (x, y, dx, dy, color) in enumerate(events[:max_s]):
                 batch[i] = [x, y, dx, dy, color[0], color[1], color[2], 1.0]
-            self.recorded.append(batch)
+            if len(self.recorded) < self.max_recorded:
+                self.recorded.append(batch)
             if not paused:
                 self.state = self.step(self.state, dt, jnp.asarray(batch))
             frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
