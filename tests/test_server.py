@@ -103,3 +103,29 @@ def test_trace_export_is_replayable(server_url):
     for t in range(tr.num_steps):
         s = step(s, jnp.float32(tr.dt), jnp.asarray(tr.batches[t]))
     assert bool(jnp.isfinite(s.dye).all())
+
+
+def test_live_config_change(server_url):
+    """POST /config — the dat.GUI live-tuning analog: a knob change rebuilds
+    the step/render (updateKeywords) and resizes fields (initFramebuffers)."""
+    body = json.dumps({"CURL": 50.0, "DYE_RESOLUTION": 48}).encode()
+    req = urllib.request.Request(server_url + "/config", data=body, method="POST")
+    resp = json.loads(urllib.request.urlopen(req, timeout=30).read())
+    assert resp["CURL"] == 50.0 and resp["DYE_RESOLUTION"] == 48
+    time.sleep(1.0)
+    # sim still running and serving frames after the rebuild
+    stats0 = json.loads(urllib.request.urlopen(server_url + "/stats", timeout=5).read())
+    time.sleep(0.5)
+    stats1 = json.loads(urllib.request.urlopen(server_url + "/stats", timeout=5).read())
+    assert stats1["steps"] > stats0["steps"]
+    jpg = urllib.request.urlopen(server_url + "/frame", timeout=5).read()
+    assert jpg[:2] == b"\xff\xd8"
+    # invalid knob -> 400
+    req = urllib.request.Request(server_url + "/config",
+                                 data=json.dumps({"NOPE": 1}).encode(), method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400

@@ -57,6 +57,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("--gif", type=str, default=None,
                    help="also write rendered frames as an animated GIF")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="jax_debug_nans: fail loudly on the first non-finite "
+                        "value in any pass (SURVEY.md §5.2 debug mode)")
     return p
 
 
@@ -64,6 +67,9 @@ def main(argv: Optional[list] = None) -> None:
     args = build_argparser().parse_args(argv)
     import jax
     import jax.numpy as jnp
+
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     from tpufluid import FluidConfig, init_state, make_render, make_step
     from tpufluid.checkpoint import load_state, save_state

@@ -96,6 +96,30 @@ class FluidServer:
         self.max_recorded = 36000
         self._stop = threading.Event()
 
+    def reconfigure(self, updates: dict) -> dict:
+        """Live config change — the dat.GUI behavior (script.js:208-281):
+        resolution changes rebuild the fields with a resample
+        (initFramebuffers), toggles re-specialize the jitted functions
+        (updateKeywords). Returns the new config as a dict."""
+        import dataclasses
+
+        from tpufluid import FluidConfig, make_render, make_step
+        from tpufluid.state import resize_state
+
+        with self.lock:
+            cfg = dataclasses.replace(self.config, **updates).validate()
+            new_step = make_step(cfg)
+            new_render = make_render(cfg)
+            if self.state is not None:
+                self.state = resize_state(self.state, cfg)
+            if cfg.MAX_SPLATS != self.config.MAX_SPLATS:
+                self.recorded = []  # trace batches are shape-homogeneous
+            self.config = cfg
+            self.tracer.config = cfg
+            self.step = new_step
+            self.render = new_render
+            return dataclasses.asdict(cfg)
+
     def handle_events(self, events) -> None:
         w, h = self.config.CANVAS_WIDTH, self.config.CANVAS_HEIGHT
         with self.lock:
@@ -127,20 +151,23 @@ class FluidServer:
             self.tracer.splat_stack.append(int(np.random.default_rng().integers(5, 25)))
 
         dt = jnp.float32(1.0 / 60.0)
-        max_s = self.config.MAX_SPLATS
         while not self._stop.is_set():
             t_frame = time.time()
+            # The whole tick holds the lock: make_step donates the state
+            # buffers, so a concurrent reconfigure() must never see a
+            # mid-step state. HTTP handlers only hold the lock briefly.
             with self.lock:
                 events = self.tracer.drain_step(1.0 / 60.0)
                 paused = self.paused
-            batch = np.zeros((max_s, SPLAT_COLS), np.float32)
-            for i, (x, y, dx, dy, color) in enumerate(events[:max_s]):
-                batch[i] = [x, y, dx, dy, color[0], color[1], color[2], 1.0]
-            if len(self.recorded) < self.max_recorded:
-                self.recorded.append(batch)
-            if not paused:
-                self.state = self.step(self.state, dt, jnp.asarray(batch))
-            frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
+                max_s = self.config.MAX_SPLATS
+                batch = np.zeros((max_s, SPLAT_COLS), np.float32)
+                for i, (x, y, dx, dy, color) in enumerate(events[:max_s]):
+                    batch[i] = [x, y, dx, dy, color[0], color[1], color[2], 1.0]
+                if len(self.recorded) < self.max_recorded:
+                    self.recorded.append(batch)
+                if not paused:
+                    self.state = self.step(self.state, dt, jnp.asarray(batch))
+                frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
             buf = io.BytesIO()
             Image.fromarray(frame, "RGB").save(buf, "JPEG", quality=self.quality)
             with self.lock:
@@ -211,6 +238,23 @@ def make_handler(server: FluidServer):
                 except Exception:
                     self.send_response(400)
                 self.end_headers()
+            elif self.path.startswith("/config"):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    updates = json.loads(self.rfile.read(n) or b"{}")
+                    # JSON gives lists for tuples (BACK_COLOR).
+                    if "BACK_COLOR" in updates:
+                        updates["BACK_COLOR"] = tuple(updates["BACK_COLOR"])
+                    cfg = server.reconfigure(updates)
+                    body = json.dumps(cfg).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                except (TypeError, ValueError) as e:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
             else:
                 self.send_response(404)
                 self.end_headers()
