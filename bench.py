@@ -44,23 +44,25 @@ def main() -> None:
     multi = make_multi_step(config)
     state = init_state(config)
 
-    # Warm up: compile + first run (also warms the device tunnel).
+    # Warm up: compile + first run. The scalar read forces a REAL device
+    # sync (block_until_ready alone has proven unreliable on tunneled
+    # backends before the first device->host transfer).
     state = multi(state, dt, batches)
-    jax.block_until_ready(state.velocity)
+    float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
 
     # Timed: several chunks; each chunk is one dispatch of `chunk` steps.
+    # The closing scalar read is the synchronization point.
     n_chunks = 5
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state = multi(state, dt, batches)
-    jax.block_until_ready(state.velocity)
+    checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
     elapsed = time.perf_counter() - t0
 
     steps = n_chunks * chunk
     value = steps / elapsed
 
     # Sanity: state must stay finite (guards against benchmarking garbage).
-    checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
     assert np.isfinite(checksum), "velocity field went non-finite during bench"
 
     print(json.dumps({
