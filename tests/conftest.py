@@ -7,18 +7,25 @@ so we both set the env vars and re-update the config after import.
 """
 
 import os
+import sys
 
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# tests/test_tpu.py is the one file meant to run on the real device
+# (standalone invocation); everything else runs on 8 virtual CPU devices.
+_TPU_RUN = any("test_tpu" in a for a in sys.argv)
+
+if not _TPU_RUN:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-try:
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass
+if not _TPU_RUN:
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 import numpy as np
 import pytest
@@ -30,5 +37,9 @@ def rng():
 
 
 def pytest_configure(config):
+    # tests/test_tpu.py deliberately runs on the device (invoked standalone
+    # in a process where jax already initialized the TPU backend).
+    if any("test_tpu" in str(a) for a in config.args):
+        return
     assert jax.default_backend() == "cpu", f"tests must run on cpu, got {jax.default_backend()}"
     assert jax.device_count() == 8, f"expected 8 virtual devices, got {jax.device_count()}"

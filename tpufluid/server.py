@@ -50,6 +50,14 @@ let down = false;
 img.addEventListener('mousedown', e => { down = true; const [x,y]=xy(e); events.push({k:'down',x,y}); post(); });
 img.addEventListener('mousemove', e => { if(!down) return; const [x,y]=xy(e); events.push({k:'move',x,y}); });
 window.addEventListener('mouseup', () => { down = false; events.push({k:'up'}); post(); });
+img.addEventListener('touchstart', e => { e.preventDefault();
+  for (const t of e.changedTouches) { const r = img.getBoundingClientRect();
+    events.push({k:'down', id:t.identifier, x:(t.clientX-r.left)/r.width, y:(t.clientY-r.top)/r.height}); } post(); }, {passive:false});
+img.addEventListener('touchmove', e => { e.preventDefault();
+  for (const t of e.changedTouches) { const r = img.getBoundingClientRect();
+    events.push({k:'move', id:t.identifier, x:(t.clientX-r.left)/r.width, y:(t.clientY-r.top)/r.height}); } }, {passive:false});
+window.addEventListener('touchend', e => {
+  for (const t of e.changedTouches) events.push({k:'up', id:t.identifier}); post(); });
 window.addEventListener('keydown', e => {
   if (e.code === 'KeyP') events.push({k:'pause'});
   if (e.key === ' ') events.push({k:'burst'});
@@ -125,12 +133,13 @@ class FluidServer:
         with self.lock:
             for e in events:
                 k = e.get("k")
+                pid = int(e.get("id", 0))  # multitouch: one pointer per id
                 if k == "down":
-                    self.tracer.feed("down", pid=0, x=e["x"] * w, y=e["y"] * h)
+                    self.tracer.feed("down", pid=pid, x=e["x"] * w, y=e["y"] * h)
                 elif k == "move":
-                    self.tracer.feed("move", pid=0, x=e["x"] * w, y=e["y"] * h)
+                    self.tracer.feed("move", pid=pid, x=e["x"] * w, y=e["y"] * h)
                 elif k == "up":
-                    self.tracer.feed("up", pid=0)
+                    self.tracer.feed("up", pid=pid)
                 elif k == "burst":
                     self.tracer.feed("burst", n=int(np.random.default_rng().integers(5, 25)))
                 elif k == "pause":
