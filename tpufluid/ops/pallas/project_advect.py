@@ -2,21 +2,24 @@
 
 The reference runs these as two full-grid passes (gradientSubtractShader then
 advectionShader on velocity, script.js:1268-1285). Fusing them saves a full
-HBM round-trip of the velocity field: each row block
+HBM round-trip of the velocity field. Each 2-D tile (rows x columns — small
+tiles keep the gather's row-offset trip count tracking the LOCAL velocity
+range, see ops/pallas/advect.py):
 
   1. computes vel' = vel - (R-L, T-B) of pressure over its whole haloed
      window (the un-halved central difference, preserving the reference's
      2x-gradient quirk — see ops/stencil.gradient_subtract);
-  2. stores vel' to a VMEM scratch;
+  2. lane-rotates the window once so the target block sits at a static lane
+     offset;
   3. backtraces from the central rows through vel' itself and gathers
-     bilinearly from the scratch window (ops/pallas/advect.py machinery),
+     bilinearly from the in-register window (ops/pallas/advect.py machinery),
      applying the 1/(1 + dissipation*dt) decay.
 
-Windows are IN-BOUNDS clamped (ops/pallas/common.py) — no HBM edge-pad
-copies. The outermost window row on each side holds a vel' computed with a
-window-clamped pressure neighbor; the backtrace (bounded by ~18 rows < HALO-1)
-can never reach it, and when the window IS clipped its edge coincides with
-the global boundary where the mask handling is exact.
+Windows are IN-BOUNDS clamped — no HBM edge-pad copies. The outermost window
+ring holds a vel' computed with a window-wrapped pressure neighbor; the
+backtrace (bounded by ~18 texels < halo-1) can never reach it, and when the
+window IS clipped its edge coincides with the global boundary where the mask
+handling is exact.
 """
 
 from __future__ import annotations
@@ -32,23 +35,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from jax._src.pallas.core import Element as _Element
 
-from tpufluid.ops.pallas.advect import HALO, bilinear_backtrace_gather
-from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, make_window_index_map, window_start,
-)
+from tpufluid.ops.pallas.advect import HALO, _clamped_start, _gather_full
+from tpufluid.ops.pallas.common import LANE, SUBLANE
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
+_PREF_ROWS = 16
+_PREF_COLS = 256
+_SPAN = 1  # ratio-1 self-advection: column displacement <= ~18 < 128
 
 
-def _pick_block_rows(h: int, w: int, itemsize: int) -> int:
-    best = 0
+def _pick_tile(h: int, w: int, itemsize: int) -> Tuple[int, int]:
+    rows = 0
     for r in range(SUBLANE, h + 1, SUBLANE):
-        if h % r or r + 2 * HALO > h:
-            continue
-        vmem = (5 * (r + 2 * HALO) + 22 * r) * w * itemsize
-        if vmem <= _VMEM_BUDGET:
-            best = r
-    return best
+        if h % r == 0 and r + 2 * HALO <= h:
+            rows = r
+            if r >= _PREF_ROWS:
+                break
+    if rows == 0:
+        return (0, 0)
+    cols = 0
+    for cb in range(LANE, w + 1, LANE):
+        if w % cb == 0 and cb + 2 * _SPAN * LANE <= w:
+            cols = cb
+            if cb >= _PREF_COLS:
+                break
+    if cols == 0:
+        cols = w
+    cbw = cols + (2 * _SPAN * LANE if cols != w else 0)
+    # vel window (2) + p window (1) + rotated copy (2) + temps
+    vmem = ((5 * (rows + 2 * HALO)) * cbw + 22 * rows * cbw) * itemsize
+    if vmem > _VMEM_BUDGET:
+        return (0, 0)
+    return rows, cols
 
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
@@ -57,31 +75,41 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
         return False  # Mosaic dynamic gather/rotate support 32-bit only here
     if w % LANE or h % SUBLANE:
         return False
-    return _pick_block_rows(h, w, itemsize) > 0
+    return _pick_tile(h, w, itemsize)[0] > 0
 
 
 def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
-            rows_per_block: int, h_global: int, h_true: int, w_true: int):
-    r = rows_per_block
-    blk_h = vel_ref.shape[1]          # r + 2*HALO
-    w = vel_ref.shape[2]
+            rows: int, cols: int, h_global: int, w_global: int,
+            h_true: int, w_true: int, col_halo: int):
+    r, cb = rows, cols
+    blk_h = vel_ref.shape[1]
+    cbw = vel_ref.shape[2]
     i = pl.program_id(0)
+    j = pl.program_id(1)
     dt = dt_ref[0]
-    start = window_start(i, r, HALO, h_global)
 
-    rows_g = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
-    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
+    rstart = _clamped_start(i, r, HALO, h_global, SUBLANE)
+    roff = i * r - rstart
+    if col_halo:
+        cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
+        coff = j * cb - cstart
+    else:
+        cstart = j * cb
+        coff = 0
+
+    rows_g = lax.broadcasted_iota(jnp.int32, (blk_h, cbw), 0) + rstart
+    cols_g = lax.broadcasted_iota(jnp.int32, (blk_h, cbw), 1) + cstart
     first_row = rows_g == 0
     last_row = rows_g == h_true - 1
-    first_col = cols == 0
-    last_col = cols == w_true - 1
+    first_col = cols_g == 0
+    last_col = cols_g == w_true - 1
 
-    # vel' = vel - un-halved grad(p) over the whole window. Row neighbors via
-    # sublane roll: the outermost window rows pick up a wrapped neighbor, but
-    # they are never consumed (see module docstring).
+    # vel' = vel - un-halved grad(p) over the whole window. Roll-wrapped
+    # neighbors only pollute the outermost window ring, which the bounded
+    # backtrace never reads (module docstring).
     p = p_ref[:]
     pl_ = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
-    pr = jnp.where(last_col, p, pltpu.roll(p, w - 1, axis=1))
+    pr = jnp.where(last_col, p, pltpu.roll(p, cbw - 1, axis=1))
     pb = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
     pt = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
 
@@ -89,22 +117,35 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
     v = vel_ref[1] - (pt - pb)
     velp = jnp.stack([u, v])
 
-    # Backtrace from the central rows (window offset off) through vel'.
-    off = i * r - start
-    rows_local = lax.broadcasted_iota(jnp.int32, (r, w), 0).astype(jnp.float32)
-    colsf = lax.broadcasted_iota(jnp.int32, (r, w), 1).astype(jnp.float32)
+    # Align the window so the target block sits at lane offset col_halo.
+    if col_halo:
+        velp = pltpu.roll(velp, jnp.mod(col_halo - coff, cbw), axis=2)
 
-    uu = jnp.zeros((r, w), jnp.float32)
-    vv = jnp.zeros((r, w), jnp.float32)
+    # Target rows/cols of vel' (row offset dynamic 8-aligned, cols static).
+    uu = jnp.zeros((r, cbw), jnp.float32)
+    vv = jnp.zeros((r, cbw), jnp.float32)
     for k in range(0, 2 * HALO + 1, SUBLANE):
-        uu = jnp.where(off == k, u[k:k + r].astype(jnp.float32), uu)
-        vv = jnp.where(off == k, v[k:k + r].astype(jnp.float32), vv)
+        uu = jnp.where(roff == k, velp[0, k:k + r].astype(jnp.float32), uu)
+        vv = jnp.where(roff == k, velp[1, k:k + r].astype(jnp.float32), vv)
+    csl = slice(col_halo, col_halo + cb)
+    uu = uu[:, csl]
+    vv = vv[:, csl]
 
-    x = colsf - dt * uu
-    yp = rows_local + off.astype(jnp.float32) - dt * vv
+    rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
+    cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
+
+    x_local = cols_local + jnp.float32(col_halo) - dt * uu
+    yp = rows_local + roff.astype(jnp.float32) - dt * vv
+
+    jcb = (j * cb).astype(jnp.float32)
+    x_lo = jnp.maximum(jnp.float32(col_halo) - jcb, 0.0)
+    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + col_halo,
+                       jnp.float32(cbw - 1))
     yp_hi = jnp.minimum(jnp.float32(blk_h - 1),
-                        jnp.float32(h_true - 1) - start.astype(jnp.float32))
-    acc = bilinear_backtrace_gather(velp, x, yp, w_true=w_true, yp_hi=yp_hi)
+                        jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
+
+    acc = _gather_full(velp, x_local, yp, x_lo, x_hi, yp_hi, _SPAN, r, cb,
+                       col_halo // LANE)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
@@ -114,28 +155,43 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
     _, h, w = velocity.shape
     if true_shape is None:
         true_shape = (h, w)
-    r = _pick_block_rows(h, w, velocity.dtype.itemsize)
-    if r == 0:
+    rows, cols = _pick_tile(h, w, velocity.dtype.itemsize)
+    if rows == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
-    n_blocks = h // r
+    col_halo = _SPAN * LANE if cols != w else 0
+    n_r = h // rows
+    n_c = w // cols
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
-    win = r + 2 * HALO
-    idx1 = make_window_index_map(r, HALO, h, lead_dims=1)
-    idx0 = make_window_index_map(r, HALO, h, lead_dims=0)
+    win = rows + 2 * HALO
+    cbw = cols + 2 * col_halo
+
+    def win_idx(lead):
+        def index_map(i, j):
+            rs = pl.multiple_of(jnp.clip(i * rows - HALO, 0, h - win), SUBLANE)
+            if col_halo:
+                cs = pl.multiple_of(jnp.clip(j * cols - col_halo, 0, w - cbw), LANE)
+            else:
+                cs = j * cols
+            return (0,) * lead + (rs, cs)
+
+        return index_map
+
     kernel = functools.partial(_kernel, dissipation=float(dissipation),
-                               rows_per_block=r, h_global=h,
-                               h_true=true_shape[0], w_true=true_shape[1])
+                               rows=rows, cols=cols, h_global=h, w_global=w,
+                               h_true=true_shape[0], w_true=true_shape[1],
+                               col_halo=col_halo)
     return pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=(n_r, n_c),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
-                         idx1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_Element(win), _Element(w)), idx0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(cbw)),
+                         win_idx(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(win), _Element(cbw)), win_idx(0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, r, w), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((2, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
         cost_estimate=pl.CostEstimate(
