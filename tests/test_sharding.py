@@ -93,3 +93,27 @@ def test_auto_sharded_step_matches_single_device():
     assert float(jnp.abs(jnp.asarray(s8.velocity) - s1.velocity).max()) < 1e-3 * scale
     # output really is sharded over the mesh
     assert len(s8.velocity.sharding.device_set) == 8
+
+
+def test_diagnostics_on_sharded_state():
+    """Global diagnostics (energy, divergence, checksums) over a sharded
+    state: XLA inserts the psum-style reductions over the mesh
+    (SURVEY.md §2.4 'psum for diagnostics')."""
+    from tpufluid.metrics import diagnostics
+
+    cfg = CFG
+    mesh = make_mesh()
+    trace = swirl_trace(cfg, 3, seed=7)
+    step = make_sharded_step(cfg, mesh)
+    s = shard_state(init_state(cfg), mesh)
+    for t in range(3):
+        s = step(s, DT, jnp.asarray(trace.batches[t]))
+    d = diagnostics(s, cfg)
+    assert d["nonfinite"] == 0 and d["kinetic_energy"] > 0
+    # matches the single-device diagnostics
+    single = jax.jit(lambda st, dt, sp: fluid_step(st, dt, sp, cfg))
+    s1 = init_state(cfg)
+    for t in range(3):
+        s1 = single(s1, DT, jnp.asarray(trace.batches[t]))
+    d1 = diagnostics(s1, cfg)
+    assert abs(d["kinetic_energy"] - d1["kinetic_energy"]) < 1e-3 * max(d1["kinetic_energy"], 1)
