@@ -159,6 +159,38 @@ def test_advect_cross_resolution_scaled_velocity(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_advect_hbm_matches_oracle(rng):
+    """HBM-resident data-bounded-window advection == oracle (same-grid and
+    cross-resolution with column tiling)."""
+    import tpufluid.ops.pallas.advect_hbm as ah
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+    from tpufluid.ops.sampling import resample_bilinear
+
+    H, W = 64, 128
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400).astype(np.float32)),
+                   -1000, 1000)
+    src = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel, src, dt, 1.0)
+    want = advect(vel, src, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    hv, wv = 16, 128
+    H, W = 64, 512
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, hv, wv)) * 400).astype(np.float32)),
+                   -1000, 1000)
+    dye = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
+    vel_r = resample_bilinear(vel, (H, W))
+    vel_r = jnp.stack([vel_r[0] * (W / wv), vel_r[1] * (H / hv)])
+    span = pa.group_span_for_displacement(1000 / 60 * W / wv)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel_r, dye, dt, 1.0, span=span)
+    want = advect(vel, dye, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_advect_extreme_velocity_clamped_displacement(rng):
     """At the +/-1000 clamp the backtrace stays within the HALO window."""
     import tpufluid.ops.pallas.advect as pa

@@ -158,8 +158,24 @@ def advect(velocity, source, dt, dissipation):
 
         halo = _pl.halo_for_displacement(_MAX_DISP_SIM_TEXELS * h / hv)
         span = _pl.group_span_for_displacement(_MAX_DISP_SIM_TEXELS * w / wv)
-        pad = _padded_shape(h, w, "advect", min_h=8 + 2 * halo)
         c = source.shape[0] if source.ndim == 3 else 1
+
+        if halo > _pl.HALO:
+            # Large displacement bound (cross-resolution dye): worst-case row
+            # windows would read ~(2*halo/rows)x the output — use the
+            # HBM-resident kernel that DMAs only the rows actually reached.
+            from tpufluid.ops.pallas import advect_hbm as _hbm
+
+            pad = _padded_shape(h, w, "advect")
+            if pad is not None and _hbm.supported((c,) + pad, source.dtype.itemsize, span):
+                vel = resample_bilinear(velocity, (h, w))
+                vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
+                out = _hbm.advect_pallas_hbm(pad_to(vel, *pad), pad_to(source, *pad),
+                                             dt, dissipation, true_shape=(h, w),
+                                             span=span)
+                return out[..., :h, :w]
+
+        pad = _padded_shape(h, w, "advect", min_h=8 + 2 * halo)
         if pad is not None:
             all_ch = _pl.supported((c,) + pad, source.dtype.itemsize, halo)
             per_ch = all_ch or _pl.supported((1,) + pad, source.dtype.itemsize, halo)
