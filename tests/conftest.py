@@ -10,8 +10,10 @@ import os
 import sys
 
 # tests/test_tpu.py is the one file meant to run on the real device
-# (standalone invocation); everything else runs on 8 virtual CPU devices.
-_TPU_RUN = any("test_tpu" in a for a in sys.argv)
+# (standalone invocation ONLY); everything else runs on 8 virtual CPU devices.
+_FILE_ARGS = [a for a in sys.argv[1:]
+              if not a.startswith("-") and ("test" in a or a.endswith(".py"))]
+_TPU_RUN = bool(_FILE_ARGS) and all("test_tpu" in a for a in _FILE_ARGS)
 
 if not _TPU_RUN:
     os.environ["XLA_FLAGS"] = (
@@ -39,7 +41,7 @@ def rng():
 def pytest_configure(config):
     # tests/test_tpu.py deliberately runs on the device (invoked standalone
     # in a process where jax already initialized the TPU backend).
-    if any("test_tpu" in str(a) for a in config.args):
+    if _TPU_RUN:
         return
     assert jax.default_backend() == "cpu", f"tests must run on cpu, got {jax.default_backend()}"
     assert jax.device_count() == 8, f"expected 8 virtual devices, got {jax.device_count()}"
