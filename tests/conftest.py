@@ -7,13 +7,12 @@ so we both set the env vars and re-update the config after import.
 """
 
 import os
-import sys
 
-# tests/test_tpu.py is the one file meant to run on the real device
-# (standalone invocation ONLY); everything else runs on 8 virtual CPU devices.
-_FILE_ARGS = [a for a in sys.argv[1:]
-              if not a.startswith("-") and ("test" in a or a.endswith(".py"))]
-_TPU_RUN = bool(_FILE_ARGS) and all("test_tpu" in a for a in _FILE_ARGS)
+# tests/test_tpu.py is the one file meant to run on the real device: invoke it
+# standalone with TPUFLUID_DEVICE=tpu. Everything else runs on 8 virtual CPU
+# devices (explicit env var, not argv sniffing, so -k filters / other cwds
+# can't accidentally pick the wrong backend).
+_TPU_RUN = os.environ.get("TPUFLUID_DEVICE", "").lower() == "tpu"
 
 if not _TPU_RUN:
     os.environ["XLA_FLAGS"] = (

@@ -71,6 +71,18 @@ def test_resize_preserves_fields():
     assert abs(m1 - m2) < 0.1 * abs(m1) + 1e-6
 
 
+def test_resize_zeroes_pressure():
+    """initFramebuffers RE-CREATES pressure/divergence/curl on a resolution
+    change (createDoubleFBO not resizeDoubleFBO, script.js:1004-1006): only
+    dye and velocity survive; pressure restarts at zero."""
+    s = _some_state()
+    s.pressure = s.pressure + 0.7
+    cfg2 = FluidConfig(**{**CFG.__dict__, "SIM_RESOLUTION": 64, "DYE_RESOLUTION": 32})
+    s2 = resize_state(s, cfg2)
+    assert float(jnp.abs(s2.pressure).max()) == 0.0
+    assert float(jnp.abs(s2.velocity).max()) > 0.0  # velocity resampled, not zeroed
+
+
 def test_metrics_logger(tmp_path):
     s = _some_state()
     path = str(tmp_path / "m.jsonl")
@@ -133,6 +145,59 @@ def test_burst_matches_reference_random_splat_semantics():
         assert -500 <= dx <= 500 and -500 <= dy <= 500
         assert max(c) <= 1.5 + 1e-9  # 0.15 * 10
         assert max(c) >= 1.5 - 1e-6 - 1.5 * 1e-6 or max(c) > 0  # hue channel saturates
+
+
+def test_burst_spills_over_max_splats():
+    """A spacebar burst larger than MAX_SPLATS (reference fires 5..24 in one
+    frame, script.js:1522-1524) spills its overflow into subsequent steps;
+    pointer splats keep their slot every step."""
+    cfg = FluidConfig(CANVAS_WIDTH=100, CANVAS_HEIGHT=100, MAX_SPLATS=4,
+                      USE_PALLAS=False)
+    tr = PointerTracer(cfg, seed=0)
+    tr.feed("burst", n=10)
+    tr.feed("down", pid=0, x=50, y=50)
+    counts, burst_total = [], 0
+    for t in range(6):
+        tr.feed("move", pid=0, x=55 + t, y=50)  # keeps the pointer splatting
+        ev = tr.drain_step(1 / 60)
+        assert len(ev) <= cfg.MAX_SPLATS
+        counts.append(len(ev))
+        burst_total += len(ev) - 1  # one slot per step is the pointer splat
+    assert burst_total == 10
+    assert counts == [4, 4, 4, 2, 1, 1]  # 3+3+3+1 burst rows + pointer each step
+
+
+def test_trace_v2_per_step_dt(tmp_path):
+    """Trace v2 records per-step dt (calcDeltaTime, script.js:1188-1194) and
+    clamps at 1/60; v1 scalar-dt files still load."""
+    batches = np.zeros((4, 2, 8), np.float32)
+    dts = [1 / 120, 1 / 90, 0.5, 1 / 60]  # 0.5 s frame hitch -> clamped
+    tr = Trace(batches, dts)
+    assert tr.dts[2] == pytest.approx(1 / 60)
+    p = str(tmp_path / "v2.npz")
+    tr.save(p)
+    tr2 = Trace.load(p)
+    np.testing.assert_allclose(tr2.dts, tr.dts)
+    # v1 compatibility: scalar dt key only.
+    p1 = str(tmp_path / "v1.npz")
+    np.savez_compressed(p1, batches=batches, dt=np.float64(1 / 60))
+    tr3 = Trace.load(p1)
+    assert tr3.dts.shape == (4,) and tr3.dt == pytest.approx(1 / 60)
+
+
+def test_variable_dt_replay_deterministic():
+    """Same variable-dt trace => bit-identical state (record/replay seam)."""
+    from tpufluid.step import make_multi_step
+
+    tr = swirl_trace(CFG, 8, seed=3)
+    dts = np.linspace(1 / 200, 1 / 60, 8).astype(np.float32)
+    multi = make_multi_step(CFG)
+    a = multi(init_state(CFG), jnp.asarray(dts), jnp.asarray(tr.batches))
+    b = multi(init_state(CFG), jnp.asarray(dts), jnp.asarray(tr.batches))
+    np.testing.assert_array_equal(np.asarray(a.dye), np.asarray(b.dye))
+    # and variable dt actually differs from constant-dt replay
+    c = multi(init_state(CFG), jnp.float32(1 / 60), jnp.asarray(tr.batches))
+    assert float(jnp.abs(c.dye - a.dye).max()) > 0
 
 
 def test_app_cli_smoke(tmp_path):

@@ -110,7 +110,9 @@ def main(argv: Optional[list] = None) -> None:
     step = make_step(config)
     render = make_render(config)
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-    dt = jnp.float32(trace.dt)
+    # Trace v2 carries a per-step dt (reference calcDeltaTime recomputes dt
+    # every frame, script.js:1188-1194); past the recording, free-run at 1/60.
+    dt_default = jnp.float32(1.0 / 60.0)
     none_batch = jnp.zeros((config.MAX_SPLATS, 8), jnp.float32)
     gif_frames = []
 
@@ -119,6 +121,7 @@ def main(argv: Optional[list] = None) -> None:
     t0 = time.time()
     for t in range(start_step, args.steps):
         batch = jnp.asarray(trace.batches[t]) if t < trace.num_steps else none_batch
+        dt = jnp.float32(trace.dts[t]) if t < trace.num_steps else dt_default
         if not config.PAUSED:
             with jax.profiler.TraceAnnotation("fluid_step"):
                 state = step(state, dt, batch)

@@ -28,7 +28,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpufluid.ops.pallas.advect import _Element, _clamped_start
+from tpufluid.ops.pallas.advect import _clamped_start
+from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
 from tpufluid.ops.pallas.common import LANE, SUBLANE
 
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -232,7 +233,7 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
             pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
                          lambda i, j: (0, i * rows, j * cols),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # source stays in HBM
+            pl.BlockSpec(memory_space=ANY_SPACE),   # source stays in HBM
         ],
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),

@@ -18,6 +18,21 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# Compatibility shims (single place to update on a JAX upgrade): Element
+# block-dim indexing and the any-memory-space marker moved into the public
+# pallas namespace in recent JAX; fall back to the private path on older ones.
+try:
+    Element = pl.Element
+except AttributeError:  # pragma: no cover
+    from jax._src.pallas.core import Element  # type: ignore
+
+try:
+    ANY_SPACE = pl.ANY
+except AttributeError:  # pragma: no cover
+    from jax.experimental.pallas import tpu as _pltpu
+
+    ANY_SPACE = _pltpu.ANY
+
 SUBLANE = 8
 LANE = 128
 

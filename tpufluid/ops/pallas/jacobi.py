@@ -27,7 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Element-indexed block dims allow overlapping (haloed) input windows.
-from jax._src.pallas.core import Element as _Element
+from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
     LANE, SUBLANE, make_window_index_map, window_start,

@@ -33,7 +33,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from jax._src.pallas.core import Element as _Element
+from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.advect import HALO, _clamped_start, _gather_full
 from tpufluid.ops.pallas.common import LANE, SUBLANE

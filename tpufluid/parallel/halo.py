@@ -24,30 +24,57 @@ def exchange_halo_rows(block: jnp.ndarray, width: int, axis_name: str = ROW_AXIS
     k+1's bottom rows and its lower ghost from device k-1's top rows. The
     first/last devices replicate their own edge row (global clamp-to-edge).
     Returns (..., h + 2*width, W).
+
+    ``width`` may exceed the local block height (e.g. the flagship config's
+    dye advection needs a 136-row halo over 128-row shards): the exchange then
+    runs ceil(width / h) neighbor hops, chaining full blocks so device k sees
+    devices k±1..k±hops. Once a chain crosses the global boundary it carries
+    the edge-replicated block, which is exactly CLAMP_TO_EDGE semantics.
     """
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
+    h_loc = block.shape[-2]
+    hops = -(-width // h_loc)
 
-    top_rows = block[..., -width:, :]     # my top rows -> neighbor above's lower ghost
-    bottom_rows = block[..., :width, :]   # my bottom rows -> neighbor below's upper ghost
+    up_perm = [(i, i + 1) for i in range(n - 1)]   # block flows to higher idx
+    dn_perm = [(i + 1, i) for i in range(n - 1)]   # block flows to lower idx
 
-    if n > 1:
-        # ghost_above[k] = bottom rows of k+1
-        ghost_above = lax.ppermute(bottom_rows, axis_name,
-                                   [(i + 1, i) for i in range(n - 1)])
-        # ghost_below[k] = top rows of k-1
-        ghost_below = lax.ppermute(top_rows, axis_name,
-                                   [(i, i + 1) for i in range(n - 1)])
-    else:
-        ghost_above = jnp.zeros_like(bottom_rows)
-        ghost_below = jnp.zeros_like(top_rows)
+    if hops == 1:
+        top_rows = block[..., -width:, :]     # -> neighbor above's lower ghost
+        bottom_rows = block[..., :width, :]   # -> neighbor below's upper ghost
+        if n > 1:
+            ghost_above = lax.ppermute(bottom_rows, axis_name, dn_perm)
+            ghost_below = lax.ppermute(top_rows, axis_name, up_perm)
+        else:
+            ghost_above = jnp.zeros_like(bottom_rows)
+            ghost_below = jnp.zeros_like(top_rows)
+        edge_top = jnp.broadcast_to(block[..., -1:, :], top_rows.shape)
+        edge_bottom = jnp.broadcast_to(block[..., :1, :], bottom_rows.shape)
+        ghost_above = jnp.where(idx == n - 1, edge_top, ghost_above)
+        ghost_below = jnp.where(idx == 0, edge_bottom, ghost_below)
+        return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
 
-    # Global boundaries: replicate the local edge row (CLAMP_TO_EDGE).
-    edge_top = jnp.broadcast_to(block[..., -1:, :], top_rows.shape)
-    edge_bottom = jnp.broadcast_to(block[..., :1, :], bottom_rows.shape)
-    ghost_above = jnp.where(idx == n - 1, edge_top, ghost_above)
-    ghost_below = jnp.where(idx == 0, edge_bottom, ghost_below)
+    # Multi-hop: pass whole blocks along the ring. After hop j, `below` holds
+    # device idx-1-j's block and `above` device idx+1+j's. The global-edge
+    # devices substitute their edge-replicated block every hop, so chains that
+    # run off the grid keep carrying the clamped edge row.
+    edge_lo = jnp.broadcast_to(block[..., :1, :], block.shape)
+    edge_hi = jnp.broadcast_to(block[..., -1:, :], block.shape)
+    below_blocks = []
+    above_blocks = []
+    below = block
+    above = block
+    for _ in range(hops):
+        if n > 1:
+            below = lax.ppermute(below, axis_name, up_perm)
+            above = lax.ppermute(above, axis_name, dn_perm)
+        below = jnp.where(idx == 0, edge_lo, below)
+        above = jnp.where(idx == n - 1, edge_hi, above)
+        below_blocks.append(below)
+        above_blocks.append(above)
 
+    ghost_below = jnp.concatenate(below_blocks[::-1], axis=-2)[..., -width:, :]
+    ghost_above = jnp.concatenate(above_blocks, axis=-2)[..., :width, :]
     return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
 
 

@@ -179,7 +179,8 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     vel = jnp.stack([vel[0] - (Rp - Lp), vel[1] - (Tp - Bp)])
 
     # ---- self-advect velocity (script.js:1275-1285) ----
-    hw_v = min(vel_halo_width(config), h_loc)
+    # Halo widths may exceed the per-device block height (multi-hop exchange).
+    hw_v = vel_halo_width(config)
     vel_pad = exchange_halo_rows(vel, hw_v)
     row0 = idx * h_loc
     x = u_s * sw - 0.5 - dt * vel[0].astype(jnp.float32)
@@ -196,7 +197,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     vel_at_dye_u = _gather_padded(vel_pad1[0], xv, yv_local).astype(jnp.float32)
     vel_at_dye_v = _gather_padded(vel_pad1[1], xv, yv_local).astype(jnp.float32)
 
-    hw_d = min(dye_halo_width(config), hd_loc)
+    hw_d = dye_halo_width(config)
     dye_pad = exchange_halo_rows(dye, hw_d)
     # Backtraced coord in *dye* texels: uv - dt * vel * simTexel, then * dye size.
     xd = (u_d - dt * vel_at_dye_u / sw) * dw - 0.5

@@ -63,10 +63,11 @@ def init_state(config: FluidConfig) -> FluidState:
 def resize_state(state: FluidState, config: FluidConfig) -> FluidState:
     """Resample a running state into the sizes demanded by ``config``.
 
-    Mirrors resizeDoubleFBO (script.js:1108-1126): the *read* contents survive a
-    resolution change by GPU bilinear resample (the copy shader through a LINEAR
-    texture); single FBOs (divergence/curl) and pressure.write are reallocated.
-    Pressure here is resampled too (it is a double FBO whose read survives).
+    Mirrors initFramebuffers (script.js:982-1010): dye and velocity go through
+    resizeDoubleFBO (script.js:1108-1126), so their *read* contents survive by
+    GPU bilinear resample; divergence, curl AND pressure are *re-created*
+    (createFBO/createDoubleFBO, script.js:1004-1006), so pressure restarts at
+    zero — the next frame's 0.8x warm start multiplies a zeroed field.
     """
     from tpufluid.ops.sampling import resample_bilinear
 
@@ -82,7 +83,7 @@ def resize_state(state: FluidState, config: FluidConfig) -> FluidState:
     return FluidState(
         velocity=maybe(state.velocity, sh, sw),
         dye=maybe(state.dye, dh, dw),
-        pressure=maybe(state.pressure, sh, sw),
+        pressure=jnp.zeros((sh, sw), dtype=dt),
     )
 
 

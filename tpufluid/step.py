@@ -94,14 +94,20 @@ def make_multi_step(config: FluidConfig):
     """Compile multi_step(state, dt, splats_seq) -> state: a lax.scan of steps.
 
     ``splats_seq`` has shape (T, MAX_SPLATS, 8) — one event batch per step.
+    ``dt`` is a scalar (constant rate) or a (T,) per-step array (Trace v2:
+    the reference recomputes dt from wall time every frame, script.js:1188-1194).
     This is the trace-replay / benchmark entry point: T steps, one dispatch.
     """
 
     def multi(state: FluidState, dt, splats_seq):
-        def body(s, splats_t):
-            return fluid_step(s, dt, splats_t, config), None
+        t = splats_seq.shape[0]
+        dts = jnp.broadcast_to(jnp.asarray(dt, jnp.float32).reshape(-1), (t,))
 
-        out, _ = jax.lax.scan(body, state, splats_seq)
+        def body(s, xs):
+            dt_t, splats_t = xs
+            return fluid_step(s, dt_t, splats_t, config), None
+
+        out, _ = jax.lax.scan(body, state, (dts, splats_seq))
         return out
 
     return jax.jit(multi, donate_argnums=0)

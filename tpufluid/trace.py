@@ -138,6 +138,7 @@ class PointerTracer:
         self.pointers: Dict[int, Pointer] = {}
         self.cycler = ColorCycler(seed + 1)
         self.splat_stack: List[int] = []
+        self._spill: List[Tuple] = []  # burst overflow carried to later steps
 
     def _pointer(self, pid: int) -> Pointer:
         if pid not in self.pointers:
@@ -158,41 +159,74 @@ class PointerTracer:
             raise ValueError(f"unknown event kind {kind!r}")
 
     def drain_step(self, dt: float) -> List[Tuple]:
-        """applyInputs (script.js:1219-1229): pop one burst + drain moved pointers."""
+        """applyInputs (script.js:1219-1229): pop one burst + drain moved pointers.
+
+        The reference fires the whole burst inside one frame (multipleSplats);
+        our per-step batch holds MAX_SPLATS rows, so a spacebar burst of up to
+        24 (script.js:1522-1524) spills its overflow into the following steps
+        (pointer splats keep their own slots each step).
+        """
         self.cycler.tick(dt, self.config, list(self.pointers.values()))
-        events: List[Tuple] = []
+        events: List[Tuple] = list(self._spill)
+        self._spill = []
         if self.splat_stack:
             events.extend(random_splats(self.rng, self.splat_stack.pop()))
+        pointer_events: List[Tuple] = []
         for p in self.pointers.values():
             e = p.drain(self.config)
             if e is not None:
-                events.append(e)
-        return events
+                pointer_events.append(e)
+        budget = self.config.MAX_SPLATS - len(pointer_events)
+        if len(events) > budget:
+            self._spill = events[budget:]
+            events = events[:budget]
+        return events + pointer_events
 
 
 class Trace:
-    """A recorded splat stream: (T, MAX_SPLATS, 8) float32, .npz-serializable."""
+    """A recorded splat stream: (T, MAX_SPLATS, 8) float32, .npz-serializable.
 
-    def __init__(self, batches: np.ndarray, dt: float):
+    v2 records a per-step dt array ``dts`` (T,) — the reference recomputes
+    dt = min(wall-elapsed, 1/60) every frame (calcDeltaTime, script.js:
+    1188-1194), so a faithful interactive recording must carry frame jitter.
+    v1 files (one scalar dt) load as a constant dts array.
+    """
+
+    def __init__(self, batches: np.ndarray, dt):
         assert batches.ndim == 3 and batches.shape[-1] == SPLAT_COLS
         self.batches = batches.astype(np.float32)
-        self.dt = float(dt)
+        dts = np.asarray(dt, np.float32).reshape(-1)
+        if dts.size == 1:
+            dts = np.full((self.batches.shape[0],), dts[0], np.float32)
+        if dts.shape[0] != self.batches.shape[0]:
+            raise ValueError(f"dts length {dts.shape[0]} != steps {self.batches.shape[0]}")
+        # The reference clamps at record time too (script.js:1191).
+        self.dts = np.minimum(dts, np.float32(1.0 / 60.0))
 
     @property
     def num_steps(self) -> int:
         return self.batches.shape[0]
 
+    @property
+    def dt(self) -> float:
+        """First-step dt (v1 compatibility: constant-rate traces)."""
+        return float(self.dts[0]) if self.dts.size else 1.0 / 60.0
+
     def save(self, path: str) -> None:
-        np.savez_compressed(path, batches=self.batches, dt=np.float64(self.dt))
+        np.savez_compressed(path, batches=self.batches, dts=self.dts,
+                            version=np.int32(2))
 
     @classmethod
     def load(cls, path: str) -> "Trace":
         data = np.load(path)
-        return cls(data["batches"], float(data["dt"]))
+        if "dts" in data:
+            return cls(data["batches"], data["dts"])
+        return cls(data["batches"], float(data["dt"]))  # v1
 
     @classmethod
-    def from_events(cls, per_step_events: Sequence[List[Tuple]], dt: float,
+    def from_events(cls, per_step_events: Sequence[List[Tuple]], dt,
                     max_splats: int) -> "Trace":
+        """``dt``: scalar (constant rate) or per-step sequence of seconds."""
         t = len(per_step_events)
         out = np.zeros((t, max_splats, SPLAT_COLS), dtype=np.float32)
         for i, events in enumerate(per_step_events):
