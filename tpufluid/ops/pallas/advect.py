@@ -13,9 +13,11 @@ for dye):
     tracks the VELOCITY RANGE inside the tile, so tiling in x too keeps it
     near the local physical variation instead of the full-row range;
   * the row component of the gather is a fori_loop over the actual integer
-    row-offset range present in the tile, each iteration using a row-aligned
-    operand produced by a *dynamic* sublane rotate (tpu.DynamicRotate;
-    wrapped rows only ever combine with exactly-zero bilinear weights);
+    row-offset range present in the tile, each iteration slicing rows+8
+    aligned window rows (free address arithmetic on a ref) and row-aligning
+    them with one small sublane rotate (wrapped rows only ever combine with
+    exactly-zero bilinear weights) — round 1 rotated the WHOLE halo window
+    every iteration;
   * the column component is a true vectorized gather: per 128-lane group,
     jnp.take_along_axis against the +/-span neighboring source lane groups
     (Mosaic lowers these to tpu.dynamic_gather);
@@ -46,7 +48,7 @@ from tpufluid.ops.pallas.common import LANE, SUBLANE
 
 HALO = 24  # ceil(1000/60) + bilinear corner + margin, multiple of sublanes
 _VMEM_BUDGET = 12 * 1024 * 1024
-_PREF_ROWS = 16   # gather-span cost beats window-overlap traffic at 1024^2
+_PREF_ROWS = 32   # device sweep optimum at 1024^2 (r1 BENCH.md; out/jobs/64_tilesweep)
 _PREF_COLS = 256
 
 
@@ -108,47 +110,23 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4, halo: int = HALO,
     return _pick_tile(h, w, c, itemsize, halo, span)[0] > 0
 
 
-def _gather_lanes_windowed(rows, idx, span: int = 1):
-    """rows (C, R, CBW) gathered along lanes at integer idx (R, CBW) local to
-    the window; |idx - j| <= span * 128 + 128.
-
-    Decomposes CBW into 128-lane groups; each output group gathers from its
-    +/-(span+1) neighbor groups via per-group take_along_axis. Out-of-window
-    indices contribute zero (callers guarantee zero weight there).
-    """
-    c, r, cbw = rows.shape
-    n_groups = cbw // LANE
-    out = []
-    for g in range(n_groups):
-        sl = slice(g * LANE, (g + 1) * LANE)
-        idx_g = idx[:, sl]
-        acc = jnp.zeros((c, r, LANE), dtype=rows.dtype)
-        for s in range(-span - 1, span + 2):
-            gg = g + s
-            if gg < 0 or gg >= n_groups:
-                continue
-            local = idx_g - gg * LANE
-            valid = (local >= 0) & (local < LANE)
-            local_c = jnp.clip(local, 0, LANE - 1)
-            op = rows[:, :, gg * LANE:(gg + 1) * LANE]
-            vals = [jnp.take_along_axis(op[ch], local_c, axis=1) for ch in range(c)]
-            v = jnp.stack(vals)
-            acc = acc + jnp.where(valid[None], v, 0.0)
-        out.append(acc)
-    return jnp.concatenate(out, axis=-1)
-
-
-def bilinear_backtrace_gather(window, x, yp, w_true=None, yp_hi=None,
+def bilinear_backtrace_gather(win_ref, x, yp, w_true=None, yp_hi=None,
                               span: int = 1):
     """Full-width-window bilinear gather (target lanes aligned with window
-    lanes): window (C, WIN, W), x/yp (R, W) window-local texel coords.
-    Used by the fused project+advect kernel (ratio-1, row windows only)."""
-    c, win, w = window.shape
+    lanes): win_ref a STAGED (C, WIN, W) VMEM ref, x/yp (R, W) window-local
+    texel coords. Used by the fused project+advect kernel (ratio-1, row
+    windows only)."""
+    c, win, w = win_ref.shape
     r, cb = x.shape
     x_hi = jnp.float32(w - 1 if w_true is None else w_true - 1)
     if yp_hi is None:
         yp_hi = jnp.float32(win - 1)
-    return _gather_full(window, x, yp, 0.0, x_hi, yp_hi, span, r, cb, 0)
+
+    def load(al):
+        return win_ref[:, pl.ds(al, r + SUBLANE), :]
+
+    return _gather_stream(load, c, win, w, x, yp, 0.0, x_hi, yp_hi, span,
+                          r, cb, 0)
 
 
 def _clamped_start(i, block: int, halo: int, total: int, align: int):
@@ -156,7 +134,8 @@ def _clamped_start(i, block: int, halo: int, total: int, align: int):
     return pl.multiple_of(jnp.clip(lo, 0, total - block - 2 * halo), align)
 
 
-def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *, dissipation: float,
+def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *scratch,
+                   dissipation: float,
                    rows: int, cols: int, h_global: int, w_global: int,
                    channels: int, h_true: int, w_true: int, halo: int,
                    span: int, col_halo: int):
@@ -164,21 +143,28 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *, dissipation: float,
     j = pl.program_id(1)
     dt = dt_ref[0]
     r, cb = rows, cols
+    win = r + 2 * halo
+    cbw = cb + 2 * col_halo
 
     rstart = _clamped_start(i, r, halo, h_global, SUBLANE)
     roff = (i * r - rstart).astype(jnp.float32)
 
-    window = src_ref[:]
-    cbw = window.shape[-1]
     if col_halo:
         cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
         coff = j * cb - cstart
         # Align the window so the target block always sits at lane offset
         # col_halo: one dynamic lane-rotate makes the gather's group offset
-        # static. (Only edge tiles have coff != col_halo.)
-        window = pltpu.roll(window, jnp.mod(col_halo - coff, cbw), axis=2)
+        # static, staged in VMEM scratch so the gather loop can slice rows
+        # dynamically (refs support dynamic slicing; values don't here).
+        # (Only edge tiles have coff != col_halo.)
+        win_ref = scratch[0]
+        win_ref[:] = pltpu.roll(src_ref[:], jnp.mod(col_halo - coff, cbw), axis=2)
     else:
         cstart = j * cb
+        win_ref = src_ref
+
+    def load(al):
+        return win_ref[:, pl.ds(al, r + SUBLANE), :]
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -196,20 +182,26 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *, dissipation: float,
     x_lo = jnp.maximum(jnp.float32(col_halo) - jcb, 0.0)
     x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + col_halo,
                        jnp.float32(cbw - 1))
-    yp_hi = jnp.minimum(jnp.float32(window.shape[-2] - 1),
+    yp_hi = jnp.minimum(jnp.float32(win - 1),
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
-    acc = _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb,
-                       col_halo // LANE)
+    acc = _gather_stream(load, channels, win, cbw, x_local, yp, x_lo, x_hi,
+                         yp_hi, span, r, cb, col_halo // LANE)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
-def _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb, goff):
-    """Bilinear gather on an ALIGNED window: target lanes sit at the STATIC
-    lane offset goff*128 inside the (C, WIN, CBW) window, so each output
-    lane-group reads from window groups g + goff +/- span (2*span+1 TAAs)."""
-    c, win, cbw = window.shape
+def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
+                   r, cb, goff):
+    """Bilinear gather on an ALIGNED window ref: target lanes sit at the
+    STATIC lane offset goff*128, so each output lane-group reads from window
+    groups g + goff +/- span (2*span+1 TAAs).
 
+    load(al) -> (C, r+8, CBW): rows [al, al+r+8) of the staged window
+    (al 8-aligned). Each row-offset trip slices r+8 aligned rows (free
+    address arithmetic) and row-aligns them with ONE small sublane roll —
+    round 1 rolled the whole (r + 2*halo)-row window every trip, which
+    profiled as the kernel's dominant cost. Rows wrapped by the alignment
+    roll only ever combine with exactly-zero bilinear weights."""
     x_local = jnp.clip(x_local, x_lo, x_hi)
     x0 = jnp.floor(x_local)
     fx = (x_local - x0).astype(jnp.float32)
@@ -227,6 +219,7 @@ def _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb, goff):
 
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
+    nr = r + SUBLANE
 
     def gather_at(idx, rows_op):
         out = []
@@ -250,9 +243,9 @@ def _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb, goff):
         return jnp.concatenate(out, axis=-1)
 
     def body(oy, acc):
-        shift = jnp.mod(win - oy, win)
-        rolled = pltpu.roll(window, shift, axis=1)
-        rows_op = rolled[:, :r, :]
+        al = pl.multiple_of(jnp.clip((oy // SUBLANE) * SUBLANE, 0, win - nr),
+                            SUBLANE)
+        rows_op = pltpu.roll(load(al), jnp.mod(al - oy, nr), axis=1)[:, :r, :]
         g0 = gather_at(x0i, rows_op)
         g1 = gather_at(x1i, rows_op)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
@@ -260,7 +253,7 @@ def _gather_full(window, x_local, yp, x_lo, x_hi, yp_hi, span, r, cb, goff):
                + jnp.where(y0_rel == oy - 1, fy, 0.0))
         return acc + gx * wgt[None]
 
-    acc = jnp.zeros((window.shape[0], r, cb), dtype=jnp.float32)
+    acc = jnp.zeros((c, r, cb), dtype=jnp.float32)
     return lax.fori_loop(oy_min, oy_max + 2, body, acc)
 
 
@@ -323,6 +316,8 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
+        scratch_shapes=([pltpu.VMEM((c, win, cbw), src.dtype)]
+                        if col_halo else []),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,

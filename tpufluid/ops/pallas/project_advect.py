@@ -35,11 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.common import Element as _Element
 
-from tpufluid.ops.pallas.advect import HALO, _clamped_start, _gather_full
+from tpufluid.ops.pallas.advect import HALO, _clamped_start, _gather_stream
 from tpufluid.ops.pallas.common import LANE, SUBLANE
 
 _VMEM_BUDGET = 12 * 1024 * 1024
-_PREF_ROWS = 16
+_PREF_ROWS = 32
 _PREF_COLS = 256
 _SPAN = 1  # ratio-1 self-advection: column displacement <= ~18 < 128
 
@@ -78,7 +78,7 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     return _pick_tile(h, w, itemsize)[0] > 0
 
 
-def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
+def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
             rows: int, cols: int, h_global: int, w_global: int,
             h_true: int, w_true: int, col_halo: int):
     r, cb = rows, cols
@@ -117,9 +117,15 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
     v = vel_ref[1] - (pt - pb)
     velp = jnp.stack([u, v])
 
-    # Align the window so the target block sits at lane offset col_halo.
+    # Align the window so the target block sits at lane offset col_halo,
+    # then stage vel' in VMEM scratch: the gather loop slices its rows
+    # dynamically, which refs support and values don't in this lowering.
     if col_halo:
         velp = pltpu.roll(velp, jnp.mod(col_halo - coff, cbw), axis=2)
+    velp_ref[:] = velp
+
+    def load(al):
+        return velp_ref[:, pl.ds(al, r + 8), :]
 
     # Target rows/cols of vel' (row offset dynamic 8-aligned, cols static).
     uu = jnp.zeros((r, cbw), jnp.float32)
@@ -144,8 +150,8 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, *, dissipation: float,
     yp_hi = jnp.minimum(jnp.float32(blk_h - 1),
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
-    acc = _gather_full(velp, x_local, yp, x_lo, x_hi, yp_hi, _SPAN, r, cb,
-                       col_halo // LANE)
+    acc = _gather_stream(load, 2, blk_h, cbw, x_local, yp, x_lo, x_hi, yp_hi,
+                         _SPAN, r, cb, col_halo // LANE)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
@@ -194,6 +200,7 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
         out_specs=pl.BlockSpec((2, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
+        scratch_shapes=[pltpu.VMEM((2, win, cbw), velocity.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=80 * h * w,
             bytes_accessed=9 * h * w * velocity.dtype.itemsize,
