@@ -74,6 +74,45 @@ def test_advect_matches_oracle(channels, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_advect_fused_splat_matches_oracle(rng):
+    """The dye splat rides inside the gather kernel as a rank-S MXU bump over
+    each source window; must equal splat-then-advect exactly (bilinear
+    sampling of a separable bump == product of its 1-D samples)."""
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.advect import advect
+
+    H, W, S, C = 64, 128, 4, 3
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400).astype(np.float32)),
+                   -1000, 1000)
+    src = jnp.asarray(rng.random((C, H, W)).astype(np.float32))
+    gy = jnp.asarray(rng.random((H, S)).astype(np.float32))
+    gx = jnp.asarray(rng.random((S, W)).astype(np.float32))
+    amt = jnp.asarray(rng.standard_normal((S, C)).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+
+    bumped = src + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)
+    want = advect(vel, bumped, dt, 1.0)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 1.0, splat=(gy, gx, amt))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+    with _interp(ah):
+        got2 = ah.advect_pallas_hbm(vel, src, dt, 1.0, splat=(gy, gx, amt))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_jacobi_prescale_fuses_warm_start(rng):
+    """jacobi(prescale=k) == jacobi on k*pressure (clearShader fusion)."""
+    p = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    with _interp(pj):
+        got = pj.jacobi_pressure(p, d, 7, prescale=0.8)
+    want = stencil.jacobi_pressure(p * 0.8, d, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
+    assert float(jnp.abs(pj.jacobi_pressure(p, d, 0, prescale=0.8)
+                         - p * 0.8).max()) == 0.0
+
+
 def test_ragged_shapes_via_padding(rng):
     """The demo's aspect-fitted grids are ragged (e.g. 228x128); kernels get
     edge-padded inputs + true_shape masks. Verify vs the oracle on the true
@@ -157,6 +196,79 @@ def test_advect_cross_resolution_scaled_velocity(rng):
                                true_shape=(h, w))[..., :h, :w]
     want = advect(vel, dye, dt, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_kernels_match_oracle(rng):
+    """Kernels consume bfloat16 natively (the reference's half-float storage):
+    in-register upcasts, (16,128)-aligned windows, bf16-tolerance equivalence
+    with the f32 oracle chain."""
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.project_advect as ppa
+    import tpufluid.ops.pallas.stencil as ps
+    from tpufluid.ops.advect import advect
+
+    H, W = 96, 128  # bf16 windows need align 16 + 2*32-row halos
+    dt = jnp.float32(1 / 60)
+    bf = jnp.bfloat16
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400)),
+                   -1000, 1000).astype(bf)
+    src = jnp.asarray(rng.random((3, H, W))).astype(bf)
+    p = jnp.asarray(rng.standard_normal((H, W))).astype(bf)
+    d = jnp.asarray(rng.standard_normal((H, W))).astype(bf)
+
+    assert pa.supported((3, H, W), 2) and pj.supported((H, W), 2)
+    assert ps.supported((H, W), 2) and ppa.supported((H, W), 2)
+
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 1.0)
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 1.0)
+    assert got.dtype == bf
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0, atol=0.02)
+
+    with _interp(pj):
+        got = pj.jacobi_pressure(p, d, 12)
+    want = stencil.jacobi_pressure(p.astype(jnp.float32),
+                                   d.astype(jnp.float32), 12)
+    assert got.dtype == bf
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0, atol=0.05)
+
+    with _interp(ps):
+        v2, d2 = ps.curl_vorticity_divergence(vel, 30.0, dt)
+    vf = vel.astype(jnp.float32)
+    c = stencil.curl(vf)
+    v1 = stencil.vorticity_confinement(vf, c, 30.0, dt)
+    d1 = stencil.divergence(v1)
+    scale = float(jnp.abs(v1).max())
+    assert float(jnp.abs(v2.astype(jnp.float32) - v1).max()) < 0.02 * scale
+    assert float(jnp.abs(d2.astype(jnp.float32) - d1).max()) < 0.05 * scale
+
+    with _interp(ppa):
+        got = ppa.gradsub_advect_velocity(vel, p, dt, 0.2)
+    v1 = stencil.gradient_subtract(vf, p.astype(jnp.float32))
+    want = advect(v1, v1, dt, 0.2)
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale
+
+
+def test_advect_hbm_bf16_matches_oracle(rng):
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.advect import advect
+
+    H, W = 64, 128
+    bf = jnp.bfloat16
+    vel = jnp.clip(jnp.asarray(rng.standard_normal((2, H, W)) * 400),
+                   -1000, 1000).astype(bf)
+    src = jnp.asarray(rng.random((3, H, W))).astype(bf)
+    dt = jnp.float32(1 / 60)
+    assert ah.supported((3, H, W), 2)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel, src, dt, 1.0)
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 1.0)
+    assert got.dtype == bf
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0, atol=0.02)
 
 
 def test_advect_hbm_matches_oracle(rng):

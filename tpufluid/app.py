@@ -66,6 +66,14 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv: Optional[list] = None) -> None:
     args = build_argparser().parse_args(argv)
     import jax
+
+    # TPUFLUID_DEVICE=cpu forces the CPU backend (the axon sitecustomize
+    # overrides the JAX_PLATFORMS env var, so this must be a config update).
+    if os.environ.get("TPUFLUID_DEVICE", "").lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     if args.debug_nans:

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.common import Element as _Element
 
-from tpufluid.ops.pallas.common import LANE, SUBLANE
+from tpufluid.ops.pallas.common import LANE, SUBLANE, round_up, row_align
 
 HALO = 24  # ceil(1000/60) + bilinear corner + margin, multiple of sublanes
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -66,8 +66,10 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                halo: int = HALO, span: int = 1) -> Tuple[int, int]:
     """(rows, cols) per tile: prefer small tiles (gather work tracks the
     local velocity range), subject to VMEM and divisibility."""
+    align = row_align(itemsize)
+    halo = round_up(halo, align)
     rows = 0
-    for r in range(SUBLANE, h + 1, SUBLANE):
+    for r in range(align, h + 1, align):
         if h % r == 0 and r + 2 * halo <= h:
             rows = r
             if r >= _PREF_ROWS:
@@ -87,12 +89,12 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
         cbw = cols + (2 * span * LANE if cols != w else 0)
         vmem = (channels * (2 * (rows + 2 * halo)) * cbw
                 + (channels * 8 + 10) * rows * cbw) * itemsize
-        if vmem <= _VMEM_BUDGET or rows == SUBLANE:
+        if vmem <= _VMEM_BUDGET or rows == align:
             break
         rows //= 2
-        while rows >= SUBLANE and h % rows:
-            rows -= SUBLANE
-        if rows < SUBLANE:
+        while rows >= align and h % rows:
+            rows -= align
+        if rows < align:
             return (0, 0)
     if vmem > _VMEM_BUDGET:
         return (0, 0)
@@ -103,9 +105,9 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4, halo: int = HALO,
               span: int = 1) -> bool:
     h, w = src_shape[-2], src_shape[-1]
     c = src_shape[0] if len(src_shape) == 3 else 1
-    if itemsize != 4:
-        return False  # Mosaic dynamic gather/rotate support 32-bit only here
-    if w % LANE or h % SUBLANE:
+    if itemsize not in (2, 4):
+        return False
+    if w % LANE or h % row_align(itemsize):
         return False
     return _pick_tile(h, w, c, itemsize, halo, span)[0] > 0
 
@@ -118,15 +120,16 @@ def bilinear_backtrace_gather(win_ref, x, yp, w_true=None, yp_hi=None,
     windows only)."""
     c, win, w = win_ref.shape
     r, cb = x.shape
+    align = row_align(win_ref.dtype.itemsize)
     x_hi = jnp.float32(w - 1 if w_true is None else w_true - 1)
     if yp_hi is None:
         yp_hi = jnp.float32(win - 1)
 
     def load(al):
-        return win_ref[:, pl.ds(al, r + SUBLANE), :]
+        return win_ref[:, pl.ds(al, r + align), :]
 
     return _gather_stream(load, c, win, w, x, yp, 0.0, x_hi, yp_hi, span,
-                          r, cb, 0)
+                          r, cb, 0, align)
 
 
 def _clamped_start(i, block: int, halo: int, total: int, align: int):
@@ -134,11 +137,17 @@ def _clamped_start(i, block: int, halo: int, total: int, align: int):
     return pl.multiple_of(jnp.clip(lo, 0, total - block - 2 * halo), align)
 
 
-def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *scratch,
+def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                    dissipation: float,
                    rows: int, cols: int, h_global: int, w_global: int,
                    channels: int, h_true: int, w_true: int, halo: int,
-                   span: int, col_halo: int):
+                   span: int, col_halo: int, align: int, with_splats: bool):
+    if with_splats:
+        gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
+        scratch = rest[4:]
+    else:
+        out_ref = rest[0]
+        scratch = rest[1:]
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
@@ -146,25 +155,46 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *scratch,
     win = r + 2 * halo
     cbw = cb + 2 * col_halo
 
-    rstart = _clamped_start(i, r, halo, h_global, SUBLANE)
+    rstart = _clamped_start(i, r, halo, h_global, align)
     roff = (i * r - rstart).astype(jnp.float32)
 
     if col_halo:
         cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
         coff = j * cb - cstart
-        # Align the window so the target block always sits at lane offset
-        # col_halo: one dynamic lane-rotate makes the gather's group offset
-        # static, staged in VMEM scratch so the gather loop can slice rows
-        # dynamically (refs support dynamic slicing; values don't here).
-        # (Only edge tiles have coff != col_halo.)
-        win_ref = scratch[0]
-        win_ref[:] = pltpu.roll(src_ref[:], jnp.mod(col_halo - coff, cbw), axis=2)
     else:
-        cstart = j * cb
+        cstart = pl.multiple_of(j * cb, LANE)
+
+    if col_halo or with_splats:
+        # Stage the window in f32 VMEM scratch (refs support the gather
+        # loop's dynamic row slicing; bf16 upcasts here — dynamic
+        # rotate/gather are 32-bit ops), fusing in:
+        #   * the separable rank-S splat bump over the WINDOW rows (the
+        #     reference splats dye then advects it, script.js:1287-1293;
+        #     bilinear sampling of dye+bump == sampling each — exact), an
+        #     MXU matmul instead of a full extra HBM pass over the dye;
+        #   * in column-window mode, one lane-rotate so the target block
+        #     always sits at lane offset col_halo (static group offsets).
+        win_ref = scratch[0]
+        base = src_ref[:].astype(jnp.float32)
+        if with_splats:
+            gy_sl = gy_ref[pl.ds(rstart, win), :].astype(jnp.float32)
+            gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
+            chans = []
+            for ch in range(channels):
+                amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
+                bump = jax.lax.dot_general(
+                    gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                chans.append(base[ch] + bump)
+            base = jnp.stack(chans)
+        if col_halo:
+            base = pltpu.roll(base, jnp.mod(col_halo - coff, cbw), axis=2)
+        win_ref[:] = base
+    else:
         win_ref = src_ref
 
     def load(al):
-        return win_ref[:, pl.ds(al, r + SUBLANE), :]
+        return win_ref[:, pl.ds(al, r + align), :]
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -186,22 +216,23 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, out_ref, *scratch,
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
     acc = _gather_stream(load, channels, win, cbw, x_local, yp, x_lo, x_hi,
-                         yp_hi, span, r, cb, col_halo // LANE)
+                         yp_hi, span, r, cb, col_halo // LANE, align)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
 def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
-                   r, cb, goff):
+                   r, cb, goff, align: int = SUBLANE):
     """Bilinear gather on an ALIGNED window ref: target lanes sit at the
     STATIC lane offset goff*128, so each output lane-group reads from window
     groups g + goff +/- span (2*span+1 TAAs).
 
-    load(al) -> (C, r+8, CBW): rows [al, al+r+8) of the staged window
-    (al 8-aligned). Each row-offset trip slices r+8 aligned rows (free
-    address arithmetic) and row-aligns them with ONE small sublane roll —
-    round 1 rolled the whole (r + 2*halo)-row window every trip, which
-    profiled as the kernel's dominant cost. Rows wrapped by the alignment
-    roll only ever combine with exactly-zero bilinear weights."""
+    load(al) -> (C, r+align, CBW): rows [al, al+r+align) of the staged window
+    (al align-ed; align is the dtype's sublane tiling). Each row-offset trip
+    slices r+align aligned rows (free address arithmetic) and row-aligns them
+    with ONE small sublane roll — round 1 rolled the whole (r + 2*halo)-row
+    window every trip. bf16 loads upcast in-register before the 32-bit-only
+    rotate/gather ops. Rows wrapped by the alignment roll only ever combine
+    with exactly-zero bilinear weights."""
     x_local = jnp.clip(x_local, x_lo, x_hi)
     x0 = jnp.floor(x_local)
     fx = (x_local - x0).astype(jnp.float32)
@@ -219,7 +250,7 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
 
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
-    nr = r + SUBLANE
+    nr = r + align
 
     def gather_at(idx, rows_op):
         out = []
@@ -243,9 +274,10 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
         return jnp.concatenate(out, axis=-1)
 
     def body(oy, acc):
-        al = pl.multiple_of(jnp.clip((oy // SUBLANE) * SUBLANE, 0, win - nr),
-                            SUBLANE)
-        rows_op = pltpu.roll(load(al), jnp.mod(al - oy, nr), axis=1)[:, :r, :]
+        al = pl.multiple_of(jnp.clip((oy // align) * align, 0, win - nr),
+                            align)
+        rows_op = pltpu.roll(load(al).astype(jnp.float32),
+                             jnp.mod(al - oy, nr), axis=1)[:, :r, :]
         g0 = gather_at(x0i, rows_op)
         g1 = gather_at(x1i, rows_op)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
@@ -259,18 +291,24 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
 
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                   dissipation: float, rows_per_block: int = 0,
-                  true_shape=None, halo: int = HALO, span: int = 1) -> jnp.ndarray:
+                  true_shape=None, halo: int = HALO, span: int = 1,
+                  splat=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
     texels/second*; source (C,H,W) or (H,W) on the SAME grid.
 
     halo/span size the row halo and lane-group gather span for the maximum
     backtrace displacement in source texels (halo_for_displacement /
-    group_span_for_displacement); the defaults cover the same-grid bound."""
+    group_span_for_displacement); the defaults cover the same-grid bound.
+    splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
+    added to the source in-kernel before sampling (one MXU bump per window
+    instead of a separate full-grid splat pass)."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
     if true_shape is None:
         true_shape = (h, w)
+    align = row_align(src.dtype.itemsize)
+    halo = round_up(halo, align)
     rows, cols = _pick_tile(h, w, c, src.dtype.itemsize, halo, span)
     if rows_per_block:
         rows = rows_per_block
@@ -289,7 +327,7 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
 
     def src_idx(i, j):
         rs = jnp.clip(i * rows - halo, 0, h - win)
-        rs = pl.multiple_of(rs, SUBLANE)
+        rs = pl.multiple_of(rs, align)
         if col_halo:
             cs = jnp.clip(j * cols - col_halo, 0, w - cbw)
             cs = pl.multiple_of(cs, LANE)
@@ -297,31 +335,41 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
             cs = j * cols
         return (0, rs, cs)
 
+    with_splats = splat is not None
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
         rows=rows, cols=cols, h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
-        halo=halo, span=span, col_halo=col_halo,
+        halo=halo, span=span, col_halo=col_halo, align=align,
+        with_splats=with_splats,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
+                     vel_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((_Element(c, (0, 0)), _Element(win), _Element(cbw)),
+                     src_idx, memory_space=pltpu.VMEM),
+    ]
+    args = [dt_arr, velocity, src]
+    if with_splats:
+        gy, gx, amt = splat
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        args += [gy, gx, amt]
     out = pl.pallas_call(
         kernel,
         grid=(n_r, n_c),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
-                         vel_idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_Element(c, (0, 0)), _Element(win), _Element(cbw)),
-                         src_idx, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
-        scratch_shapes=([pltpu.VMEM((c, win, cbw), src.dtype)]
-                        if col_halo else []),
+        # Staged modes (column windows / fused splats) keep the window in
+        # f32 (dynamic rotate/gather are 32-bit-only in this Mosaic).
+        scratch_shapes=([pltpu.VMEM((c, win, cbw), jnp.float32)]
+                        if (col_halo or with_splats) else []),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
             transcendentals=0,
         ),
-    )(dt_arr, velocity, src)
+    )(*args)
     return out[0] if squeeze else out

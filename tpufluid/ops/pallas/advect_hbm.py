@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.advect import _clamped_start
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
-from tpufluid.ops.pallas.common import LANE, SUBLANE
+from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 _PREF_ROWS = 16
@@ -40,8 +40,9 @@ _EXTRA = 32  # window slack rows beyond the tile (multiple of 8)
 
 def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                span: int) -> Tuple[int, int]:
+    align = row_align(itemsize)
     rows = 0
-    for r in range(SUBLANE, h + 1, SUBLANE):
+    for r in range(align, h + 1, align):
         if h % r == 0 and r + _EXTRA <= h:
             rows = r
             if r >= _PREF_ROWS:
@@ -68,21 +69,25 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4,
               span: int = 1) -> bool:
     h, w = src_shape[-2], src_shape[-1]
     c = src_shape[0] if len(src_shape) == 3 else 1
-    if itemsize != 4:
+    if itemsize not in (2, 4):
         return False
-    if w % LANE or h % SUBLANE:
+    if w % LANE or h % row_align(itemsize):
         return False
     return _pick_tile(h, w, c, itemsize, span)[0] > 0
 
 
-def _kernel(dt_ref, vel_ref, src_ref, out_ref, scratch, sem, *,
+def _kernel(dt_ref, vel_ref, src_ref, *rest,
             dissipation: float, rows: int, cols: int, h_global: int,
             w_global: int, channels: int, h_true: int, w_true: int,
-            span: int, col_halo: int):
+            span: int, col_halo: int, align: int, with_splats: bool):
+    if with_splats:
+        gy_ref, gx_ref, amt_ref, out_ref, scratch, sem = rest
+    else:
+        out_ref, scratch, sem = rest
     r, cb = rows, cols
     win2 = r + _EXTRA
     cbw = cols + 2 * col_halo
-    seg = _EXTRA - SUBLANE  # fresh rows owned per segment
+    seg = _EXTRA - align  # fresh rows owned per segment
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
@@ -121,7 +126,7 @@ def _kernel(dt_ref, vel_ref, src_ref, out_ref, scratch, sem, *,
 
     lo = jnp.min(y0i)
     hi = jnp.max(y0i) + 1  # highest row needed (the y0+1 corner)
-    base0 = (lo // SUBLANE) * SUBLANE
+    base0 = (lo // align) * align
     n_seg = (hi - base0) // seg + 1
 
     goff = col_halo // LANE
@@ -152,7 +157,7 @@ def _kernel(dt_ref, vel_ref, src_ref, out_ref, scratch, sem, *,
 
     def seg_body(sidx, acc):
         base = pl.multiple_of(
-            jnp.clip(base0 + sidx * seg, 0, h_global - win2), SUBLANE)
+            jnp.clip(base0 + sidx * seg, 0, h_global - win2), align)
         if col_halo:
             copy = pltpu.make_async_copy(
                 src_ref.at[:, pl.ds(base, win2), pl.ds(cstart, cbw)],
@@ -162,7 +167,23 @@ def _kernel(dt_ref, vel_ref, src_ref, out_ref, scratch, sem, *,
                 src_ref.at[:, pl.ds(base, win2), :], scratch, sem)
         copy.start()
         copy.wait()
-        window = scratch[:]
+        # bf16 sources upcast in-register: rotate/gather are 32-bit ops.
+        window = scratch[:].astype(jnp.float32)
+        if with_splats:
+            # Separable rank-S splat bump over this segment's rows (the
+            # reference splats dye then advects it; bilinear sampling of
+            # dye+bump == sampling each — exact), fused as an MXU matmul
+            # instead of a separate full-grid splat pass.
+            gy_sl = gy_ref[pl.ds(base, win2), :].astype(jnp.float32)
+            gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
+            chans = []
+            for ch in range(channels):
+                amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
+                bump = jax.lax.dot_general(
+                    gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                chans.append(window[ch] + bump)
+            window = jnp.stack(chans)
         if col_halo:
             window = pltpu.roll(window, jnp.mod(col_halo - coff, cbw), axis=2)
 
@@ -198,12 +219,14 @@ def _kernel(dt_ref, vel_ref, src_ref, out_ref, scratch, sem, *,
 
 def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                       dissipation: float, true_shape=None,
-                      span: int = 1) -> jnp.ndarray:
+                      span: int = 1, splat=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection, velocity in source-texels/second.
 
     No worst-case row halo: segments are DMA'd on demand, so this is the
     right kernel when the displacement bound is large (cross-resolution dye
-    advection). ``span`` sizes the column gather window only."""
+    advection). ``span`` sizes the column gather window only.
+    splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
+    added to each DMA'd segment in-kernel before sampling."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
@@ -219,22 +242,29 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     win2 = rows + _EXTRA
     cbw = cols + 2 * col_halo
 
+    with_splats = splat is not None
     kernel = functools.partial(
         _kernel, dissipation=float(dissipation), rows=rows, cols=cols,
         h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
-        span=span, col_halo=col_halo,
+        span=span, col_halo=col_halo, align=row_align(src.dtype.itemsize),
+        with_splats=with_splats,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
+                     lambda i, j: (0, i * rows, j * cols),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=ANY_SPACE),   # source stays in HBM
+    ]
+    args = [dt_arr, velocity, src]
+    if with_splats:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        args += list(splat)
     out = pl.pallas_call(
         kernel,
         grid=(n_r, n_c),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
-                         lambda i, j: (0, i * rows, j * cols),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=ANY_SPACE),   # source stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
@@ -247,5 +277,5 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
             transcendentals=0,
         ),
-    )(dt_arr, velocity, src)
+    )(*args)
     return out[0] if squeeze else out

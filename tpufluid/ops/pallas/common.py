@@ -37,30 +37,39 @@ SUBLANE = 8
 LANE = 128
 
 
-def window_start(i, rows_per_block: int, halo: int, h: int):
+def row_align(itemsize: int) -> int:
+    """Alignment for dynamic row offsets: the dtype's sublane tiling —
+    (8, 128) for 4-byte, (16, 128) for 2-byte (bfloat16) arrays."""
+    return 2 * SUBLANE if itemsize == 2 else SUBLANE
+
+
+def window_start(i, rows_per_block: int, halo: int, h: int,
+                 align: int = SUBLANE):
     """Clamped window start row for block i (traced or static).
 
-    Every branch of the clip is a multiple of the sublane count (R, halo and
-    h are), and pl.multiple_of tells Mosaic so.
+    Every branch of the clip is a multiple of ``align`` (R, halo and h are),
+    and pl.multiple_of tells Mosaic so.
     """
     lo = i * rows_per_block - halo
-    return pl.multiple_of(jnp.clip(lo, 0, h - rows_per_block - 2 * halo), SUBLANE)
+    return pl.multiple_of(jnp.clip(lo, 0, h - rows_per_block - 2 * halo), align)
 
 
-def make_window_index_map(rows_per_block: int, halo: int, h: int, lead_dims: int = 0):
+def make_window_index_map(rows_per_block: int, halo: int, h: int,
+                          lead_dims: int = 0, align: int = SUBLANE):
     """BlockSpec index_map returning the clamped start (Element indexing)."""
 
     def index_map(i):
-        start = window_start(i, rows_per_block, halo, h)
+        start = window_start(i, rows_per_block, halo, h, align)
         return (0,) * lead_dims + (start, 0)
 
     return index_map
 
 
-def local_offset(i, rows_per_block: int, halo: int, h: int):
+def local_offset(i, rows_per_block: int, halo: int, h: int,
+                 align: int = SUBLANE):
     """Row offset of block i's target rows inside its clamped window."""
-    start = window_start(i, rows_per_block, halo, h)
-    return pl.multiple_of(i * rows_per_block - start, SUBLANE)
+    start = window_start(i, rows_per_block, halo, h, align)
+    return pl.multiple_of(i * rows_per_block - start, align)
 
 
 def round_up(x: int, m: int) -> int:

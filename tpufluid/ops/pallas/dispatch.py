@@ -1,8 +1,10 @@
 """Backend dispatch: fused Pallas kernels on TPU, jnp oracle elsewhere.
 
-bfloat16 states (the reference's half-float storage budget) route through the
-f32 kernels with casts at the HBM boundary — Mosaic's dynamic gather/rotate
-are 32-bit-only here, and computing in f32 matches the highp shader math.
+bfloat16 states (the reference's half-float storage budget) are consumed
+NATIVELY by the kernels: loads upcast in-register (computing in f32 matches
+the highp shader math; Mosaic's dynamic gather/rotate are 32-bit-only), so
+HBM traffic is half the f32 path — round 1 staged f32 casts through HBM.
+bf16 window offsets respect the (16, 128) sublane tiling.
 
 Dispatch is resolved at trace time (backend and shapes are static), so there
 is zero runtime cost. Ragged grids (the reference's aspect-fitted sizes,
@@ -22,10 +24,12 @@ import jax.numpy as jnp
 from tpufluid.ops import stencil as _jnp
 from tpufluid.ops.advect import advect as _jnp_advect_fn
 from tpufluid.ops.sampling import resample_bilinear
-from tpufluid.ops.pallas.common import LANE, SUBLANE, pad_to, round_up
+from tpufluid.ops.pallas.common import LANE, pad_to, round_up, row_align
 
-# Minimum padded height so a (8 + 2*halo)-row window fits.
-_MIN_H = {"jacobi": 56, "stencil": 24, "advect": 56}
+# Minimum padded height so an (align + 2*halo)-row window fits, per dtype
+# itemsize (f32 halos 24/8/24, bf16 halos 32/16/32 — see each kernel).
+_MIN_H = {"jacobi": {4: 56, 2: 80}, "stencil": {4: 24, 2: 48},
+          "advect": {4: 56, 2: 80}}
 # Don't pad when the overhead would exceed ~60% extra area.
 _MAX_PAD_FRACTION = 0.6
 
@@ -41,38 +45,15 @@ def _on_tpu() -> bool:
         return False
 
 
-def _padded_shape(h: int, w: int, kind: str, min_h: int = 0) -> Optional[Tuple[int, int]]:
-    hp = max(round_up(h, SUBLANE), _MIN_H[kind], min_h)
+def _padded_shape(h: int, w: int, kind: str, itemsize: int = 4,
+                  min_h: int = 0) -> Optional[Tuple[int, int]]:
+    hp = max(round_up(h, row_align(itemsize)), _MIN_H[kind][itemsize], min_h)
     wp = round_up(w, LANE)
     if hp * wp > (1 + _MAX_PAD_FRACTION) * h * w:
         return None
     return hp, wp
 
 
-def _is_half(x):
-    return x.dtype.itemsize == 2
-
-
-def _cast_through(fn):
-    """Route half-precision states through the f32 kernels (casts at the HBM
-    boundary); outputs are cast back to the original storage dtype."""
-    import functools as _ft
-
-    @_ft.wraps(fn)
-    def wrapped(*args, **kwargs):
-        arrs = [a for a in args if hasattr(a, "dtype")]
-        if _on_tpu() and arrs and _is_half(arrs[0]):
-            dtype = arrs[0].dtype
-            args = tuple(a.astype(jnp.float32) if hasattr(a, "dtype") and _is_half(a)
-                         else a for a in args)
-            out = fn(*args, **kwargs)
-            return jax.tree.map(lambda x: x.astype(dtype), out)
-        return fn(*args, **kwargs)
-
-    return wrapped
-
-
-@_cast_through
 def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
     """(vel', divergence): curl -> vorticity confinement -> divergence.
 
@@ -80,10 +61,10 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
     bump fused before curl (TPU kernel path only; callers pre-apply the bump
     on fallback paths)."""
     h, w = velocity.shape[-2:]
-    if _on_tpu() and velocity.dtype.itemsize == 4:
+    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
         from tpufluid.ops.pallas import stencil as _pl
 
-        pad = _padded_shape(h, w, "stencil")
+        pad = _padded_shape(h, w, "stencil", velocity.dtype.itemsize)
         if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
             gy = gx = amt = None
             if splat_factors is not None:
@@ -104,17 +85,21 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
     return vel, _jnp.divergence(vel)
 
 
-@_cast_through
-def jacobi_pressure(pressure, div, iterations):
+def jacobi_pressure(pressure, div, iterations, prescale=1.0):
+    """Jacobi solve with the warm-start scale (reference clearShader
+    p *= PRESSURE, script.js:1253-1257) fused into the first sweep's load."""
     h, w = pressure.shape
-    if _on_tpu() and pressure.dtype.itemsize == 4:
+    if _on_tpu() and pressure.dtype.itemsize in (2, 4):
         from tpufluid.ops.pallas import jacobi as _pl
 
-        pad = _padded_shape(h, w, "jacobi")
+        pad = _padded_shape(h, w, "jacobi", pressure.dtype.itemsize)
         if pad is not None and _pl.supported(pad, pressure.dtype.itemsize):
             p = _pl.jacobi_pressure(pad_to(pressure, *pad), pad_to(div, *pad),
-                                    iterations, true_shape=(h, w))
+                                    iterations, true_shape=(h, w),
+                                    prescale=prescale)
             return p[:h, :w]
+    if prescale != 1.0:
+        pressure = (pressure.astype(jnp.float32) * prescale).astype(pressure.dtype)
     return _jnp.jacobi_pressure(pressure, div, iterations)
 
 
@@ -122,14 +107,13 @@ def gradient_subtract(velocity, pressure):
     return _jnp.gradient_subtract(velocity, pressure)
 
 
-@_cast_through
 def project_and_self_advect(velocity, pressure, dt, dissipation):
     """Fused (vel - grad p) -> self-advection; falls back to two passes."""
     h, w = velocity.shape[-2:]
-    if _on_tpu() and velocity.dtype.itemsize == 4:
+    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
         from tpufluid.ops.pallas import project_advect as _pl
 
-        pad = _padded_shape(h, w, "advect")
+        pad = _padded_shape(h, w, "advect", velocity.dtype.itemsize)
         if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
             out = _pl.gradsub_advect_velocity(
                 pad_to(velocity, *pad), pad_to(pressure, *pad), dt, dissipation,
@@ -139,9 +123,14 @@ def project_and_self_advect(velocity, pressure, dt, dissipation):
     return advect(vel, vel, dt, dissipation)
 
 
-@_cast_through
-def advect(velocity, source, dt, dissipation):
+def advect(velocity, source, dt, dissipation, splat_factors=None):
     """Semi-Lagrangian advection; velocity (2,Hs,Ws), source (...,H,W).
+
+    splat_factors: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat
+    bump added to the source before sampling — fused into the gather kernels
+    as an MXU matmul over each window (exact: bilinear sampling of a
+    separable bump equals the product of its 1-D bilinear samples), saving a
+    full HBM splat pass over the source. Fallback paths pre-apply the bump.
 
     Cross-resolution (dye) advection resamples velocity to the source grid
     with the cheap separable path first (reference samples velocity bilinearly
@@ -153,12 +142,21 @@ def advect(velocity, source, dt, dissipation):
     """
     h, w = source.shape[-2], source.shape[-1]
     hv, wv = velocity.shape[-2], velocity.shape[-1]
-    if _on_tpu() and source.dtype.itemsize == 4:
+    it = source.dtype.itemsize
+    if _on_tpu() and it in (2, 4):
         from tpufluid.ops.pallas import advect as _pl
 
         halo = _pl.halo_for_displacement(_MAX_DISP_SIM_TEXELS * h / hv)
         span = _pl.group_span_for_displacement(_MAX_DISP_SIM_TEXELS * w / wv)
         c = source.shape[0] if source.ndim == 3 else 1
+
+        def padded_splat(pad):
+            if splat_factors is None:
+                return None
+            gy, gx, amt = splat_factors
+            gy = jnp.pad(gy, ((0, pad[0] - h), (0, 0)), mode="edge")
+            gx = jnp.pad(gx, ((0, 0), (0, pad[1] - w)), mode="edge")
+            return gy, gx, amt
 
         if halo > _pl.HALO:
             # Large displacement bound (cross-resolution dye): worst-case row
@@ -166,19 +164,20 @@ def advect(velocity, source, dt, dissipation):
             # HBM-resident kernel that DMAs only the rows actually reached.
             from tpufluid.ops.pallas import advect_hbm as _hbm
 
-            pad = _padded_shape(h, w, "advect")
-            if pad is not None and _hbm.supported((c,) + pad, source.dtype.itemsize, span):
+            pad = _padded_shape(h, w, "advect", it)
+            if pad is not None and _hbm.supported((c,) + pad, it, span):
                 vel = resample_bilinear(velocity, (h, w))
                 vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
                 out = _hbm.advect_pallas_hbm(pad_to(vel, *pad), pad_to(source, *pad),
                                              dt, dissipation, true_shape=(h, w),
-                                             span=span)
+                                             span=span, splat=padded_splat(pad))
                 return out[..., :h, :w]
 
-        pad = _padded_shape(h, w, "advect", min_h=8 + 2 * halo)
+        pad = _padded_shape(h, w, "advect", it,
+                            min_h=row_align(it) + 2 * round_up(halo, row_align(it)))
         if pad is not None:
-            all_ch = _pl.supported((c,) + pad, source.dtype.itemsize, halo)
-            per_ch = all_ch or _pl.supported((1,) + pad, source.dtype.itemsize, halo)
+            all_ch = _pl.supported((c,) + pad, it, halo)
+            per_ch = all_ch or _pl.supported((1,) + pad, it, halo)
             if per_ch:
                 vel = velocity
                 if (hv, wv) != (h, w):
@@ -187,18 +186,31 @@ def advect(velocity, source, dt, dissipation):
                     vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
                 vel_p = pad_to(vel, *pad)
                 src_p = pad_to(source, *pad)
+                sp = padded_splat(pad)
                 if all_ch:
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
-                                            true_shape=(h, w), halo=halo, span=span)
+                                            true_shape=(h, w), halo=halo,
+                                            span=span, splat=sp)
                 elif source.ndim == 3:
                     # Large-halo windows don't fit VMEM with all channels live:
                     # one kernel launch per channel.
                     out = jnp.stack([
-                        _pl.advect_pallas(vel_p, src_p[ch], dt, dissipation,
-                                          true_shape=(h, w), halo=halo, span=span)
+                        _pl.advect_pallas(
+                            vel_p, src_p[ch], dt, dissipation,
+                            true_shape=(h, w), halo=halo, span=span,
+                            splat=None if sp is None else
+                            (sp[0], sp[1], sp[2][:, ch:ch + 1]))
                         for ch in range(c)])
                 else:
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
-                                            true_shape=(h, w), halo=halo, span=span)
+                                            true_shape=(h, w), halo=halo,
+                                            span=span, splat=sp)
                 return out[..., :h, :w]
+    if splat_factors is not None:
+        gy, gx, amt = splat_factors
+        bump = jnp.einsum("sc,hs,sw->chw", amt, gy.astype(jnp.float32),
+                          gx.astype(jnp.float32))
+        if source.ndim == 2:
+            bump = bump[0]
+        source = (source.astype(jnp.float32) + bump).astype(source.dtype)
     return _jnp_advect_fn(velocity, source, dt, dissipation)

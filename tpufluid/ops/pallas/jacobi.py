@@ -11,6 +11,11 @@ because staleness moves inward one row per sweep.
 Windows are IN-BOUNDS (clamped starts, ops/pallas/common.py) — no edge-pad
 copies of the fields are ever materialized in HBM.
 
+bfloat16 fields (the reference's R16F textures) are loaded natively and
+upcast in-register — sweeps run in f32 like the shader's arithmetic — which
+halves the HBM traffic vs round 1's cast-through-f32 staging; their window
+offsets respect the (16, 128) bf16 tiling.
+
 Semantics identical to tpufluid.ops.stencil.jacobi_pressure (the oracle);
 verified by tests/test_pallas.py in interpret mode and on-device by bench.
 """
@@ -30,40 +35,45 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, make_window_index_map, window_start,
+    LANE, make_window_index_map, row_align, window_start,
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024
-_HALO = 24  # >= sweeps per chunk (20), multiple of the sublane count
+
+
+def _halo(itemsize: int) -> int:
+    """>= sweeps per chunk (20), multiple of the dtype's row alignment."""
+    return 24 if itemsize == 4 else 32
 
 
 def _pick_block_rows(h: int, w: int, halo: int, itemsize: int) -> int:
+    align = row_align(itemsize)
     best = 0
-    for r in range(SUBLANE, h + 1, SUBLANE):
+    for r in range(align, h + 1, align):
         if h % r or r + 2 * halo > h:
             continue
-        vmem = 4 * (r + 2 * halo) * w * itemsize
+        vmem = (4 * itemsize + 8) * (r + 2 * halo) * w
         if vmem <= _VMEM_BUDGET:
             best = r
     return best
 
 
-def supported(shape: Tuple[int, int], itemsize: int = 4, halo: int = _HALO) -> bool:
+def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     h, w = shape
-    if itemsize != 4:
-        return False  # Mosaic dynamic gather/rotate support 32-bit only here
-    if w % LANE or h % SUBLANE:
+    if itemsize not in (2, 4):
         return False
-    return _pick_block_rows(h, w, halo, itemsize) > 0
+    if w % LANE or h % row_align(itemsize):
+        return False
+    return _pick_block_rows(h, w, _halo(itemsize), itemsize) > 0
 
 
 def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
                          rows_per_block: int, h_global: int, h_true: int,
-                         w_true: int):
+                         w_true: int, align: int, prescale: float):
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
     w = p_ref.shape[1]
-    start = window_start(i, rows_per_block, halo, h_global)
+    start = window_start(i, rows_per_block, halo, h_global, align)
 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
@@ -72,8 +82,10 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
     first_col = cols == 0
     last_col = cols == w_true - 1
 
-    div = d_ref[:]
-    p = p_ref[:]
+    div = d_ref[:].astype(jnp.float32)
+    # prescale fuses the reference's warm start (clearShader: p *= PRESSURE,
+    # script.js:1253-1257) into the first sweep's load — no extra HBM pass.
+    p = p_ref[:].astype(jnp.float32) * prescale
     for _ in range(sweeps):
         # pltpu.roll needs non-negative shift: roll by N-1 == shift -1.
         left = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
@@ -82,25 +94,28 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
         above = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
         p = (left + right + below + above - div) * 0.25
 
-    # Central rows sit at dynamic (8-aligned) offset i*R - start.
+    # Central rows sit at dynamic (aligned) offset i*R - start.
     off = i * rows_per_block - start
     out = jnp.zeros((rows_per_block, w), dtype=p.dtype)
-    for k in range(0, 2 * halo + 1, SUBLANE):
+    for k in range(0, 2 * halo + 1, align):
         out = jnp.where(off == k, p[k:k + rows_per_block], out)
-    out_ref[:] = out
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
-                  rows_per_block: int, true_shape) -> jnp.ndarray:
+                  rows_per_block: int, true_shape,
+                  prescale: float = 1.0) -> jnp.ndarray:
     h, w = p.shape
+    align = row_align(p.dtype.itemsize)
     n_blocks = h // rows_per_block
     kernel = functools.partial(
         _jacobi_chunk_kernel, sweeps=sweeps, halo=halo,
         rows_per_block=rows_per_block, h_global=h,
-        h_true=true_shape[0], w_true=true_shape[1],
+        h_true=true_shape[0], w_true=true_shape[1], align=align,
+        prescale=float(prescale),
     )
     win = rows_per_block + 2 * halo
-    idx = make_window_index_map(rows_per_block, halo, h)
+    idx = make_window_index_map(rows_per_block, halo, h, align=align)
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -120,18 +135,24 @@ def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
 
 
 def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
-                    chunk: int = 20, true_shape=None) -> jnp.ndarray:
+                    chunk: int = 20, true_shape=None,
+                    prescale: float = 1.0) -> jnp.ndarray:
     """``iterations`` Jacobi sweeps, K=chunk sweeps per HBM pass.
 
     true_shape: (h_true, w_true) when the arrays are edge-padded to tile
-    alignment; boundary masks act at the true extents."""
+    alignment; boundary masks act at the true extents.
+    prescale: warm-start factor applied to the incoming pressure (the
+    reference's clearShader p *= PRESSURE pass, fused into the first load)."""
     if iterations == 0:
-        return pressure
+        if prescale == 1.0:
+            return pressure
+        return (pressure.astype(jnp.float32) * prescale).astype(pressure.dtype)
     h, w = pressure.shape
     if true_shape is None:
         true_shape = (h, w)
     chunk = min(chunk, iterations)
-    rows_per_block = _pick_block_rows(h, w, _HALO, pressure.dtype.itemsize)
+    halo = _halo(pressure.dtype.itemsize)
+    rows_per_block = _pick_block_rows(h, w, halo, pressure.dtype.itemsize)
     if rows_per_block == 0:
         raise ValueError(f"unsupported shape {pressure.shape}")
 
@@ -139,6 +160,7 @@ def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
     done = 0
     while done < iterations:
         k = min(chunk, iterations - done)
-        p = _jacobi_chunk(p, div, k, _HALO, rows_per_block, true_shape)
+        p = _jacobi_chunk(p, div, k, halo, rows_per_block, true_shape,
+                          prescale=prescale if done == 0 else 1.0)
         done += k
     return p

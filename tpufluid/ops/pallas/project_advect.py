@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.advect import HALO, _clamped_start, _gather_stream
-from tpufluid.ops.pallas.common import LANE, SUBLANE
+from tpufluid.ops.pallas.common import LANE, SUBLANE, round_up, row_align
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 _PREF_ROWS = 32
@@ -44,10 +44,16 @@ _PREF_COLS = 256
 _SPAN = 1  # ratio-1 self-advection: column displacement <= ~18 < 128
 
 
+def _halo(itemsize: int) -> int:
+    return round_up(HALO, row_align(itemsize))
+
+
 def _pick_tile(h: int, w: int, itemsize: int) -> Tuple[int, int]:
+    align = row_align(itemsize)
+    halo = _halo(itemsize)
     rows = 0
-    for r in range(SUBLANE, h + 1, SUBLANE):
-        if h % r == 0 and r + 2 * HALO <= h:
+    for r in range(align, h + 1, align):
+        if h % r == 0 and r + 2 * halo <= h:
             rows = r
             if r >= _PREF_ROWS:
                 break
@@ -62,8 +68,9 @@ def _pick_tile(h: int, w: int, itemsize: int) -> Tuple[int, int]:
     if cols == 0:
         cols = w
     cbw = cols + (2 * _SPAN * LANE if cols != w else 0)
-    # vel window (2) + p window (1) + rotated copy (2) + temps
-    vmem = ((5 * (rows + 2 * HALO)) * cbw + 22 * rows * cbw) * itemsize
+    # vel window (2) + p window (1) + f32 vel' copy (2) + temps
+    vmem = (((3 * itemsize + 8) * (rows + 2 * halo)) * cbw
+            + 22 * rows * cbw * itemsize)
     if vmem > _VMEM_BUDGET:
         return (0, 0)
     return rows, cols
@@ -71,16 +78,16 @@ def _pick_tile(h: int, w: int, itemsize: int) -> Tuple[int, int]:
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     h, w = shape
-    if itemsize != 4:
-        return False  # Mosaic dynamic gather/rotate support 32-bit only here
-    if w % LANE or h % SUBLANE:
+    if itemsize not in (2, 4):
+        return False
+    if w % LANE or h % row_align(itemsize):
         return False
     return _pick_tile(h, w, itemsize)[0] > 0
 
 
 def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
             rows: int, cols: int, h_global: int, w_global: int,
-            h_true: int, w_true: int, col_halo: int):
+            h_true: int, w_true: int, col_halo: int, halo: int, align: int):
     r, cb = rows, cols
     blk_h = vel_ref.shape[1]
     cbw = vel_ref.shape[2]
@@ -88,7 +95,7 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
     j = pl.program_id(1)
     dt = dt_ref[0]
 
-    rstart = _clamped_start(i, r, HALO, h_global, SUBLANE)
+    rstart = _clamped_start(i, r, halo, h_global, align)
     roff = i * r - rstart
     if col_halo:
         cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
@@ -107,14 +114,14 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
     # vel' = vel - un-halved grad(p) over the whole window. Roll-wrapped
     # neighbors only pollute the outermost window ring, which the bounded
     # backtrace never reads (module docstring).
-    p = p_ref[:]
+    p = p_ref[:].astype(jnp.float32)
     pl_ = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
     pr = jnp.where(last_col, p, pltpu.roll(p, cbw - 1, axis=1))
     pb = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
     pt = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
 
-    u = vel_ref[0] - (pr - pl_)
-    v = vel_ref[1] - (pt - pb)
+    u = vel_ref[0].astype(jnp.float32) - (pr - pl_)
+    v = vel_ref[1].astype(jnp.float32) - (pt - pb)
     velp = jnp.stack([u, v])
 
     # Align the window so the target block sits at lane offset col_halo,
@@ -125,12 +132,12 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
     velp_ref[:] = velp
 
     def load(al):
-        return velp_ref[:, pl.ds(al, r + 8), :]
+        return velp_ref[:, pl.ds(al, r + align), :]
 
-    # Target rows/cols of vel' (row offset dynamic 8-aligned, cols static).
+    # Target rows/cols of vel' (row offset dynamic aligned, cols static).
     uu = jnp.zeros((r, cbw), jnp.float32)
     vv = jnp.zeros((r, cbw), jnp.float32)
-    for k in range(0, 2 * HALO + 1, SUBLANE):
+    for k in range(0, 2 * halo + 1, align):
         uu = jnp.where(roff == k, velp[0, k:k + r].astype(jnp.float32), uu)
         vv = jnp.where(roff == k, velp[1, k:k + r].astype(jnp.float32), vv)
     csl = slice(col_halo, col_halo + cb)
@@ -151,7 +158,7 @@ def _kernel(dt_ref, vel_ref, p_ref, out_ref, velp_ref, *, dissipation: float,
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
     acc = _gather_stream(load, 2, blk_h, cbw, x_local, yp, x_lo, x_hi, yp_hi,
-                         _SPAN, r, cb, col_halo // LANE)
+                         _SPAN, r, cb, col_halo // LANE, align)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
@@ -164,17 +171,19 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
     rows, cols = _pick_tile(h, w, velocity.dtype.itemsize)
     if rows == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
+    halo = _halo(velocity.dtype.itemsize)
+    align = row_align(velocity.dtype.itemsize)
     col_halo = _SPAN * LANE if cols != w else 0
     n_r = h // rows
     n_c = w // cols
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
-    win = rows + 2 * HALO
+    win = rows + 2 * halo
     cbw = cols + 2 * col_halo
 
     def win_idx(lead):
         def index_map(i, j):
-            rs = pl.multiple_of(jnp.clip(i * rows - HALO, 0, h - win), SUBLANE)
+            rs = pl.multiple_of(jnp.clip(i * rows - halo, 0, h - win), align)
             if col_halo:
                 cs = pl.multiple_of(jnp.clip(j * cols - col_halo, 0, w - cbw), LANE)
             else:
@@ -186,7 +195,7 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
     kernel = functools.partial(_kernel, dissipation=float(dissipation),
                                rows=rows, cols=cols, h_global=h, w_global=w,
                                h_true=true_shape[0], w_true=true_shape[1],
-                               col_halo=col_halo)
+                               col_halo=col_halo, halo=halo, align=align)
     return pl.pallas_call(
         kernel,
         grid=(n_r, n_c),
@@ -200,7 +209,9 @@ def gradsub_advect_velocity(velocity: jnp.ndarray, pressure: jnp.ndarray, dt,
         out_specs=pl.BlockSpec((2, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
-        scratch_shapes=[pltpu.VMEM((2, win, cbw), velocity.dtype)],
+        # vel' is computed and staged in f32 (the dynamic rotate/gather ops
+        # are 32-bit-only in this Mosaic).
+        scratch_shapes=[pltpu.VMEM((2, win, cbw), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=80 * h * w,
             bytes_accessed=9 * h * w * velocity.dtype.itemsize,

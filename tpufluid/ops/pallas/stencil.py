@@ -27,40 +27,47 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, make_window_index_map, window_start,
+    LANE, SUBLANE, make_window_index_map, row_align, window_start,
 )
 
-_HALO = 8  # >= 3 stencil layers, multiple of the sublane count
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
+def _halo(itemsize: int) -> int:
+    # >= 3 stencil layers, multiple of the dtype row alignment (8 f32/16 bf16)
+    return row_align(itemsize)
+
+
 def _pick_block_rows(h: int, w: int, itemsize: int) -> int:
+    align = row_align(itemsize)
+    halo = _halo(itemsize)
     best = 0
-    for r in range(SUBLANE, h + 1, SUBLANE):
-        if h % r or r + 2 * _HALO > h:
+    for r in range(align, h + 1, align):
+        if h % r or r + 2 * halo > h:
             continue
-        if 8 * (r + 2 * _HALO) * w * itemsize <= _VMEM_BUDGET:
+        if (8 * itemsize + 16) * (r + 2 * halo) * w <= _VMEM_BUDGET:
             best = r
     return best
 
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     h, w = shape
-    if itemsize != 4:
-        return False  # Mosaic dynamic gather/rotate support 32-bit only here
-    if w % LANE or h % SUBLANE:
+    if itemsize not in (2, 4):
+        return False
+    if w % LANE or h % row_align(itemsize):
         return False
     return _pick_block_rows(h, w, itemsize) > 0
 
 
 def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, *,
             curl_strength: float, rows_per_block: int, h_global: int,
-            h_true: int, w_true: int, with_splats: bool):
+            h_true: int, w_true: int, with_splats: bool, halo: int,
+            align: int):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
     dt = dt_ref[0]
-    start = window_start(i, rows_per_block, _HALO, h_global)
+    start = window_start(i, rows_per_block, halo, h_global, align)
 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
@@ -81,14 +88,15 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
     def shift_t(x):  # above = row + 1
         return jnp.where(last_row, x, pltpu.roll(x, blk_h - 1, axis=0))
 
-    u = vel_ref[0]
-    v = vel_ref[1]
+    u = vel_ref[0].astype(jnp.float32)
+    v = vel_ref[1].astype(jnp.float32)
 
     if with_splats:
         # Separable rank-S gaussian bump: gy is precomputed over all H rows;
         # take this window's slice (gy laid out (H, S) so rows are sublanes).
-        gy = gy_ref[pl.ds(pl.multiple_of(start, SUBLANE), blk_h), :]  # (blk_h, S)
-        gx = gx_ref[:]                               # (S, w)
+        gy = gy_ref[pl.ds(pl.multiple_of(start, align), blk_h), :].astype(
+            jnp.float32)                             # (blk_h, S)
+        gx = gx_ref[:].astype(jnp.float32)           # (S, w)
         amt = amt_ref[:]                             # (S, 2)
         # Static slices + reshape (Mosaic can't lower fancy [None,:,0] gathers).
         amt_u = amt[:, 0:1].reshape(1, -1)
@@ -123,13 +131,13 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
     ou = jnp.zeros((r, w), u.dtype)
     ov = jnp.zeros((r, w), v.dtype)
     od = jnp.zeros((r, w), div.dtype)
-    for k in range(0, 2 * _HALO + 1, SUBLANE):
+    for k in range(0, 2 * halo + 1, align):
         ou = jnp.where(off == k, u[k:k + r], ou)
         ov = jnp.where(off == k, v[k:k + r], ov)
         od = jnp.where(off == k, div[k:k + r], od)
-    out_vel_ref[0] = ou
-    out_vel_ref[1] = ov
-    out_div_ref[:] = od
+    out_vel_ref[0] = ou.astype(out_vel_ref.dtype)
+    out_vel_ref[1] = ov.astype(out_vel_ref.dtype)
+    out_div_ref[:] = od.astype(out_div_ref.dtype)
 
 
 def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
@@ -148,6 +156,8 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
     rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
     if rows_per_block == 0:
         raise ValueError(f"unsupported shape {velocity.shape}")
+    halo = _halo(velocity.dtype.itemsize)
+    align = row_align(velocity.dtype.itemsize)
     n_blocks = h // rows_per_block
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
@@ -158,12 +168,13 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
         splat_gx = jnp.zeros((s, w), velocity.dtype)
         splat_amt = jnp.zeros((s, 2), jnp.float32)
 
-    win = rows_per_block + 2 * _HALO
-    idx = make_window_index_map(rows_per_block, _HALO, h, lead_dims=1)
+    win = rows_per_block + 2 * halo
+    idx = make_window_index_map(rows_per_block, halo, h, lead_dims=1,
+                                align=align)
     kernel = functools.partial(_kernel, curl_strength=float(curl_strength),
                                rows_per_block=rows_per_block, h_global=h,
                                h_true=true_shape[0], w_true=true_shape[1],
-                               with_splats=with_splats)
+                               with_splats=with_splats, halo=halo, align=align)
     out_vel, out_div = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

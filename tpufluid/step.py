@@ -47,26 +47,27 @@ def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState
         from tpufluid.ops.pallas import dispatch as K
         from tpufluid.ops.splat import SPLAT_B, SPLAT_DX, SPLAT_DY, SPLAT_R, splat_factors
 
-        # Dye splat as the rank-S MXU update; the velocity splat is fused
-        # into the pre-pressure stencil kernel (one fewer HBM pass).
+        # Both splats ride inside kernels as separable rank-S bumps: the
+        # velocity splat in the pre-pressure stencil kernel, the dye splat in
+        # the dye-advection gather kernel (an MXU matmul over each source
+        # window) — zero extra HBM passes for splat injection.
         radius, aspect = config.splat_radius_uv(), config.aspect_ratio
         dh, dw = state.dye.shape[-2:]
         gy_d, gx_d, amt_d = splat_factors(splats, dh, dw, radius, aspect,
                                           slice(SPLAT_R, SPLAT_B + 1))
-        dye0 = (state.dye.astype(jnp.float32)
-                + jnp.einsum("hs,sc,sw->chw", gy_d, amt_d, gx_d,
-                             preferred_element_type=jnp.float32)).astype(state.dye.dtype)
-        state = FluidState(velocity=state.velocity, dye=dye0, pressure=state.pressure)
-
         vh, vw = state.velocity.shape[-2:]
         gy_v, gx_v, amt_v = splat_factors(splats, vh, vw, radius, aspect,
                                           slice(SPLAT_DX, SPLAT_DY + 1))
         vel, div = K.pre_pressure(state.velocity, config.CURL, dt,
                                   splat_factors=(gy_v, gx_v, amt_v))
-        pressure = state.pressure * config.PRESSURE  # warm start (script.js:1253-1257)
-        pressure = K.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
+        # Warm start (clearShader p *= PRESSURE, script.js:1253-1257) is
+        # fused into the Jacobi kernel's first sweep.
+        pressure = K.jacobi_pressure(state.pressure, div,
+                                     config.PRESSURE_ITERATIONS,
+                                     prescale=config.PRESSURE)
         vel = K.project_and_self_advect(vel, pressure, dt, config.VELOCITY_DISSIPATION)
-        dye = K.advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
+        dye = K.advect(vel, state.dye, dt, config.DENSITY_DISSIPATION,
+                       splat_factors=(gy_d, gx_d, amt_d))
     else:
         state = apply_splats(state, splats, config)
         vel = state.velocity
