@@ -137,6 +137,24 @@ def _clamped_start(i, block: int, halo: int, total: int, align: int):
     return pl.multiple_of(jnp.clip(lo, 0, total - block - 2 * halo), align)
 
 
+def backtrace_row_bounds(vel_v, dt, h_true: int):
+    """Per-(8-row x 128-lane)-block min/max integer backtrace row offsets
+    (s = floor(clip(row - dt*v)) - row), as two (H/8, W/128) i32 arrays.
+
+    Computed OUTSIDE a kernel as one vectorized XLA pass: in-kernel
+    vector->scalar min/max reductions stall the scalar pipeline, while
+    precomputed bounds enter kernels through SMEM where scalar reads are
+    free. Offsets are in GLOBAL row coords. Conservative overestimates only
+    add zero-weight loop trips."""
+    h, w = vel_v.shape[-2:]
+    rowg = jnp.arange(h, dtype=jnp.float32)[:, None]
+    yp = jnp.clip(rowg - jnp.asarray(dt, jnp.float32) * vel_v.astype(jnp.float32),
+                  0.0, float(h_true - 1))
+    s = jnp.floor(yp).astype(jnp.int32) - jnp.arange(h, dtype=jnp.int32)[:, None]
+    sb = s.reshape(h // SUBLANE, SUBLANE, w // LANE, LANE)
+    return sb.min(axis=(1, 3)), sb.max(axis=(1, 3))
+
+
 def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                    dissipation: float,
                    rows: int, cols: int, h_global: int, w_global: int,

@@ -3,18 +3,27 @@
 The windowed-BlockSpec kernel (ops/pallas/advect.py) sizes its row halo for
 the WORST-CASE displacement bound; at the demo's 8x dye/sim resolution ratio
 that is a 136-row halo, so overlapping tile windows read ~18x the output
-bytes. This kernel keeps the source in HBM and, per tile, DMAs only the row
-segments its backtrace ACTUALLY reaches (bounds computed from the velocity
-in-register; a dynamic segment loop still covers the worst case exactly):
+bytes. This kernel keeps the source in HBM and only DMAs the row segments a
+tile's backtrace ACTUALLY reaches:
 
-  traffic ~ (actual_span + rows) / rows x output   (typically ~2x, not 18x).
+  * the row-offset bounds per tile come from an SMEM side input computed by
+    one vectorized XLA pre-pass over the velocity
+    (ops/pallas/advect.backtrace_row_bounds) — in-kernel vector->scalar
+    reductions stall the scalar pipeline;
+  * the row-offset loop walks [lo, hi+2) once, in order; overlapping
+    fixed-size segments (fresh stride = _EXTRA - align rows) are DMA'd on
+    demand, so every trip's (rows + align)-row slice lies inside exactly one
+    segment and each offset is processed exactly once — no ownership masks;
+  * each trip slices rows+align aligned rows from the segment scratch (free
+    address arithmetic) and row-aligns them with one small sublane roll;
+  * traffic ~ (actual_span + rows) / rows x output   (typically ~2x, not 18x).
 
-Each needed source row belongs to exactly one segment (ownership by
-floor((row - base0) / seg)), so contributions are added exactly once across
-the segment loop. Column windows stay worst-case (bounded by span*128 lanes
-and far cheaper). The gather core (dynamic sublane rotate + windowed lane
-take_along_axis) matches ops/pallas/advect.py; semantics match the jnp
-oracle (tests/test_pallas.py in interpret mode).
+The gather core (windowed lane take_along_axis per 128-lane group) matches
+ops/pallas/advect.py; column windows stay worst-case (bounded by span*128
+lanes and far cheaper). Optional separable splat factors are added to each
+slice in-register (MXU) — exact, since bilinear sampling of a separable bump
+is the product of its 1-D samples. Semantics match the jnp oracle
+(tests/test_pallas.py in interpret mode).
 """
 
 from __future__ import annotations
@@ -28,14 +37,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpufluid.ops.pallas.advect import _clamped_start
+from tpufluid.ops.pallas.advect import _clamped_start, backtrace_row_bounds
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
 from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
 
 _VMEM_BUDGET = 12 * 1024 * 1024
-_PREF_ROWS = 16
-_PREF_COLS = 256
-_EXTRA = 32  # window slack rows beyond the tile (multiple of 8)
+_PREF_ROWS = 32
+_EXTRA = 48  # segment rows beyond the tile (multiple of 16)
 
 
 def _pick_tile(h: int, w: int, channels: int, itemsize: int,
@@ -49,18 +57,27 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                 break
     if rows == 0:
         return (0, 0)
+    # NARROW column tiles first: this kernel serves large displacement
+    # ratios, where the trip count tracks the tile's velocity range times
+    # the ratio — a full-width tile's range can approach the worst case
+    # (measured 7.8 ms/step on the demo config), while a 256-col tile sees
+    # only ~2 sim cells of variation. Column-window overlap is bounded by
+    # span*128 lanes and far cheaper than the extra trips.
+    cands = (256, 384, 512, 128) + ((w,) if w <= 2048 else ())
     cols = 0
-    for cb in range(LANE, w + 1, LANE):
-        if w % cb == 0 and cb + 2 * span * LANE <= w:
+    for cb in cands:
+        if cb > w or w % cb or cb % LANE:
+            continue
+        if cb != w and cb + 2 * span * LANE > w:
+            continue
+        cbw = cb + (2 * span * LANE if cb != w else 0)
+        win2 = rows + _EXTRA
+        vmem = (channels * (2 * win2 * 4 + win2 * itemsize)
+                + (8 * channels + 10) * rows * 4) * cbw
+        if vmem <= _VMEM_BUDGET:
             cols = cb
-            if cb >= _PREF_COLS:
-                break
+            break
     if cols == 0:
-        cols = w
-    cbw = cols + (2 * span * LANE if cols != w else 0)
-    win2 = rows + _EXTRA
-    vmem = (channels * (2 * win2 + 8 * rows) + 10 * rows) * cbw * itemsize
-    if vmem > _VMEM_BUDGET:
         return (0, 0)
     return rows, cols
 
@@ -76,7 +93,7 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4,
     return _pick_tile(h, w, c, itemsize, span)[0] > 0
 
 
-def _kernel(dt_ref, vel_ref, src_ref, *rest,
+def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             dissipation: float, rows: int, cols: int, h_global: int,
             w_global: int, channels: int, h_true: int, w_true: int,
             span: int, col_halo: int, align: int, with_splats: bool):
@@ -87,7 +104,7 @@ def _kernel(dt_ref, vel_ref, src_ref, *rest,
     r, cb = rows, cols
     win2 = r + _EXTRA
     cbw = cols + 2 * col_halo
-    seg = _EXTRA - align  # fresh rows owned per segment
+    stride = _EXTRA - align  # fresh rows per segment; slices never straddle
     i = pl.program_id(0)
     j = pl.program_id(1)
     dt = dt_ref[0]
@@ -98,6 +115,12 @@ def _kernel(dt_ref, vel_ref, src_ref, *rest,
     else:
         cstart = pl.multiple_of(j * cb, LANE)
         coff = 0
+
+    # Per-tile row-offset bounds, reduced in the pre-pass (one SMEM scalar
+    # read each; SMEM blocks must be (8,128)-divisible so the whole tiny
+    # (n_r, n_c) arrays ride along unblocked).
+    lo_t = lo_ref[i, j]
+    hi_t = hi_ref[i, j]
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -110,7 +133,7 @@ def _kernel(dt_ref, vel_ref, src_ref, *rest,
     yg = jnp.clip(yg, 0.0, jnp.float32(h_true - 1))
     y0g = jnp.floor(yg)
     fy = (yg - y0g).astype(jnp.float32)
-    y0i = y0g.astype(jnp.int32)
+    s_rel = y0g.astype(jnp.int32) - (i * r + rows_local)  # global offsets
 
     # Aligned-window column coords (target block at lane offset col_halo).
     x_local = cols_local + jnp.float32(col_halo) - dt * vel_u
@@ -124,22 +147,29 @@ def _kernel(dt_ref, vel_ref, src_ref, *rest,
     x0i = x0.astype(jnp.int32)
     x1i = jnp.minimum((x0i + 1).astype(jnp.float32), x_hi).astype(jnp.int32)
 
-    lo = jnp.min(y0i)
-    hi = jnp.max(y0i) + 1  # highest row needed (the y0+1 corner)
-    base0 = (lo // align) * align
-    n_seg = (hi - base0) // seg + 1
-
     goff = col_halo // LANE
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
-    sentinel = win2 + r  # out-of-range oy for masked bound computation
+    nr = r + align
+
+    # Segment plan (all scalars): trips walk [lo_t, hi_t+1] once; segment k
+    # serves trips whose (unclipped) aligned slice start falls in
+    # [S0 + k*stride, S0 + (k+1)*stride). Clipped starts only ever wrap
+    # zero-weight rows (same argument as ops/pallas/advect._gather_stream).
+    s0_un = ((i * r + lo_t) // align) * align
+    al_last = ((i * r + hi_t + 1) // align) * align
+    n_seg = (al_last - s0_un) // stride + 1
+
+    if with_splats:
+        gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
 
     def gather_at(idx, rows_op):
         out = []
         for g_out in range(n_groups_out):
             sl = slice(g_out * LANE, (g_out + 1) * LANE)
             idx_g = idx[:, sl]
-            acc = jnp.zeros((rows_op.shape[0], r, LANE), dtype=rows_op.dtype)
+            acc = jnp.zeros((rows_op.shape[0], idx.shape[0], LANE),
+                            dtype=rows_op.dtype)
             for s in range(-span, span + 1):
                 gg = g_out + goff + s
                 if gg < 0 or gg >= n_groups_win:
@@ -155,64 +185,60 @@ def _kernel(dt_ref, vel_ref, src_ref, *rest,
             out.append(acc)
         return jnp.concatenate(out, axis=-1)
 
-    def seg_body(sidx, acc):
-        base = pl.multiple_of(
-            jnp.clip(base0 + sidx * seg, 0, h_global - win2), align)
+    # Pre-rolled lane alignment applies per slice (column-window mode).
+    lane_shift = jnp.mod(col_halo - coff, cbw) if col_halo else 0
+
+    def seg_body(k, acc):
+        seg_start = pl.multiple_of(
+            jnp.clip(s0_un + k * stride, 0, h_global - win2), align)
         if col_halo:
             copy = pltpu.make_async_copy(
-                src_ref.at[:, pl.ds(base, win2), pl.ds(cstart, cbw)],
+                src_ref.at[:, pl.ds(seg_start, win2), pl.ds(cstart, cbw)],
                 scratch, sem)
         else:
             copy = pltpu.make_async_copy(
-                src_ref.at[:, pl.ds(base, win2), :], scratch, sem)
+                src_ref.at[:, pl.ds(seg_start, win2), :], scratch, sem)
         copy.start()
         copy.wait()
-        # bf16 sources upcast in-register: rotate/gather are 32-bit ops.
-        window = scratch[:].astype(jnp.float32)
-        if with_splats:
-            # Separable rank-S splat bump over this segment's rows (the
-            # reference splats dye then advects it; bilinear sampling of
-            # dye+bump == sampling each — exact), fused as an MXU matmul
-            # instead of a separate full-grid splat pass.
-            gy_sl = gy_ref[pl.ds(base, win2), :].astype(jnp.float32)
-            gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
-            chans = []
-            for ch in range(channels):
-                amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
-                bump = jax.lax.dot_general(
-                    gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                chans.append(window[ch] + bump)
-            window = jnp.stack(chans)
-        if col_halo:
-            window = pltpu.roll(window, jnp.mod(col_halo - coff, cbw), axis=2)
 
-        # Exactly-once ownership: row q belongs to segment (q - base0) // seg.
-        own0 = (y0i - base0) // seg == sidx            # y0 row owner
-        own1 = (y0i + 1 - base0) // seg == sidx        # y0+1 row owner
-        # Window-local operand offsets for this tile's output rows.
-        oy0 = y0i - base - rows_local
-        oy1 = oy0 + 1
-        lo_oy = jnp.minimum(jnp.min(jnp.where(own0, oy0, sentinel)),
-                            jnp.min(jnp.where(own1, oy1, sentinel)))
-        hi_oy = jnp.maximum(jnp.max(jnp.where(own0, oy0, -sentinel)),
-                            jnp.max(jnp.where(own1, oy1, -sentinel)))
+        oy_lo = jnp.maximum(lo_t, s0_un + k * stride - i * r)
+        oy_hi = jnp.minimum(hi_t + 1, s0_un + (k + 1) * stride - 1 - i * r)
 
+        # One loop over the tile's union offset range: per-slab bounds were
+        # measured SLOWER here (92 vs 120 steps/s on the demo config) — the
+        # extra loop entries and small operands cost more than the skipped
+        # zero-weight trips, the same lesson as the same-grid kernel.
         def oy_body(oy, acc):
-            shift = jnp.mod(win2 - oy, win2)
-            rolled = pltpu.roll(window, shift, axis=1)
-            rows_op = rolled[:, :r, :]
+            al_un = ((i * r + oy) // align) * align
+            al = pl.multiple_of(jnp.clip(al_un, 0, h_global - nr), align)
+            al_loc = pl.multiple_of(al - seg_start, align)
+            # bf16 sources upcast here: rotate/gather are 32-bit ops.
+            sl16 = scratch[:, pl.ds(al_loc, nr), :].astype(jnp.float32)
+            if with_splats:
+                # Rank-S separable splat bump over these rows (MXU).
+                gy_sl = gy_ref[pl.ds(al, nr), :].astype(jnp.float32)
+                chans = []
+                for ch in range(channels):
+                    amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
+                    bump = jax.lax.dot_general(
+                        gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    chans.append(sl16[ch] + bump)
+                sl16 = jnp.stack(chans)
+            m = i * r + oy - al
+            rows_op = pltpu.roll(sl16, jnp.mod(-m, nr), axis=1)[:, :r, :]
+            if col_halo:
+                rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
             g0 = gather_at(x0i, rows_op)
             g1 = gather_at(x1i, rows_op)
-            gx = (g0.astype(jnp.float32) * (1.0 - fx)[None]
-                  + g1.astype(jnp.float32) * fx[None])
-            w0 = jnp.where(own0 & (oy0 == oy), 1.0 - fy, 0.0)
-            w1 = jnp.where(own1 & (oy1 == oy), fy, 0.0)
-            return acc + gx * (w0 + w1)[None]
+            gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
+            wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
+                   + jnp.where(s_rel == oy - 1, fy, 0.0))
+            return acc + gxv * wgt[None]
 
-        return lax.fori_loop(lo_oy, hi_oy + 1, oy_body, acc)
+        return lax.fori_loop(oy_lo, oy_hi + 1, oy_body, acc)
 
-    acc = jnp.zeros((channels, r, cb), dtype=jnp.float32)
+    acc = jnp.zeros((channels, r, cb), jnp.float32)
     acc = lax.fori_loop(0, n_seg, seg_body, acc)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
@@ -226,12 +252,13 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     right kernel when the displacement bound is large (cross-resolution dye
     advection). ``span`` sizes the column gather window only.
     splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
-    added to each DMA'd segment in-kernel before sampling."""
+    added to each slice in-kernel before sampling."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
     if true_shape is None:
         true_shape = (h, w)
+    align = row_align(src.dtype.itemsize)
     rows, cols = _pick_tile(h, w, c, src.dtype.itemsize, span)
     if rows == 0:
         raise ValueError(f"unsupported shape {source.shape}")
@@ -242,22 +269,32 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     win2 = rows + _EXTRA
     cbw = cols + 2 * col_halo
 
+    lo_b, hi_b = backtrace_row_bounds(velocity[1], dt, true_shape[0])
+    # Pad-region velocities are unconstrained garbage; clamping the bounds
+    # (not the coords) caps their trip counts without touching valid trips.
+    lo_b = jnp.maximum(lo_b, -(h + align))
+    hi_b = jnp.minimum(hi_b, h + align)
+    # Per-tile bounds plan the DMA segments and the union offset walk.
+    lo_t = lo_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).min((1, 3))
+    hi_t = hi_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).max((1, 3))
+
     with_splats = splat is not None
     kernel = functools.partial(
         _kernel, dissipation=float(dissipation), rows=rows, cols=cols,
         h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
-        span=span, col_halo=col_halo, align=row_align(src.dtype.itemsize),
-        with_splats=with_splats,
+        span=span, col_halo=col_halo, align=align, with_splats=with_splats,
     )
     in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
                      lambda i, j: (0, i * rows, j * cols),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=ANY_SPACE),   # source stays in HBM
     ]
-    args = [dt_arr, velocity, src]
+    args = [dt_arr, lo_t, hi_t, velocity, src]
     if with_splats:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         args += list(splat)
