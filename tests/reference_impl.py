@@ -120,6 +120,190 @@ def np_advect(vel, source, dt, dissipation):
     return out[0] if single else out
 
 
+def np_sample_bilinear_wrap(tex, u, v):
+    """texture2D LINEAR + REPEAT wrap (the dither texture, script.js:1128-1158)."""
+    h, w = tex.shape[-2], tex.shape[-1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0, y0 = int(np.floor(x)), int(np.floor(y))
+    fx, fy = x - x0, y - y0
+    ix0, ix1 = x0 % w, (x0 + 1) % w
+    iy0, iy1 = y0 % h, (y0 + 1) % h
+    a = tex[..., iy0, ix0]
+    b = tex[..., iy0, ix1]
+    c = tex[..., iy1, ix0]
+    d = tex[..., iy1, ix1]
+    return (a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
+
+
+def _np_resample(tex, out_h, out_w, sampler=np_sample_bilinear):
+    c = tex.shape[0] if tex.ndim == 3 else 1
+    out = np.zeros(((c,) if tex.ndim == 3 else ()) + (out_h, out_w), np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            out[..., i, j] = sampler(tex, (j + 0.5) / out_w, (i + 0.5) / out_h)
+    return out
+
+
+def np_bloom_prefilter(dye, out_h, out_w, threshold, soft_knee):
+    """bloomPrefilterShader (script.js:614-631)."""
+    knee = threshold * soft_knee + 1e-4
+    curve = (threshold - knee, knee * 2.0, 0.25 / knee)
+    out = np.zeros((3, out_h, out_w), np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            c = np_sample_bilinear(dye, (j + 0.5) / out_w, (i + 0.5) / out_h)
+            br = max(c[0], c[1], c[2])
+            rq = min(max(br - curve[0], 0.0), curve[1])
+            rq = curve[2] * rq * rq
+            c = c * max(rq, br - threshold) / max(br, 1e-4)
+            out[:, i, j] = c
+    return out
+
+
+def np_bloom_blur4(src, out_h, out_w):
+    """bloomBlurShader: 4-tap cross at +/-1 SOURCE texel (script.js:633-652,
+    texelSize bound to the source being read, script.js:1370)."""
+    sh, sw = src.shape[-2], src.shape[-1]
+    tx, ty = 1.0 / sw, 1.0 / sh
+    out = np.zeros(src.shape[:-2] + (out_h, out_w), np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            u, v = (j + 0.5) / out_w, (i + 0.5) / out_h
+            s = (np_sample_bilinear(src, u - tx, v)
+                 + np_sample_bilinear(src, u + tx, v)
+                 + np_sample_bilinear(src, u, v - ty)
+                 + np_sample_bilinear(src, u, v + ty))
+            out[..., i, j] = s * 0.25
+    return out
+
+
+def np_apply_bloom(dye, base_hw, mip_sizes, threshold, soft_knee, intensity):
+    """applyBloom (script.js:1350-1394): prefilter -> down chain -> additive
+    up chain -> final x intensity; zeros when < 2 mips."""
+    bh, bw = base_hw
+    if len(mip_sizes) < 2:
+        return np.zeros((3, bh, bw), np.float32)
+    last = np_bloom_prefilter(dye, bh, bw, threshold, soft_knee)
+    mips = []
+    for (mw, mh) in mip_sizes:
+        last = np_bloom_blur4(last, mh, mw)
+        mips.append(last)
+    for i in range(len(mips) - 2, -1, -1):
+        mips[i] = mips[i] + np_bloom_blur4(last, *mips[i].shape[-2:])
+        last = mips[i]
+    return np_bloom_blur4(last, bh, bw) * intensity
+
+
+def np_apply_sunrays(dye, out_h, out_w, weight):
+    """sunraysMask + 16-step march + 1x separable blur
+    (script.js:676-724, 479-494, 1396-1419)."""
+    br = dye.max(axis=0)
+    mask = 1.0 - np.minimum(np.maximum(br * 20.0, 0.0), 0.8)
+    density, decay0, exposure, iters = 0.3, 0.95, 0.7, 16
+    rays = np.zeros((out_h, out_w), np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            u, v = (j + 0.5) / out_w, (i + 0.5) / out_h
+            du = (u - 0.5) * (density / iters)
+            dv = (v - 0.5) * (density / iters)
+            cu, cv = u, v
+            color = np_sample_bilinear(mask, u, v)
+            decay = 1.0
+            for _ in range(iters):
+                cu -= du
+                cv -= dv
+                color += np_sample_bilinear(mask, cu, cv) * decay * weight
+                decay *= decay0
+            rays[i, j] = color * exposure
+    # blurShader: separable 3-tap with 1.33333-texel linear taps, 1 iteration.
+    off = 1.33333333
+    tx, ty = off / out_w, off / out_h
+    tmp = np.zeros_like(rays)
+    for i in range(out_h):
+        for j in range(out_w):
+            u, v = (j + 0.5) / out_w, (i + 0.5) / out_h
+            tmp[i, j] = (np_sample_bilinear(rays, u, v) * 0.29411764
+                         + np_sample_bilinear(rays, u - tx, v) * 0.35294117
+                         + np_sample_bilinear(rays, u + tx, v) * 0.35294117)
+    out = np.zeros_like(rays)
+    for i in range(out_h):
+        for j in range(out_w):
+            u, v = (j + 0.5) / out_w, (i + 0.5) / out_h
+            out[i, j] = (np_sample_bilinear(tmp, u, v) * 0.29411764
+                         + np_sample_bilinear(tmp, u, v - ty) * 0.35294117
+                         + np_sample_bilinear(tmp, u, v + ty) * 0.35294117)
+    return out
+
+
+def np_display(dye, out_h, out_w, shading, bloom, sunrays, dither):
+    """displayShaderSource with SHADING/BLOOM/SUNRAYS keywords
+    (script.js:549-612): RGBA out, alpha = max(r,g,b)."""
+    def gamma(c):
+        c = np.maximum(c, 0.0)
+        return np.maximum(1.055 * np.power(c, 0.416666667) - 0.055, 0.0)
+
+    out = np.zeros((4, out_h, out_w), np.float32)
+    tx, ty = 1.0 / out_w, 1.0 / out_h
+    for i in range(out_h):
+        for j in range(out_w):
+            u, v = (j + 0.5) / out_w, (i + 0.5) / out_h
+            c = np_sample_bilinear(dye, u, v)
+            if shading:
+                lc = np.linalg.norm(np_sample_bilinear(dye, u - tx, v))
+                rc = np.linalg.norm(np_sample_bilinear(dye, u + tx, v))
+                tc = np.linalg.norm(np_sample_bilinear(dye, u, v + ty))
+                bc = np.linalg.norm(np_sample_bilinear(dye, u, v - ty))
+                dx = rc - lc
+                dy = tc - bc
+                n = np.array([dx, dy, np.sqrt(tx * tx + ty * ty)])
+                n = n / np.linalg.norm(n)
+                diffuse = np.clip(n[2] + 0.7, 0.7, 1.0)
+                c = c * diffuse
+            bl = None
+            if bloom is not None:
+                bl = np_sample_bilinear(bloom, u, v)
+            if sunrays is not None:
+                rays = np_sample_bilinear(sunrays, u, v)
+                c = c * rays
+                if bl is not None:
+                    bl = bl * rays
+            if bl is not None:
+                if dither is not None:
+                    scale_x = out_w / dither.shape[-1]
+                    scale_y = out_h / dither.shape[-2]
+                    noise = np_sample_bilinear_wrap(dither, u * scale_x, v * scale_y)
+                    bl = bl + (noise * 2.0 - 1.0) / 255.0
+                c = c + gamma(bl)
+            out[:3, i, j] = c
+            out[3, i, j] = max(c[0], c[1], c[2])
+    return out
+
+
+def np_render(dye, config, dither):
+    """Full render(null) composition (script.js:1296-1348): bloom + sunrays +
+    back color + display, blended ONE/ONE_MINUS_SRC_ALPHA."""
+    out_h, out_w = config.CANVAS_HEIGHT, config.CANVAS_WIDTH
+    bloom = None
+    if config.BLOOM:
+        bw, bh = config.bloom_size
+        bloom = np_apply_bloom(dye, (bh, bw), config.bloom_mip_sizes(),
+                               config.BLOOM_THRESHOLD, config.BLOOM_SOFT_KNEE,
+                               config.BLOOM_INTENSITY)
+    sunrays = None
+    if config.SUNRAYS:
+        sw, sh = config.sunrays_size
+        sunrays = np_apply_sunrays(dye, sh, sw, config.SUNRAYS_WEIGHT)
+    disp = np_display(dye, out_h, out_w, config.SHADING, bloom, sunrays,
+                      dither if config.BLOOM else None)
+    r, g, b = config.BACK_COLOR
+    back = np.stack([np.full((out_h, out_w), r / 255.0, np.float32),
+                     np.full((out_h, out_w), g / 255.0, np.float32),
+                     np.full((out_h, out_w), b / 255.0, np.float32),
+                     np.ones((out_h, out_w), np.float32)])
+    return disp + back * (1.0 - disp[3:4])
+
+
 def np_splat(field, x, y, amount, radius, aspect):
     c, h, w = field.shape
     out = field.copy()
