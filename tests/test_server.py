@@ -51,8 +51,32 @@ def _post(url, events):
 def test_page_and_frame(server_url):
     page = urllib.request.urlopen(server_url + "/", timeout=5).read()
     assert b"tpufluid" in page and b"mousedown" in page
+    # the dat.GUI-equivalent panel: every reference knob group is wired
+    for knob in [b"DENSITY_DISSIPATION", b"VELOCITY_DISSIPATION", b"PRESSURE",
+                 b"CURL", b"SPLAT_RADIUS", b"SHADING", b"COLORFUL",
+                 b"DYE_RESOLUTION", b"SIM_RESOLUTION", b"BLOOM_INTENSITY",
+                 b"BLOOM_THRESHOLD", b"SUNRAYS_WEIGHT", b"BACK_COLOR",
+                 b"TRANSPARENT", b"Random splats", b"Take screenshot"]:
+        assert knob in page, knob
     jpg = urllib.request.urlopen(server_url + "/frame", timeout=5).read()
     assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+
+
+def test_config_get(server_url):
+    cfg = json.loads(urllib.request.urlopen(server_url + "/config", timeout=5).read())
+    assert cfg["SIM_RESOLUTION"] == 32 and "SPLAT_RADIUS" in cfg
+
+
+def test_screenshot_endpoint(server_url):
+    """GUI 'take screenshot' -> server-side captureScreenshot -> PNG
+    (reference script.js:237, 287-299)."""
+    png = urllib.request.urlopen(server_url + "/screenshot", timeout=30).read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(png))
+    # capture renders at CAPTURE_RESOLUTION aspect-fitted (getResolution)
+    assert im.width >= CFG.CANVAS_WIDTH and im.height >= CFG.CANVAS_HEIGHT
 
 
 def test_drag_splats_dye(server_url):
@@ -87,21 +111,25 @@ def test_bad_json_rejected(server_url):
 
 
 def test_trace_export_is_replayable(server_url):
+    """The session exports as a Trace v2 with the per-step WALL dt the server
+    measured (reference calcDeltaTime recomputes dt each frame)."""
     from tpufluid.trace import Trace
 
     data = urllib.request.urlopen(server_url + "/trace.npz", timeout=5).read()
     npz = np.load(io.BytesIO(data))
     assert npz["batches"].ndim == 3 and npz["batches"].shape[-1] == 8
+    assert npz["dts"].shape == (npz["batches"].shape[0],)
+    assert (npz["dts"] <= 1 / 60 + 1e-6).all() and (npz["dts"] >= 0).all()
     # replay a prefix through the step function without error
     import jax.numpy as jnp
 
     from tpufluid import init_state, make_step
 
-    tr = Trace(npz["batches"][:5], float(npz["dt"]))
+    tr = Trace(npz["batches"][:5], npz["dts"][:5])
     step = make_step(CFG)
     s = init_state(CFG)
     for t in range(tr.num_steps):
-        s = step(s, jnp.float32(tr.dt), jnp.asarray(tr.batches[t]))
+        s = step(s, jnp.float32(tr.dts[t]), jnp.asarray(tr.batches[t]))
     assert bool(jnp.isfinite(s.dye).all())
 
 

@@ -104,3 +104,25 @@ def capture_frame(state: FluidState, config: FluidConfig,
     """Offscreen capture at CAPTURE_RESOLUTION (captureScreenshot, script.js:287-299)."""
     cw, ch = config.capture_size
     return render_frame(state, config, out_hw=(ch, cw), to_screen=False, dither=dither)
+
+
+@lru_cache(maxsize=None)
+def make_step_and_render(config: FluidConfig,
+                         out_hw: Optional[Tuple[int, int]] = None):
+    """One jitted dispatch per interactive frame: step + render + uint8
+    quantize + vertical flip ON-DEVICE -> (state, (h, w, 3) uint8 top-down).
+
+    The interactive server's frame rate is dispatch-bound on tunneled
+    backends (~450 us per dispatch): fusing the reference's per-frame
+    step(dt) + render(null) pair (script.js:1182-1184) into one dispatch and
+    shipping 3-byte pixels instead of f32 RGBA cuts both the dispatch count
+    and the device->host transfer."""
+    from tpufluid.step import fluid_step
+
+    def tick(state: FluidState, dt, splats):
+        state = fluid_step(state, dt, splats, config)
+        frame = render_frame(state, config, out_hw=out_hw)
+        rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return state, jnp.transpose(rgb, (1, 2, 0))[::-1]
+
+    return jax.jit(tick, donate_argnums=0)

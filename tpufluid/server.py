@@ -4,11 +4,20 @@ by the TPU/CPU simulator.
 The reference is a browser app: mouse/touch drags splat dye, space queues a
 random burst, P pauses, and a dat.GUI panel tunes the config
 (/root/reference/index.html, script.js:1464-1563, 208-281). This module
-reproduces that loop headlessly: a background thread steps the simulation and
-renders JPEG frames; a tiny HTTP server streams them to a canvas page that
-posts pointer/keyboard events back into the same pointer state machine used
-for trace replay (tpufluid.trace.PointerTracer) — so an interactive session
-can be recorded and replayed deterministically.
+reproduces that loop headlessly: a background thread runs ONE fused
+step+render dispatch per frame (tpufluid.render.make_step_and_render) and
+JPEG-encodes the result; a tiny HTTP server streams frames to a canvas page
+that posts pointer/keyboard/panel events back into the same pointer state
+machine used for trace replay (tpufluid.trace.PointerTracer) — so an
+interactive session can be recorded and replayed deterministically, with the
+per-frame wall-clock dt (reference calcDeltaTime, script.js:1188-1194).
+
+The served page carries the dat.GUI-equivalent control panel
+(script.js:208-281): quality/sim-res dropdowns, dissipation / pressure /
+vorticity / splat-radius sliders, shading/colorful toggles, Bloom and
+Sunrays folders, background color + transparent, "Random splats", pause,
+and "Take screenshot" (server-side captureScreenshot -> fluid.png download,
+script.js:237,287-299).
 
 Run:  python -m tpufluid.server --port 8000 --sim-res 128 --dye-res 512
 """
@@ -27,11 +36,21 @@ import numpy as np
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>tpufluid</title><style>
-html,body{margin:0;background:#000;height:100%;overflow:hidden}
+html,body{margin:0;background:#000;height:100%;overflow:hidden;font:12px monospace}
 img{width:100vw;height:100vh;object-fit:fill;cursor:crosshair;-webkit-user-drag:none;user-select:none}
-#hud{position:fixed;top:8px;left:8px;color:#8f8;font:12px monospace;background:rgba(0,0,0,.5);padding:4px 8px}
+#hud{position:fixed;top:8px;left:8px;color:#8f8;background:rgba(0,0,0,.5);padding:4px 8px}
+#panel{position:fixed;top:8px;right:8px;width:240px;background:rgba(16,16,16,.88);color:#eee;
+ padding:8px;border-radius:4px;max-height:95vh;overflow-y:auto}
+#panel h4{margin:6px 0 2px;color:#7cf;border-bottom:1px solid #333;cursor:pointer}
+#panel label{display:flex;justify-content:space-between;align-items:center;margin:3px 0}
+#panel input[type=range]{width:120px}
+#panel select{width:126px;background:#222;color:#eee;border:1px solid #444}
+#panel button{width:100%;margin:3px 0;background:#234;color:#eee;border:1px solid #456;
+ padding:4px;cursor:pointer;border-radius:3px}
+#panel .val{color:#8f8;min-width:34px;text-align:right}
 </style></head><body>
 <img id="view" draggable="false"><div id="hud">tpufluid</div>
+<div id="panel"></div>
 <script>
 const img = document.getElementById('view');
 const hud = document.getElementById('hud');
@@ -41,6 +60,10 @@ function post() {
     fetch('/events', {method: 'POST', body: JSON.stringify(events)});
     events = [];
   }
+}
+function setCfg(k, v) {
+  const body = {}; body[k] = v;
+  return fetch('/config', {method: 'POST', body: JSON.stringify(body)});
 }
 function xy(e) {
   const r = img.getBoundingClientRect();
@@ -64,6 +87,81 @@ window.addEventListener('keydown', e => {
   post();
 });
 setInterval(post, 33);
+
+// ---- control panel (the dat.GUI analog, script.js:208-281) ----
+const panel = document.getElementById('panel');
+function folder(name, open=true) {
+  const h = document.createElement('h4'); h.textContent = name;
+  const box = document.createElement('div');
+  if (!open) box.style.display = 'none';
+  h.onclick = () => box.style.display = box.style.display === 'none' ? '' : 'none';
+  panel.appendChild(h); panel.appendChild(box);
+  return box;
+}
+function slider(box, label, key, min, max, step, value) {
+  const l = document.createElement('label');
+  l.innerHTML = label + ' <input type="range" min="'+min+'" max="'+max+'" step="'+step+
+    '" value="'+value+'"><span class="val">'+value+'</span>';
+  const inp = l.querySelector('input'), val = l.querySelector('.val');
+  inp.oninput = () => val.textContent = inp.value;
+  inp.onchange = () => setCfg(key, parseFloat(inp.value));
+  box.appendChild(l);
+}
+function toggle(box, label, key, value, fn) {
+  const l = document.createElement('label');
+  l.innerHTML = label + ' <input type="checkbox"' + (value ? ' checked' : '') + '>';
+  const inp = l.querySelector('input');
+  inp.onchange = () => fn ? fn(inp.checked) : setCfg(key, inp.checked);
+  box.appendChild(l);
+}
+function dropdown(box, label, key, options, value) {
+  const l = document.createElement('label');
+  l.innerHTML = label + ' <select>' + options.map(o =>
+    '<option value="'+o[1]+'"'+(o[1]===value?' selected':'')+'>'+o[0]+'</option>').join('') + '</select>';
+  l.querySelector('select').onchange = e => setCfg(key, parseInt(e.target.value));
+  box.appendChild(l);
+}
+function button(box, label, fn) {
+  const b = document.createElement('button'); b.textContent = label; b.onclick = fn;
+  box.appendChild(b);
+}
+fetch('/config').then(r => r.json()).then(cfg => {
+  const main = folder('tpufluid');
+  dropdown(main, 'quality', 'DYE_RESOLUTION',
+    [['high',1024],['medium',512],['low',256],['very low',128]], cfg.DYE_RESOLUTION);
+  dropdown(main, 'sim resolution', 'SIM_RESOLUTION',
+    [['32',32],['64',64],['128',128],['256',256]], cfg.SIM_RESOLUTION);
+  slider(main, 'density diffusion', 'DENSITY_DISSIPATION', 0, 4, 0.01, cfg.DENSITY_DISSIPATION);
+  slider(main, 'velocity diffusion', 'VELOCITY_DISSIPATION', 0, 4, 0.01, cfg.VELOCITY_DISSIPATION);
+  slider(main, 'pressure', 'PRESSURE', 0, 1, 0.01, cfg.PRESSURE);
+  slider(main, 'vorticity', 'CURL', 0, 50, 1, cfg.CURL);
+  slider(main, 'splat radius', 'SPLAT_RADIUS', 0.01, 1, 0.01, cfg.SPLAT_RADIUS);
+  toggle(main, 'shading', 'SHADING', cfg.SHADING);
+  toggle(main, 'colorful', 'COLORFUL', cfg.COLORFUL);
+  toggle(main, 'paused', null, false, v => { events.push({k:'pause', v:v}); post(); });
+  button(main, 'Random splats', () => { events.push({k:'burst'}); post(); });
+  const bloom = folder('Bloom');
+  toggle(bloom, 'enabled', 'BLOOM', cfg.BLOOM);
+  slider(bloom, 'intensity', 'BLOOM_INTENSITY', 0.1, 2, 0.01, cfg.BLOOM_INTENSITY);
+  slider(bloom, 'threshold', 'BLOOM_THRESHOLD', 0, 1, 0.01, cfg.BLOOM_THRESHOLD);
+  const rays = folder('Sunrays');
+  toggle(rays, 'enabled', 'SUNRAYS', cfg.SUNRAYS);
+  slider(rays, 'weight', 'SUNRAYS_WEIGHT', 0.3, 1, 0.01, cfg.SUNRAYS_WEIGHT);
+  const cap = folder('Capture');
+  const l = document.createElement('label');
+  l.innerHTML = 'background <input type="color" value="#000000">';
+  l.querySelector('input').onchange = e => {
+    const v = e.target.value;
+    setCfg('BACK_COLOR', [parseInt(v.slice(1,3),16), parseInt(v.slice(3,5),16), parseInt(v.slice(5,7),16)]);
+  };
+  cap.appendChild(l);
+  toggle(cap, 'transparent', 'TRANSPARENT', cfg.TRANSPARENT);
+  button(cap, 'Take screenshot', () => {
+    const a = document.createElement('a');
+    a.href = '/screenshot?' + Date.now(); a.download = 'fluid.png'; a.click();
+  });
+});
+
 let frames = 0, t0 = performance.now();
 function tick() {
   const next = new Image();
@@ -79,52 +177,59 @@ function tick() {
 tick();
 </script></body></html>"""
 
+MAX_DT = 1.0 / 60.0  # calcDeltaTime clamp (script.js:1191)
+
 
 class FluidServer:
     """Owns the sim loop; thread-safe event queue + latest JPEG frame."""
 
     def __init__(self, config, seed: int = 0, quality: int = 80):
-        from tpufluid import init_state, make_render, make_step
+        from tpufluid import init_state
+        from tpufluid.render import make_render, make_step_and_render
         from tpufluid.trace import PointerTracer
 
         self.config = config
         self.tracer = PointerTracer(config, seed=seed)
         self.state = None
         self._init_state = init_state
-        self.step = make_step(config)
+        # One fused step+render+quantize dispatch per frame.
+        self.tick = make_step_and_render(config)
         self.render = make_render(config)
         self.quality = quality
         self.paused = False
         self.lock = threading.Lock()
         self.frame_bytes: Optional[bytes] = None
         self.steps_done = 0
-        # Per-step splat batches for Trace export; capped at ~10 minutes of
-        # session so a long-running server doesn't grow without bound.
+        # Per-step splat batches + wall dts for Trace v2 export; capped at
+        # ~10 minutes of session so a long server doesn't grow unbounded.
         self.recorded = []
+        self.recorded_dts = []
         self.max_recorded = 36000
         self._stop = threading.Event()
 
     def reconfigure(self, updates: dict) -> dict:
         """Live config change — the dat.GUI behavior (script.js:208-281):
-        resolution changes rebuild the fields with a resample
-        (initFramebuffers), toggles re-specialize the jitted functions
-        (updateKeywords). Returns the new config as a dict."""
+        resolution changes rebuild the fields (initFramebuffers: dye/velocity
+        resampled, pressure re-created), toggles re-specialize the jitted
+        functions (updateKeywords). Returns the new config as a dict."""
         import dataclasses
 
-        from tpufluid import FluidConfig, make_render, make_step
+        from tpufluid import FluidConfig
+        from tpufluid.render import make_render, make_step_and_render
         from tpufluid.state import resize_state
 
         with self.lock:
             cfg = dataclasses.replace(self.config, **updates).validate()
-            new_step = make_step(cfg)
+            new_tick = make_step_and_render(cfg)
             new_render = make_render(cfg)
             if self.state is not None:
                 self.state = resize_state(self.state, cfg)
             if cfg.MAX_SPLATS != self.config.MAX_SPLATS:
                 self.recorded = []  # trace batches are shape-homogeneous
+                self.recorded_dts = []
             self.config = cfg
             self.tracer.config = cfg
-            self.step = new_step
+            self.tick = new_tick
             self.render = new_render
             return dataclasses.asdict(cfg)
 
@@ -143,10 +248,25 @@ class FluidServer:
                 elif k == "burst":
                     self.tracer.feed("burst", n=int(np.random.default_rng().integers(5, 25)))
                 elif k == "pause":
-                    self.paused = not self.paused
+                    # absolute set from the panel checkbox, toggle from 'P'
+                    self.paused = bool(e["v"]) if "v" in e else not self.paused
+
+    def screenshot_png(self) -> bytes:
+        """Server-side captureScreenshot (script.js:237,287-299) -> PNG bytes."""
+        from tpufluid.io import frame_to_uint8
+        from tpufluid.render import capture_frame
+
+        from PIL import Image
+
+        with self.lock:
+            state, cfg = self.state, self.config
+            frame = np.asarray(capture_frame(state, cfg))
+        arr = frame_to_uint8(frame)
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGBA" if arr.shape[-1] == 4 else "RGB").save(buf, "PNG")
+        return buf.getvalue()
 
     def run(self):
-        import jax
         import jax.numpy as jnp
 
         from tpufluid.io import frame_to_uint8
@@ -159,14 +279,18 @@ class FluidServer:
         with self.lock:
             self.tracer.splat_stack.append(int(np.random.default_rng().integers(5, 25)))
 
-        dt = jnp.float32(1.0 / 60.0)
+        last = time.time()
         while not self._stop.is_set():
             t_frame = time.time()
-            # The whole tick holds the lock: make_step donates the state
+            # The reference recomputes dt from wall time each frame,
+            # clamped to 1/60 (calcDeltaTime, script.js:1188-1194).
+            dt_wall = min(t_frame - last, MAX_DT)
+            last = t_frame
+            # The whole tick holds the lock: the fused step donates the state
             # buffers, so a concurrent reconfigure() must never see a
             # mid-step state. HTTP handlers only hold the lock briefly.
             with self.lock:
-                events = self.tracer.drain_step(1.0 / 60.0)
+                events = self.tracer.drain_step(dt_wall)
                 paused = self.paused
                 max_s = self.config.MAX_SPLATS
                 batch = np.zeros((max_s, SPLAT_COLS), np.float32)
@@ -174,16 +298,20 @@ class FluidServer:
                     batch[i] = [x, y, dx, dy, color[0], color[1], color[2], 1.0]
                 if len(self.recorded) < self.max_recorded:
                     self.recorded.append(batch)
-                if not paused:
-                    self.state = self.step(self.state, dt, jnp.asarray(batch))
-                frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
+                    self.recorded_dts.append(dt_wall)
+                if paused:
+                    frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
+                else:
+                    self.state, rgb = self.tick(self.state, jnp.float32(dt_wall),
+                                                jnp.asarray(batch))
+                    frame = np.asarray(rgb)
             buf = io.BytesIO()
             Image.fromarray(frame, "RGB").save(buf, "JPEG", quality=self.quality)
             with self.lock:
                 self.frame_bytes = buf.getvalue()
                 self.steps_done += 1
             # pace roughly like the reference's rAF (60 Hz cap)
-            left = 1.0 / 60.0 - (time.time() - t_frame)
+            left = MAX_DT - (time.time() - t_frame)
             if left > 0:
                 time.sleep(left)
 
@@ -196,6 +324,15 @@ def make_handler(server: FluidServer):
         def log_message(self, *a):  # quiet
             pass
 
+        def _send(self, data: bytes, ctype: str, extra=()):
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Cache-Control", "no-store")
+            for k, v in extra:
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(data)
+
         def do_GET(self):
             if self.path.startswith("/frame"):
                 with server.lock:
@@ -204,38 +341,33 @@ def make_handler(server: FluidServer):
                     self.send_response(503)
                     self.end_headers()
                     return
-                self.send_response(200)
-                self.send_header("Content-Type", "image/jpeg")
-                self.send_header("Cache-Control", "no-store")
-                self.end_headers()
-                self.wfile.write(data)
+                self._send(data, "image/jpeg")
+            elif self.path.startswith("/screenshot"):
+                self._send(server.screenshot_png(), "image/png",
+                           [("Content-Disposition", "attachment; filename=fluid.png")])
             elif self.path.startswith("/trace.npz"):
                 # Export the interactive session as a deterministic replay
-                # trace (tpufluid.trace.Trace format).
-                import io as _io
-
+                # trace (tpufluid.trace.Trace v2: per-step wall dt).
                 with server.lock:
                     batches = np.stack(server.recorded) if server.recorded else \
                         np.zeros((0, server.config.MAX_SPLATS, 8), np.float32)
-                buf = _io.BytesIO()
-                np.savez_compressed(buf, batches=batches, dt=np.float64(1.0 / 60.0))
-                self.send_response(200)
-                self.send_header("Content-Type", "application/octet-stream")
-                self.end_headers()
-                self.wfile.write(buf.getvalue())
+                    dts = np.asarray(server.recorded_dts, np.float32)
+                buf = io.BytesIO()
+                np.savez_compressed(buf, batches=batches, dts=dts,
+                                    version=np.int32(2))
+                self._send(buf.getvalue(), "application/octet-stream")
+            elif self.path.startswith("/config"):
+                import dataclasses
+
+                with server.lock:
+                    body = json.dumps(dataclasses.asdict(server.config)).encode()
+                self._send(body, "application/json")
             elif self.path.startswith("/stats"):
                 with server.lock:
                     out = {"steps": server.steps_done, "paused": server.paused}
-                body = json.dumps(out).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.end_headers()
-                self.wfile.write(body)
+                self._send(json.dumps(out).encode(), "application/json")
             else:
-                self.send_response(200)
-                self.send_header("Content-Type", "text/html")
-                self.end_headers()
-                self.wfile.write(_PAGE.encode())
+                self._send(_PAGE.encode(), "text/html")
 
         def do_POST(self):
             if self.path.startswith("/events"):
@@ -272,6 +404,15 @@ def make_handler(server: FluidServer):
 
 
 def main(argv=None):
+    import os
+
+    if os.environ.get("TPUFLUID_DEVICE", "").lower() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     from tpufluid import FluidConfig
 
     p = argparse.ArgumentParser(prog="tpufluid.server", description=__doc__)
