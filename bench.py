@@ -1,46 +1,39 @@
-"""Headline benchmark: sim steps/sec at 1024^2 with 20 Jacobi iterations.
+"""Benchmark matrix — one BASELINE.md config per run, one JSON line out.
 
-North star (BASELINE.json): >= 10,000 steps/sec on one TPU chip, vs the
-reference WebGL demo's vsync-bound 60 steps/sec (script.js:1185,1191).
+  python bench.py             # headline (config 3): 1024^2, 20 Jacobi, f32
+  python bench.py --config 1  # demo default: 128 sim / 1024-scale dye @ 1280x720
+  python bench.py --config 2  # render: 1280x720 full display pipeline fps
+  python bench.py --config 3  # headline (the driver's default)
+  python bench.py --config 4  # 4096^2 bfloat16 long-horizon step
+  python bench.py --config 5  # 16384^2 bfloat16 (single chip; the sharded
+                              #   path is validated by dryrun_multichip)
 
-Runs the full fluid step (splats + curl + vorticity + divergence + warm-start
-+ 20 Jacobi + gradient subtract + self-advect + dye advect at 1024^2 for both
-grids) as a lax.scan of steps (the trace-replay execution mode), with a
-deterministic recorded splat stream.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.json): >= 10,000 steps/sec at 1024^2 on one v5p chip,
+vs the reference WebGL demo's vsync-bound 60 steps/sec (script.js:1185,1191).
+All sim configs run the FULL fluid step (splat replay + curl + vorticity +
+divergence + Jacobi + projection + both advections) as a lax.scan of steps
+(the trace-replay execution mode) with a deterministic recorded splat stream.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import numpy as np
 
 
-def main() -> None:
-    import jax
+def _bench_steps(config, chunks: int, chunk: int):
     import jax.numpy as jnp
 
-    from tpufluid import FluidConfig, init_state
+    from tpufluid import init_state
     from tpufluid.step import make_multi_step
     from tpufluid.trace import swirl_trace
 
-    config = FluidConfig(
-        SIM_RESOLUTION=1024,
-        DYE_RESOLUTION=1024,
-        CANVAS_WIDTH=1024,
-        CANVAS_HEIGHT=1024,
-        PRESSURE_ITERATIONS=20,
-        MAX_SPLATS=8,
-    ).validate()
-
-    chunk = 100
     trace = swirl_trace(config, chunk, seed=42)
     batches = jnp.asarray(trace.batches)
     dt = jnp.float32(1.0 / 60.0)
-
     multi = make_multi_step(config)
     state = init_state(config)
 
@@ -50,26 +43,83 @@ def main() -> None:
     state = multi(state, dt, batches)
     float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
 
-    # Timed: several chunks; each chunk is one dispatch of `chunk` steps.
-    # The closing scalar read is the synchronization point.
-    n_chunks = 5
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
+    for _ in range(chunks):
         state = multi(state, dt, batches)
     checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum), "velocity went non-finite during bench"
+    return chunks * chunk / elapsed
 
-    steps = n_chunks * chunk
-    value = steps / elapsed
 
-    # Sanity: state must stay finite (guards against benchmarking garbage).
-    assert np.isfinite(checksum), "velocity field went non-finite during bench"
+def _bench_render(config, frames: int = 200):
+    import jax
+    import jax.numpy as jnp
+
+    from tpufluid import init_state
+    from tpufluid.render import make_render
+    from tpufluid.step import make_multi_step
+    from tpufluid.trace import swirl_trace
+
+    trace = swirl_trace(config, 60, seed=42)
+    multi = make_multi_step(config)
+    state = multi(init_state(config), jnp.float32(1 / 60),
+                  jnp.asarray(trace.batches))
+    render = make_render(config)
+    f = render(state)
+    float(jnp.sum(f[:, :8, :128].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        f = render(state)
+    float(jnp.sum(f[:, :8, :128].astype(jnp.float32)))
+    return frames / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
+    args = p.parse_args()
+
+    from tpufluid import FluidConfig
+
+    if args.config == 1:
+        cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+                          CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8).validate()
+        value = _bench_steps(cfg, chunks=3, chunk=100)
+        metric = "sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, fp32)"
+    elif args.config == 2:
+        cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+                          CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
+                          MAX_SPLATS=8).validate()
+        value = _bench_render(cfg)
+        metric = "render frames/sec, 1280x720 full display pipeline (bloom mips + sunrays + shading + dither)"
+    elif args.config == 3:
+        cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
+                          CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8).validate()
+        value = _bench_steps(cfg, chunks=5, chunk=100)
+        metric = "sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, fp32, trace replay"
+    elif args.config == 4:
+        cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
+                          CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          DTYPE="bfloat16").validate()
+        value = _bench_steps(cfg, chunks=2, chunk=50)
+        metric = "sim steps/sec, 4096^2 bfloat16, 20 Jacobi iters, trace replay"
+    else:
+        cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
+                          CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          DTYPE="bfloat16").validate()
+        value = _bench_steps(cfg, chunks=1, chunk=20)
+        metric = "sim steps/sec, 16384^2 bfloat16 single chip, 20 Jacobi iters"
 
     print(json.dumps({
-        "metric": "sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, fp32, trace replay",
-        "value": round(value, 1),
-        "unit": "steps/sec",
-        "vs_baseline": round(value / 60.0, 1),
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": "steps/sec" if args.config != 2 else "frames/sec",
+        "vs_baseline": round(value / 60.0, 2),
     }))
 
 

@@ -104,6 +104,18 @@ def jacobi_pressure(pressure, div, iterations, prescale=1.0):
 
 
 def gradient_subtract(velocity, pressure):
+    """Un-fused projection tail (the single-device step uses the fused
+    project_and_self_advect; the sharded step needs the split)."""
+    h, w = velocity.shape[-2:]
+    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
+        from tpufluid.ops.pallas import stencil as _pl
+
+        pad = _padded_shape(h, w, "stencil", velocity.dtype.itemsize)
+        if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
+            out = _pl.gradient_subtract(pad_to(velocity, *pad),
+                                        pad_to(pressure, *pad),
+                                        true_shape=(h, w))
+            return out[..., :h, :w]
     return _jnp.gradient_subtract(velocity, pressure)
 
 
@@ -142,12 +154,32 @@ def advect(velocity, source, dt, dissipation, splat_factors=None):
     """
     h, w = source.shape[-2], source.shape[-1]
     hv, wv = velocity.shape[-2], velocity.shape[-1]
+    if (hv, wv) != (h, w):
+        vel = resample_bilinear(velocity, (h, w))
+        # sim-texels/s -> source-texels/s (displacement scales by the ratio)
+        vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
+    else:
+        vel = velocity
+    return advect_same_grid(vel, source, dt, dissipation,
+                            _MAX_DISP_SIM_TEXELS * h / hv,
+                            _MAX_DISP_SIM_TEXELS * w / wv,
+                            splat_factors=splat_factors)
+
+
+def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
+                     max_disp_x, splat_factors=None):
+    """Advection with the velocity ALREADY on the source grid in
+    source-texels/second; max_disp_* bound the backtrace displacement in
+    source texels (they size the gather halo/span — the shapes alone cannot,
+    e.g. a shard's pre-resampled dye velocity). Used directly by the sharded
+    step, which resamples per shard with global coordinates."""
+    h, w = source.shape[-2], source.shape[-1]
     it = source.dtype.itemsize
     if _on_tpu() and it in (2, 4):
         from tpufluid.ops.pallas import advect as _pl
 
-        halo = _pl.halo_for_displacement(_MAX_DISP_SIM_TEXELS * h / hv)
-        span = _pl.group_span_for_displacement(_MAX_DISP_SIM_TEXELS * w / wv)
+        halo = _pl.halo_for_displacement(max_disp_y)
+        span = _pl.group_span_for_displacement(max_disp_x)
         c = source.shape[0] if source.ndim == 3 else 1
 
         def padded_splat(pad):
@@ -166,9 +198,8 @@ def advect(velocity, source, dt, dissipation, splat_factors=None):
 
             pad = _padded_shape(h, w, "advect", it)
             if pad is not None and _hbm.supported((c,) + pad, it, span):
-                vel = resample_bilinear(velocity, (h, w))
-                vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
-                out = _hbm.advect_pallas_hbm(pad_to(vel, *pad), pad_to(source, *pad),
+                out = _hbm.advect_pallas_hbm(pad_to(velocity, *pad),
+                                             pad_to(source, *pad),
                                              dt, dissipation, true_shape=(h, w),
                                              span=span, splat=padded_splat(pad))
                 return out[..., :h, :w]
@@ -179,12 +210,7 @@ def advect(velocity, source, dt, dissipation, splat_factors=None):
             all_ch = _pl.supported((c,) + pad, it, halo)
             per_ch = all_ch or _pl.supported((1,) + pad, it, halo)
             if per_ch:
-                vel = velocity
-                if (hv, wv) != (h, w):
-                    vel = resample_bilinear(velocity, (h, w))
-                    # sim-texels/s -> source-texels/s
-                    vel = jnp.stack([vel[0] * (w / wv), vel[1] * (h / hv)])
-                vel_p = pad_to(vel, *pad)
+                vel_p = pad_to(velocity, *pad)
                 src_p = pad_to(source, *pad)
                 sp = padded_splat(pad)
                 if all_ch:

@@ -140,6 +140,83 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
     out_div_ref[:] = od.astype(out_div_ref.dtype)
 
 
+def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int, h_global: int,
+               h_true: int, w_true: int, halo: int, align: int):
+    """vel - un-halved grad(p) (gradientSubtractShader, script.js:892-913 —
+    the reference's missing 0.5 factor is deliberate, see ops/stencil.py)."""
+    i = pl.program_id(0)
+    blk_h = p_ref.shape[0]
+    w = p_ref.shape[1]
+    start = window_start(i, rows_per_block, halo, h_global, align)
+
+    rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
+    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
+    first_row = rows == 0
+    last_row = rows == h_true - 1
+    first_col = cols == 0
+    last_col = cols == w_true - 1
+
+    p = p_ref[:].astype(jnp.float32)
+    pl_ = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
+    pr = jnp.where(last_col, p, pltpu.roll(p, w - 1, axis=1))
+    pb = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
+    pt = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
+
+    u = vel_ref[0].astype(jnp.float32) - (pr - pl_)
+    v = vel_ref[1].astype(jnp.float32) - (pt - pb)
+
+    off = i * rows_per_block - start
+    r = rows_per_block
+    ou = jnp.zeros((r, w), u.dtype)
+    ov = jnp.zeros((r, w), v.dtype)
+    for k in range(0, 2 * halo + 1, align):
+        ou = jnp.where(off == k, u[k:k + r], ou)
+        ov = jnp.where(off == k, v[k:k + r], ov)
+    out_ref[0] = ou.astype(out_ref.dtype)
+    out_ref[1] = ov.astype(out_ref.dtype)
+
+
+def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
+                      true_shape=None) -> jnp.ndarray:
+    """One-HBM-pass Pallas gradient subtract (the projection's last step;
+    the single-device step uses the fused project_advect kernel instead —
+    the sharded step needs the un-fused op so the projected velocity can be
+    halo-exchanged before its self-advection gather)."""
+    _, h, w = velocity.shape
+    if true_shape is None:
+        true_shape = (h, w)
+    rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
+    if rows_per_block == 0:
+        raise ValueError(f"unsupported shape {velocity.shape}")
+    halo = _halo(velocity.dtype.itemsize)
+    align = row_align(velocity.dtype.itemsize)
+    n_blocks = h // rows_per_block
+    win = rows_per_block + 2 * halo
+    idx1 = make_window_index_map(rows_per_block, halo, h, lead_dims=1, align=align)
+    idx0 = make_window_index_map(rows_per_block, halo, h, lead_dims=0, align=align)
+    kernel = functools.partial(_gs_kernel, rows_per_block=rows_per_block,
+                               h_global=h, h_true=true_shape[0],
+                               w_true=true_shape[1], halo=halo, align=align)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
+                         idx1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(win), _Element(w)), idx0,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, rows_per_block, w), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * h * w,
+            bytes_accessed=5 * h * w * velocity.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(velocity, pressure)
+
+
 def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
                               splat_gy: Optional[jnp.ndarray] = None,
                               splat_gx: Optional[jnp.ndarray] = None,

@@ -64,11 +64,19 @@ def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
 
 
 def splat_factors(splats: jnp.ndarray, h: int, w: int, radius: float,
-                  aspect: float, amount_cols: slice):
+                  aspect: float, amount_cols: slice, row0=0, h_total=None):
     """Separable factors of the splat batch for fusion into other kernels:
-    (gy (H, S), gx (S, W), amt (S, C)) with inactive rows zeroed."""
+    (gy (H, S), gx (S, W), amt (S, C)) with inactive rows zeroed.
+
+    row0/h_total: gy for the GLOBAL rows [row0, row0+h) of an h_total-row
+    grid (a shard's halo-padded row block; row0 may be traced). Rows outside
+    the grid clamp to the edge row, matching the replicated ghost rows a
+    halo exchange produces at the global boundary."""
+    if h_total is None:
+        h_total = h
+    rows = jnp.clip(row0 + jnp.arange(h, dtype=jnp.float32), 0, h_total - 1)
     u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    v = (rows + 0.5) / h_total
     px = (u[None, :] - splats[:, SPLAT_X][:, None]) * aspect
     py = v[None, :] - splats[:, SPLAT_Y][:, None]
     gx = jnp.exp(-(px * px) / radius)

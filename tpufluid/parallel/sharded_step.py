@@ -1,15 +1,38 @@
-"""Communication-explicit sharded step: shard_map + per-stencil halo exchange.
+"""Communication-explicit sharded step: shard_map + halo exchange around the
+SAME kernel suite the single-device step uses.
 
 Every field is row-sharded over the 1-D mesh (tpufluid.parallel.mesh). Each
-stencil pass exchanges a 1-row halo; the Jacobi loop does one exchange per
-sweep (structurally identical to ring attention's per-step neighbor passing,
-SURVEY.md §5.7); semi-Lagrangian advection exchanges a halo wide enough for
-the maximum backtrace displacement, which the reference bounds by construction
-(velocity clamped to +/-1000 sim-texels/s, script.js:863, and dt clamped to
-1/60 s, script.js:1191 => displacement <= ~16.7 sim texels).
+phase exchanges a ghost-row halo sized for its stencil/backtrace reach, then
+runs the shared dispatch op (Pallas kernels on TPU, the jnp oracle elsewhere
+— tpufluid.ops.pallas.dispatch) on the PADDED block and keeps the central
+rows. This deletes the round-1 duplicate jnp physics: the sharded path and
+the single-device path execute one implementation.
 
-Semantics match tpufluid.step.fluid_step exactly (tested on the 8-device CPU
-mesh against the single-device step).
+Exactness on padded blocks:
+  * interior ghosts hold REAL neighbor data, so stencils/backtraces within
+    the halo read global values;
+  * at the global boundary the exchange replicates the edge row
+    (parallel/halo.py) — exactly CLAMP_TO_EDGE for SINGLE-layer reads and
+    gathers (bilinear samples between replicas equal the edge value);
+  * ITERATED sweeps are different: a replicated ghost EVOLVES unlike a
+    clamped boundary, so the Jacobi phase MIRRORS its boundary ghosts
+    (ghost[-k] = p[k-1]); the mirror is a fixed point of the symmetric
+    5-point sweep, making the true edge row see B == p[edge] every sweep —
+    the clamp semantic — while the kernel's own padded-edge masks stay
+    >=`_G_JACOBI` > sweeps rows away from any true row;
+  * the fused curl->confinement->divergence kernel chains 3 stencil layers,
+    so its outputs at the global WALL rows see a second-layer ghost artifact
+    (|curl| of a replicated band loses the wall term) — the wall bands are
+    recomputed with the jnp oracle ops on an 8-row strip whose array edge IS
+    the wall (vel' rows {0,-1}; div rows {0,1,-2,-1}, which also restores the
+    -C reflection, script.js:804-807);
+  * the projection is SPLIT here (gradient_subtract, exchange, self-advect)
+    rather than fused: the gather's source ghosts must be the exchanged
+    projected velocity, not ghost-side recomputations.
+
+Halo widths may exceed a shard's block height (flagship dye advection);
+exchange_halo_rows chains multi-hop ppermutes for that. dt and velocity obey
+the reference clamps (script.js:1191, 863), which bound every backtrace.
 """
 
 from __future__ import annotations
@@ -23,6 +46,9 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from tpufluid.config import FluidConfig
+from tpufluid.ops import stencil as _ops
+from tpufluid.ops.pallas import dispatch as K
+from tpufluid.ops.splat import SPLAT_B, SPLAT_DX, SPLAT_DY, SPLAT_R, splat_factors
 from tpufluid.parallel.halo import exchange_halo_rows
 from tpufluid.parallel.mesh import ROW_AXIS, make_mesh, state_specs
 from tpufluid.state import FluidState
@@ -30,66 +56,52 @@ from tpufluid.state import FluidState
 MAX_DT = 1.0 / 60.0  # reference dt clamp (script.js:1191)
 MAX_SPEED = 1000.0   # reference velocity clamp (script.js:863)
 
-
-def _col_neighbors(f):
-    """L, R along the unsharded column axis with clamp-to-edge."""
-    pad = [(0, 0)] * (f.ndim - 2) + [(0, 0), (1, 1)]
-    p = jnp.pad(f, pad, mode="edge")
-    return p[..., :, 0:-2], p[..., :, 2:]
+_G_STENCIL = 16  # >= 3 stencil layers; 16-row aligned for bf16 kernels
+_G_JACOBI = 32   # > the 20 sweeps per chunk (mirror-ghost safety margin)
+_G_VEL = 32      # >= ceil(1000/60) + bilinear corner
+_BAND = 8        # oracle-op wall-band strip height
 
 
-def _row_neighbors_from_pad(fp):
-    """T, B from a (..., h+2, W) 1-ghost-row padded block."""
-    return fp[..., 2:, :], fp[..., 0:-2, :]
-
-
-def _local_uv(h_local: int, w: int, h_global: int, idx):
-    """Texel-center (u, v) for this device's row block."""
-    row0 = idx * h_local
-    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
-    vrows = (row0 + jnp.arange(h_local, dtype=jnp.float32) + 0.5) / h_global
-    return jnp.broadcast_to(u[None, :], (h_local, w)), jnp.broadcast_to(vrows[:, None], (h_local, w))
-
-
-def _gather_padded(tex_pad, x, y_local):
-    """Bilinear gather on a padded local block. x: global col coord (texels,
-    already x*W-0.5); y_local: row coord in padded-local texel units."""
-    hp, wp = tex_pad.shape[-2], tex_pad.shape[-1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y_local)
-    fx = x - x0
-    fy = y_local - y0
-    ix0 = jnp.clip(x0.astype(jnp.int32), 0, wp - 1)
-    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, wp - 1)
-    iy0 = jnp.clip(y0.astype(jnp.int32), 0, hp - 1)
-    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, hp - 1)
-
-    def g(iy, ix):
-        if tex_pad.ndim == 2:
-            return tex_pad[iy, ix]
-        return tex_pad[..., iy, ix]
-
-    a, b, c, d = g(iy0, ix0), g(iy0, ix1), g(iy1, ix0), g(iy1, ix1)
-    fx = fx.astype(tex_pad.dtype)
-    fy = fy.astype(tex_pad.dtype)
-    top = a + (b - a) * fx
-    bot = c + (d - c) * fx
-    return top + (bot - top) * fy
-
-
-def vel_halo_width(config: FluidConfig) -> int:
-    """Ghost rows needed by velocity self-advection (+1 bilinear corner, +1 slack)."""
-    return int(math.ceil(MAX_SPEED * MAX_DT)) + 2
+def _round16(x: float) -> int:
+    return max(16, -(-int(math.ceil(x)) // 16) * 16)
 
 
 def dye_halo_width(config: FluidConfig) -> int:
+    """Ghost rows for dye advection: the sim-grid displacement bound scaled
+    by the dye/sim resolution ratio, plus the bilinear corner."""
     sw, sh = config.sim_size
     dw, dh = config.dye_size
-    return int(math.ceil(MAX_SPEED * MAX_DT * dh / sh)) + 2
+    return _round16(MAX_SPEED * MAX_DT * dh / sh + 2)
+
+
+def vel_halo_width(config: FluidConfig) -> int:
+    return _G_VEL
+
+
+def _mirror_wall_ghosts(pad, width: int, idx, h_loc: int, h_total: int):
+    """Rewrite ghost rows that fall OUTSIDE the global grid with the MIRROR
+    of the rows just inside the wall (ghost at global row -k := row k-1; the
+    top wall symmetric). The mirror is the fixed point that makes iterated
+    symmetric sweeps equal clamped boundary reads (module docstring). EVERY
+    device whose ghost region crosses a wall needs this, not just the edge
+    devices — the mirrored source rows provably lie within its own pad."""
+    hp = pad.shape[-2]
+    base = idx * h_loc - width
+    gr = base + jnp.arange(hp)
+    m = jnp.where(gr < 0, -gr - 1,
+                  jnp.where(gr > h_total - 1, 2 * h_total - 1 - gr, gr))
+    src = jnp.clip(m - base, 0, hp - 1)
+    return jnp.take(pad, src, axis=-2)
+
+
+def _splat_bump(gy_rows, gx, amt):
+    """(C, rows, W) separable splat bump for a band of gy rows."""
+    return jnp.einsum("rs,sc,sw->crw", gy_rows.astype(jnp.float32),
+                      amt.astype(jnp.float32), gx.astype(jnp.float32))
 
 
 def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
-    """The shard_map body: identical math to fluid_step on row blocks."""
+    """The shard_map body: halo exchanges around the shared dispatch ops."""
     dt = jnp.minimum(jnp.asarray(dt, jnp.float32), MAX_DT)  # calcDeltaTime clamp
     idx = lax.axis_index(ROW_AXIS)
     n = lax.axis_size(ROW_AXIS)
@@ -102,117 +114,128 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     hd_loc = dye.shape[-2]
     aspect = config.aspect_ratio
     radius = config.splat_radius_uv()
-
-    # ---- splats (reference splat(), script.js:1441-1455) ----
-    u_s, v_s = _local_uv(h_loc, sw, sh_g, idx)
-    u_d, v_d = _local_uv(hd_loc, dw, dh_g, idx)
-
-    def splat_body(i, carry):
-        v_f, d_f = carry
-        row = splats[i]
-        active = row[7]
-        px = (u_s - row[0]) * aspect
-        py = v_s - row[1]
-        g = jnp.exp(-(px * px + py * py) / radius).astype(v_f.dtype)
-        vamt = jnp.stack([row[2], row[3]]) * active
-        v_f = v_f + vamt.astype(v_f.dtype)[:, None, None] * g[None]
-        pxd = (u_d - row[0]) * aspect
-        pyd = v_d - row[1]
-        gd = jnp.exp(-(pxd * pxd + pyd * pyd) / radius).astype(d_f.dtype)
-        camt = row[4:7] * active
-        d_f = d_f + camt.astype(d_f.dtype)[:, None, None] * gd[None]
-        return v_f, d_f
-
-    vel, dye = lax.fori_loop(0, splats.shape[0], splat_body, (vel, dye))
-
     first = idx == 0
     last = idx == n - 1
 
-    # ---- curl (script.js:814-833) ----
-    vel_p1 = exchange_halo_rows(vel, 1)
-    Lv, Rv = _col_neighbors(vel[1])
-    Tu, Bu = _row_neighbors_from_pad(vel_p1[0])
-    curl_f = 0.5 * (Rv - Lv - Tu + Bu)
+    # ---- splat + curl + vorticity + divergence (one fused pass) ----
+    # Splat factors use clamped GLOBAL row coords for the padded block, so
+    # boundary ghost replicas carry exactly the edge row's bump.
+    g = _G_STENCIL
+    vel_pad = exchange_halo_rows(vel, g)
+    gy_v, gx_v, amt_v = splat_factors(
+        splats, h_loc + 2 * g, sw, radius, aspect, slice(SPLAT_DX, SPLAT_DY + 1),
+        row0=idx * h_loc - g, h_total=sh_g)
+    velp, div = K.pre_pressure(vel_pad, config.CURL, dt,
+                               splat_factors=(gy_v, gx_v, amt_v))
+    vel = velp[:, g:-g]
+    div = div[g:-g]
 
-    # ---- vorticity confinement (script.js:835-866), highp f32 ----
-    cf = exchange_halo_rows(curl_f.astype(jnp.float32), 1)
-    c32 = cf[1:-1]
-    Lc, Rc = _col_neighbors(c32)
-    Tc, Bc = _row_neighbors_from_pad(cf)
-    fx = 0.5 * (jnp.abs(Tc) - jnp.abs(Bc))
-    fy = 0.5 * (jnp.abs(Rc) - jnp.abs(Lc))
-    inv_len = 1.0 / (jnp.sqrt(fx * fx + fy * fy) + 1e-4)
-    scale = config.CURL * c32 * inv_len
-    v32 = vel.astype(jnp.float32)
-    vel = jnp.clip(
-        jnp.stack([v32[0] + fx * scale * dt, v32[1] - fy * scale * dt]),
-        -1000.0, 1000.0,
-    ).astype(vel.dtype)
+    # Wall-band fix: rerun the oracle chain on an 8-row strip whose array
+    # edge IS the global wall (exact clamp + -C reflection semantics).
+    def band_chain(raw_band):
+        c = _ops.curl(raw_band)
+        v2 = _ops.vorticity_confinement(raw_band, c, config.CURL, dt)
+        return v2, _ops.divergence(v2)
 
-    # ---- divergence with -C wall reflection (script.js:786-812) ----
-    vel_p1 = exchange_halo_rows(vel, 1)
-    Lu, Ru = _col_neighbors(vel[0])
-    Tv, Bv = _row_neighbors_from_pad(vel_p1[1])
-    u_c, v_c = vel[0], vel[1]
-    Lu = Lu.at[:, 0].set(-u_c[:, 0])
-    Ru = Ru.at[:, -1].set(-u_c[:, -1])
-    # Row walls live on the first/last devices only.
-    Bv = jnp.where(first, Bv.at[0, :].set(-v_c[0, :]), Bv)
-    Tv = jnp.where(last, Tv.at[-1, :].set(-v_c[-1, :]), Tv)
-    div = 0.5 * (Ru - Lu + Tv - Bv)
+    bot_raw = (vel_pad[:, g:g + _BAND].astype(jnp.float32)
+               + _splat_bump(gy_v[g:g + _BAND], gx_v, amt_v)).astype(vel.dtype)
+    top_raw = (vel_pad[:, -g - _BAND:-g].astype(jnp.float32)
+               + _splat_bump(gy_v[-g - _BAND:-g], gx_v, amt_v)).astype(vel.dtype)
+    vb, db = band_chain(bot_raw)
+    vt, dtop = band_chain(top_raw)
+    vel = jnp.where(first, vel.at[:, :1].set(vb[:, :1]), vel)
+    div = jnp.where(first, div.at[:2].set(db[:2]), div)
+    vel = jnp.where(last, vel.at[:, -1:].set(vt[:, -1:]), vel)
+    div = jnp.where(last, div.at[-2:].set(dtop[-2:]), div)
 
-    # ---- pressure: warm start + Jacobi with per-sweep halo exchange ----
-    p = state.pressure * config.PRESSURE
+    # ---- pressure: warm start + Jacobi, K sweeps per halo exchange ----
+    # One mirror-ghost exchange amortizes 20 per-sweep collectives
+    # (structurally, ring attention's per-step neighbor passing).
+    p = state.pressure
+    iters = config.PRESSURE_ITERATIONS
+    if iters == 0:
+        p = (p.astype(jnp.float32) * config.PRESSURE).astype(p.dtype)
+    else:
+        div_pad = _mirror_wall_ghosts(exchange_halo_rows(div, _G_JACOBI),
+                                      _G_JACOBI, idx, h_loc, sh_g)
+        done = 0
+        while done < iters:
+            k = min(20, iters - done)
+            p_pad = _mirror_wall_ghosts(exchange_halo_rows(p, _G_JACOBI),
+                                        _G_JACOBI, idx, h_loc, sh_g)
+            p_pad = K.jacobi_pressure(p_pad, div_pad, k,
+                                      prescale=config.PRESSURE if done == 0 else 1.0)
+            p = p_pad[_G_JACOBI:-_G_JACOBI]
+            done += k
 
-    def jacobi_body(_, p):
-        pp = exchange_halo_rows(p, 1)
-        Lp, Rp = _col_neighbors(p)
-        Tp, Bp = _row_neighbors_from_pad(pp)
-        return (Lp + Rp + Tp + Bp - div) * 0.25
+    # ---- projection, then velocity self-advection ----
+    # Split (not the single-device fused kernel): the gather's source ghosts
+    # must be the exchanged PROJECTED velocity.
+    gs = _G_STENCIL
+    vel = K.gradient_subtract(exchange_halo_rows(vel, gs),
+                              exchange_halo_rows(p, gs))[:, gs:-gs]
+    gv = _G_VEL
+    vel_pad = exchange_halo_rows(vel, gv)
+    max_disp = MAX_SPEED * MAX_DT
+    vel = K.advect_same_grid(vel_pad, vel_pad, dt, config.VELOCITY_DISSIPATION,
+                             max_disp, max_disp)[:, gv:-gv]
 
-    p = lax.fori_loop(0, config.PRESSURE_ITERATIONS, jacobi_body, p)
+    # ---- dye advection at dye resolution, splat fused ----
+    # Velocity resampled PER SHARD at the padded dye block's global texel
+    # centers (clamped = the reference's CLAMP_TO_EDGE bilinear sample,
+    # script.js:773-777), rescaled to dye-texels/s.
+    gd = dye_halo_width(config)
+    dye_pad = exchange_halo_rows(dye, gd)
+    vel_pad1 = exchange_halo_rows(vel, 16)
+    rows_d = jnp.clip(idx * hd_loc - gd + jnp.arange(hd_loc + 2 * gd,
+                                                     dtype=jnp.float32),
+                      0, dh_g - 1)
+    row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (idx * h_loc - 16)
+    vel_d = _sample_rows_cols(vel_pad1.astype(jnp.float32), row_coords, dw, sw)
+    vel_d = jnp.stack([vel_d[0] * (dw / sw), vel_d[1] * (dh_g / sh_g)])
 
-    # ---- gradient subtract (script.js:892-913) ----
-    pp = exchange_halo_rows(p, 1)
-    Lp, Rp = _col_neighbors(p)
-    Tp, Bp = _row_neighbors_from_pad(pp)
-    vel = jnp.stack([vel[0] - (Rp - Lp), vel[1] - (Tp - Bp)])
-
-    # ---- self-advect velocity (script.js:1275-1285) ----
-    # Halo widths may exceed the per-device block height (multi-hop exchange).
-    hw_v = vel_halo_width(config)
-    vel_pad = exchange_halo_rows(vel, hw_v)
-    row0 = idx * h_loc
-    x = u_s * sw - 0.5 - dt * vel[0].astype(jnp.float32)
-    y = v_s * sh_g - 0.5 - dt * vel[1].astype(jnp.float32)
-    y_local = y - row0.astype(jnp.float32) + hw_v
-    vel_adv = _gather_padded(vel_pad, x, y_local)
-    vel = (vel_adv / (1.0 + config.VELOCITY_DISSIPATION * dt)).astype(vel.dtype)
-
-    # ---- advect dye at dye resolution (script.js:1287-1293) ----
-    # velocity sampled bilinearly at dye texel centers (needs 1 ghost row).
-    vel_pad1 = exchange_halo_rows(vel, 1)
-    xv = u_d * sw - 0.5
-    yv_local = (v_d * sh_g - 0.5) - (idx * h_loc).astype(jnp.float32) + 1.0
-    vel_at_dye_u = _gather_padded(vel_pad1[0], xv, yv_local).astype(jnp.float32)
-    vel_at_dye_v = _gather_padded(vel_pad1[1], xv, yv_local).astype(jnp.float32)
-
-    hw_d = dye_halo_width(config)
-    dye_pad = exchange_halo_rows(dye, hw_d)
-    # Backtraced coord in *dye* texels: uv - dt * vel * simTexel, then * dye size.
-    xd = (u_d - dt * vel_at_dye_u / sw) * dw - 0.5
-    yd = (v_d - dt * vel_at_dye_v / sh_g) * dh_g - 0.5
-    yd_local = yd - (idx * hd_loc).astype(jnp.float32) + hw_d
-    dye_adv = _gather_padded(dye_pad, xd, yd_local)
-    dye = (dye_adv / (1.0 + config.DENSITY_DISSIPATION * dt)).astype(dye.dtype)
+    gy_d, gx_d, amt_d = splat_factors(
+        splats, hd_loc + 2 * gd, dw, radius, aspect, slice(SPLAT_R, SPLAT_B + 1),
+        row0=idx * hd_loc - gd, h_total=dh_g)
+    dye = K.advect_same_grid(vel_d, dye_pad, dt, config.DENSITY_DISSIPATION,
+                             max_disp * dh_g / sh_g, max_disp * dw / sw,
+                             splat_factors=(gy_d, gx_d, amt_d))[:, gd:-gd]
 
     return FluidState(velocity=vel, dye=dye, pressure=p)
+
+
+def _sample_rows_cols(tex, row_coords, w_out: int, w_src_true: int):
+    """Separable bilinear sample of (..., h, w) at explicit row coords (texel
+    units, local to ``tex``) x standard texel centers of a w_out-wide target
+    (CLAMP_TO_EDGE both axes). The shard-aware resample: callers pass row
+    coords built from GLOBAL texel centers shifted into the padded block."""
+    h, w = tex.shape[-2], tex.shape[-1]
+    # columns: global affine map (the width is unsharded)
+    xs = (jnp.arange(w_out, dtype=jnp.float32) + 0.5) / w_out * w_src_true - 0.5
+    x0 = jnp.floor(xs)
+    fx = (xs - x0).astype(tex.dtype)
+    ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
+    ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
+    a = jnp.take(tex, ix0, axis=-1)
+    b = jnp.take(tex, ix1, axis=-1)
+    tex = a + (b - a) * fx
+    # rows: explicit coords
+    y0 = jnp.floor(row_coords)
+    fy = (row_coords - y0).astype(tex.dtype)
+    iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
+    a = jnp.take(tex, iy0, axis=-2)
+    b = jnp.take(tex, iy1, axis=-2)
+    fy = fy.reshape((1,) * (tex.ndim - 2) + (-1, 1))
+    return a + (b - a) * fy
 
 
 @lru_cache(maxsize=None)
 def make_sharded_step(config: FluidConfig, mesh=None):
     """Compile the shard_map step over a row mesh. Grid heights must divide
-    the mesh size."""
+    the mesh size. Note: this path always routes through the dispatch ops
+    (Pallas on TPU, the jnp oracle elsewhere) — config.USE_PALLAS only
+    selects the single-device step's branch."""
     if mesh is None:
         mesh = make_mesh()
     n = mesh.devices.size
