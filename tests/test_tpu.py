@@ -60,6 +60,53 @@ def test_ragged_demo_config_on_device(warm_tunnel):
     assert float(jnp.abs(a.dye - b.dye).max()) < 1e-3
 
 
+def test_bf16_step_on_device(warm_tunnel):
+    """Native-bf16 kernels vs the f32 step at bf16 tolerance."""
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=256, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=8, DTYPE="bfloat16").validate()
+    cfg_f = FluidConfig(**{**cfg.__dict__, "DTYPE": "float32"})
+    tr = swirl_trace(cfg, 1, seed=42)
+    dt = jnp.float32(1 / 60)
+    sp = jnp.asarray(tr.batches[0])
+    a = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg))(init_state(cfg), dt, sp)
+    b = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg_f))(init_state(cfg_f), dt, sp)
+    scale = max(float(jnp.abs(b.velocity).max()), 1.0)
+    assert a.velocity.dtype == jnp.bfloat16
+    assert float(jnp.abs(a.velocity.astype(jnp.float32) - b.velocity).max()) < 0.02 * scale
+    assert float(jnp.abs(a.dye.astype(jnp.float32) - b.dye).max()) < 0.02
+
+
+def test_sharded_step_kernels_on_device(warm_tunnel):
+    """The shard_map body runs the Pallas kernel suite on the real chip
+    (1-device mesh) and matches the fused single-device step."""
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.parallel import make_mesh, shard_state
+    from tpufluid.parallel.sharded_step import make_sharded_step
+    from tpufluid.step import make_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=256, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=8).validate()
+    mesh = make_mesh(1)
+    sharded = make_sharded_step(cfg, mesh)
+    single = make_step(cfg)
+    tr = swirl_trace(cfg, 3, seed=5)
+    dt = jnp.float32(1 / 60)
+    a = init_state(cfg)
+    b = shard_state(init_state(cfg), mesh)
+    for t in range(3):
+        sp = jnp.asarray(tr.batches[t])
+        a = single(a, dt, sp)
+        b = sharded(b, dt, sp)
+    scale = max(float(jnp.abs(a.velocity).max()), 1.0)
+    assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-5 * scale
+    assert float(jnp.abs(jnp.asarray(b.dye) - a.dye).max()) < 1e-5
+
+
 def test_scan_throughput_smoke(warm_tunnel):
     """The benchmark execution mode stays finite and makes progress."""
     from tpufluid import FluidConfig, init_state

@@ -46,7 +46,16 @@ from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import LANE, SUBLANE, round_up, row_align
 
-HALO = 24  # ceil(1000/60) + bilinear corner + margin, multiple of sublanes
+# Worst-case same-grid displacement budget. The reference clamps velocity to
+# +/-1000 texels/s (script.js:863) and dt to 1/60 s (script.js:1191) AFTER
+# vorticity confinement but BEFORE the pressure-gradient subtraction, which
+# is NOT re-clamped (script.js:892-913): HALO therefore carries ceil(1000/60)
+# = 17 texels of clamped velocity + 1 bilinear corner + 6 texels of slack for
+# the un-clamped post-projection gradient kick. Backtraces beyond the window
+# clamp silently (matching the out-of-contract behavior of any bounded
+# sampler); tpufluid.metrics logs 'max_speed' on every instrumented run so a
+# violation of the budget is observable.
+HALO = 24  # multiple of the sublane count
 _VMEM_BUDGET = 12 * 1024 * 1024
 _PREF_ROWS = 32   # device sweep optimum at 1024^2 (r1 BENCH.md; out/jobs/64_tilesweep)
 _PREF_COLS = 256
