@@ -119,7 +119,6 @@ def test_ragged_shapes_via_padding(rng):
     region for every kernel."""
     from tpufluid.ops.pallas.common import pad_to, round_up
     import tpufluid.ops.pallas.advect as pa
-    import tpufluid.ops.pallas.project_advect as ppa
     import tpufluid.ops.pallas.stencil as ps
     from tpufluid.ops.advect import advect
 
@@ -156,10 +155,12 @@ def test_ragged_shapes_via_padding(rng):
     want = advect(vel, src, dt, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
-    # fused project+advect
-    with _interp(ppa):
-        got = ppa.gradsub_advect_velocity(pad_to(vel, hp, wp), pad_to(p, hp, wp),
-                                          dt, 0.2, true_shape=(h, w))[..., :h, :w]
+    # projection tail: pallas gradient subtract + self-advect (the split
+    # the step dispatches; ps.pl and pa.pl are one module, one patch covers both)
+    with _interp(ps):
+        v2 = ps.gradient_subtract(pad_to(vel, hp, wp), pad_to(p, hp, wp),
+                                  true_shape=(h, w))
+        got = pa.advect_pallas(v2, v2, dt, 0.2, true_shape=(h, w))[..., :h, :w]
     v1 = stencil.gradient_subtract(vel, p)
     want = advect(v1, v1, dt, 0.2)
     scale = float(jnp.abs(want).max())
@@ -203,7 +204,6 @@ def test_bf16_kernels_match_oracle(rng):
     in-register upcasts, (16,128)-aligned windows, bf16-tolerance equivalence
     with the f32 oracle chain."""
     import tpufluid.ops.pallas.advect as pa
-    import tpufluid.ops.pallas.project_advect as ppa
     import tpufluid.ops.pallas.stencil as ps
     from tpufluid.ops.advect import advect
 
@@ -217,7 +217,7 @@ def test_bf16_kernels_match_oracle(rng):
     d = jnp.asarray(rng.standard_normal((H, W))).astype(bf)
 
     assert pa.supported((3, H, W), 2) and pj.supported((H, W), 2)
-    assert ps.supported((H, W), 2) and ppa.supported((H, W), 2)
+    assert ps.supported((H, W), 2)
 
     with _interp(pa):
         got = pa.advect_pallas(vel, src, dt, 1.0)
@@ -244,9 +244,15 @@ def test_bf16_kernels_match_oracle(rng):
     assert float(jnp.abs(v2.astype(jnp.float32) - v1).max()) < 0.02 * scale
     assert float(jnp.abs(d2.astype(jnp.float32) - d1).max()) < 0.05 * scale
 
-    with _interp(ppa):
-        got = ppa.gradsub_advect_velocity(vel, p, dt, 0.2)
+    with _interp(ps):
+        v2 = ps.gradient_subtract(vel, p)
+        got = pa.advect_pallas(v2, v2, dt, 0.2)
+    # The projected velocity passes through bf16 STORAGE between the two
+    # passes — exactly the reference, whose gradientSubtract writes an RG16F
+    # texture that the advection pass reads (script.js:1268-1285). Round the
+    # oracle's vel' the same way.
     v1 = stencil.gradient_subtract(vf, p.astype(jnp.float32))
+    v1 = v1.astype(bf).astype(jnp.float32)
     want = advect(v1, v1, dt, 0.2)
     scale = float(jnp.abs(want).max())
     assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale

@@ -120,16 +120,24 @@ def gradient_subtract(velocity, pressure):
 
 
 def project_and_self_advect(velocity, pressure, dt, dissipation):
-    """Fused (vel - grad p) -> self-advection; falls back to two passes."""
+    """(vel - grad p) -> self-advection: a one-pass Pallas gradient subtract
+    followed by the gather kernel reading the projected velocity straight
+    from its ref (the round-1 fused project_advect kernel staged an f32 vel'
+    window copy per tile and measured SLOWER on device at every size —
+    out/jobs/80); falls back to the jnp chain."""
     h, w = velocity.shape[-2:]
     if _on_tpu() and velocity.dtype.itemsize in (2, 4):
-        from tpufluid.ops.pallas import project_advect as _pl
+        from tpufluid.ops.pallas import advect as _pa
+        from tpufluid.ops.pallas import stencil as _ps
 
         pad = _padded_shape(h, w, "advect", velocity.dtype.itemsize)
-        if pad is not None and _pl.supported(pad, velocity.dtype.itemsize):
-            out = _pl.gradsub_advect_velocity(
-                pad_to(velocity, *pad), pad_to(pressure, *pad), dt, dissipation,
-                true_shape=(h, w))
+        if (pad is not None and _ps.supported(pad, velocity.dtype.itemsize)
+                and _pa.supported((2,) + pad, velocity.dtype.itemsize)):
+            vel_p = _ps.gradient_subtract(pad_to(velocity, *pad),
+                                          pad_to(pressure, *pad),
+                                          true_shape=(h, w))
+            out = _pa.advect_pallas(vel_p, vel_p, dt, dissipation,
+                                    true_shape=(h, w))
             return out[..., :h, :w]
     vel = gradient_subtract(velocity, pressure)
     return advect(vel, vel, dt, dissipation)

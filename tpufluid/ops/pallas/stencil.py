@@ -179,9 +179,8 @@ def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int, h_global: int,
 def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
                       true_shape=None) -> jnp.ndarray:
     """One-HBM-pass Pallas gradient subtract (the projection's last step;
-    the single-device step uses the fused project_advect kernel instead —
-    the sharded step needs the un-fused op so the projected velocity can be
-    halo-exchanged before its self-advection gather)."""
+    the self-advection gather then reads the projected velocity straight
+    from its ref — single-device and sharded paths share this split)."""
     _, h, w = velocity.shape
     if true_shape is None:
         true_shape = (h, w)
