@@ -87,6 +87,55 @@ def test_sharded_advection_long_backtrace():
     assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-5 * vscale
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_step_2d_mesh_matches_single_device(shape):
+    """2-D (rows x cols) domain decomposition (SURVEY.md §2.4): the same
+    body, with column halo exchanges, 2-D mirror ghosts, and traced wall
+    bounds, must match the single-device step."""
+    cfg = CFG
+    trace = swirl_trace(cfg, 4, seed=11)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh(shape=shape)
+    sharded = make_sharded_step(cfg, mesh)
+
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(4):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    scale_v = max(float(jnp.abs(s1.velocity).max()), 1e-3)
+    scale_d = max(float(jnp.abs(s1.dye).max()), 1e-3)
+    assert float(jnp.abs(jnp.asarray(s8.velocity) - s1.velocity).max()) < 2e-4 * scale_v
+    assert float(jnp.abs(jnp.asarray(s8.dye) - s1.dye).max()) < 2e-4 * scale_d
+    assert float(jnp.abs(jnp.asarray(s8.pressure) - s1.pressure).max()) < 4e-4 * max(
+        float(jnp.abs(s1.pressure).max()), 1e-3)
+
+
+def test_sharded_2d_long_backtrace_cols():
+    """Column backtraces crossing whole column shards (the x-axis analog of
+    the round-1 silent-truncation bug)."""
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=4, USE_PALLAS=False,
+                      CURL=0.0).validate()
+    key = jax.random.PRNGKey(0)
+    s1 = init_state(cfg)
+    vel = 700.0 * jnp.sin(jnp.stack(jnp.meshgrid(
+        jnp.linspace(0, 2.2, 64), jnp.linspace(0, 3.1, 64), indexing="ij")))
+    s1.velocity = vel.astype(cfg.dtype)
+    s1.dye = jax.random.uniform(key, s1.dye.shape, cfg.dtype)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh(shape=(2, 4))  # 64-col dye shards; backtrace ~47 cols
+    sharded = make_sharded_step(cfg, mesh)
+    none = jnp.zeros((cfg.MAX_SPLATS, 8), jnp.float32)
+    a = single(s1, DT, none)
+    b = sharded(shard_state(FluidState(velocity=s1.velocity, dye=s1.dye,
+                                       pressure=s1.pressure), mesh), DT, none)
+    assert float(jnp.abs(jnp.asarray(b.dye) - a.dye).max()) < 1e-4
+    vscale = max(float(jnp.abs(a.velocity).max()), 1.0)
+    assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-5 * vscale
+
+
 @pytest.mark.parametrize("steps", [1, 10])
 def test_sharded_step_matches_single_device(steps):
     cfg = CFG

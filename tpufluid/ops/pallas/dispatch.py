@@ -54,12 +54,27 @@ def _padded_shape(h: int, w: int, kind: str, itemsize: int = 4,
     return hp, wp
 
 
-def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
+def _clamp_bounds(x, bounds):
+    """Replace rows/cols outside the true-wall bounds with the wall row/col
+    (array-coordinate clamp): single-layer oracle ops on the result behave
+    as if they clamped at the true walls."""
+    row_lo, row_hi, col_lo, col_hi = bounds
+    h, w = x.shape[-2:]
+    r = jnp.clip(jnp.arange(h), row_lo, row_hi)
+    c = jnp.clip(jnp.arange(w), col_lo, col_hi)
+    return jnp.take(jnp.take(x, r, axis=-2), c, axis=-1)
+
+
+def pre_pressure(velocity, curl_strength, dt, splat_factors=None,
+                 true_bounds=None):
     """(vel', divergence): curl -> vorticity confinement -> divergence.
 
     splat_factors: optional (gy (H,S), gx (S,W), amt (S,2)) separable splat
     bump fused before curl (TPU kernel path only; callers pre-apply the bump
-    on fallback paths)."""
+    on fallback paths).
+    true_bounds: optional (row_lo, row_hi, col_lo, col_hi) array coords of
+    the grid's TRUE walls for halo-padded shards (traced OK) — the clamp and
+    -C reflection act there instead of at the array extents."""
     h, w = velocity.shape[-2:]
     if _on_tpu() and velocity.dtype.itemsize in (2, 4):
         from tpufluid.ops.pallas import stencil as _pl
@@ -73,16 +88,35 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None):
                 gx = jnp.pad(gx, ((0, 0), (0, pad[1] - w)), mode="edge")
             vel_p = pad_to(velocity, *pad)
             out_v, out_d = _pl.curl_vorticity_divergence(
-                vel_p, curl_strength, dt, gy, gx, amt, true_shape=(h, w))
+                vel_p, curl_strength, dt, gy, gx, amt, true_shape=(h, w),
+                true_bounds=true_bounds)
             return out_v[..., :h, :w], out_d[..., :h, :w]
 
     if splat_factors is not None:
         gy, gx, amt = splat_factors
         velocity = (velocity.astype(jnp.float32)
                     + jnp.einsum("sc,hs,sw->chw", amt, gy, gx)).astype(velocity.dtype)
-    c = _jnp.curl(velocity)
-    vel = _jnp.vorticity_confinement(velocity, c, curl_strength, dt)
-    return vel, _jnp.divergence(vel)
+    if true_bounds is None:
+        c = _jnp.curl(velocity)
+        vel = _jnp.vorticity_confinement(velocity, c, curl_strength, dt)
+        return vel, _jnp.divergence(vel)
+    # Bounds-aware fallback: re-clamp at the true walls between the chained
+    # stencil layers, so each single-layer oracle op reads clamped values
+    # exactly as the kernel's masks would.
+    velocity = _clamp_bounds(velocity, true_bounds)
+    c = _clamp_bounds(_jnp.curl(velocity), true_bounds)
+    vel = _clamp_bounds(_jnp.vorticity_confinement(velocity, c, curl_strength, dt),
+                        true_bounds)
+    # -C wall reflection: out-of-bounds neighbors read the NEGATED wall value
+    # (script.js:804-807); after the clamp above, negating the out-of-bounds
+    # region makes the oracle divergence read exactly -C there. Its own
+    # array-edge reflection only touches out-of-bounds outputs.
+    row_lo, row_hi, col_lo, col_hi = true_bounds
+    rr = jnp.arange(vel.shape[-2])[:, None]
+    cc = jnp.arange(vel.shape[-1])[None, :]
+    oob = ((rr < row_lo) | (rr > row_hi) | (cc < col_lo) | (cc > col_hi))
+    div = _jnp.divergence(jnp.where(oob[None], -vel, vel))
+    return vel, div
 
 
 def jacobi_pressure(pressure, div, iterations, prescale=1.0):

@@ -59,10 +59,10 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
     return _pick_block_rows(h, w, itemsize) > 0
 
 
-def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, *,
+def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
+            out_vel_ref, out_div_ref, *,
             curl_strength: float, rows_per_block: int, h_global: int,
-            h_true: int, w_true: int, with_splats: bool, halo: int,
-            align: int):
+            with_splats: bool, halo: int, align: int):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
@@ -71,10 +71,13 @@ def _kernel(dt_ref, vel_ref, gy_ref, gx_ref, amt_ref, out_vel_ref, out_div_ref, 
 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
-    first_row = rows == 0
-    last_row = rows == h_true - 1
-    first_col = cols == 0
-    last_col = cols == w_true - 1
+    # The grid's TRUE walls as array coords (SMEM, may be traced): clamp +
+    # -C reflection act exactly there. A shard passes sentinel bounds for
+    # walls it does not own; padded/ghost regions then never mask.
+    first_row = rows == bounds_ref[0]
+    last_row = rows == bounds_ref[1]
+    first_col = cols == bounds_ref[2]
+    last_col = cols == bounds_ref[3]
 
     def shift_l(x):
         return jnp.where(first_col, x, pltpu.roll(x, 1, axis=1))
@@ -220,11 +223,15 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
                               splat_gy: Optional[jnp.ndarray] = None,
                               splat_gx: Optional[jnp.ndarray] = None,
                               splat_amt: Optional[jnp.ndarray] = None,
-                              true_shape=None):
+                              true_shape=None, true_bounds=None):
     """(vel', div) — fused (optional splat) + curl + confinement + divergence.
 
     splat_gy (H, S), splat_gx (S, W), splat_amt (S, 2): the separable splat
     factors (see ops.splat._splat_sum); pass all three or none.
+    true_bounds: (row_lo, row_hi, col_lo, col_hi) array coords of the grid's
+    TRUE walls (traced OK; sentinels outside the array disable a wall) —
+    defaults to the true_shape extents. Lets a halo-padded shard place the
+    clamp and -C reflection at the real walls.
     """
     _, h, w = velocity.shape
     if true_shape is None:
@@ -247,15 +254,18 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
     win = rows_per_block + 2 * halo
     idx = make_window_index_map(rows_per_block, halo, h, lead_dims=1,
                                 align=align)
+    if true_bounds is None:
+        true_bounds = (0, true_shape[0] - 1, 0, true_shape[1] - 1)
+    bounds = jnp.stack([jnp.asarray(b, jnp.int32) for b in true_bounds])
     kernel = functools.partial(_kernel, curl_strength=float(curl_strength),
                                rows_per_block=rows_per_block, h_global=h,
-                               h_true=true_shape[0], w_true=true_shape[1],
                                with_splats=with_splats, halo=halo, align=align)
     out_vel, out_div = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # true-wall bounds (4,)
             pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
                          idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gy (H, S) whole
@@ -277,5 +287,5 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
             bytes_accessed=6 * h * w * velocity.dtype.itemsize,
             transcendentals=h * w,
         ),
-    )(dt_arr, velocity, splat_gy, splat_gx, splat_amt)
+    )(dt_arr, bounds, velocity, splat_gy, splat_gx, splat_amt)
     return out_vel, out_div

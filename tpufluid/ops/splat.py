@@ -64,18 +64,23 @@ def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
 
 
 def splat_factors(splats: jnp.ndarray, h: int, w: int, radius: float,
-                  aspect: float, amount_cols: slice, row0=0, h_total=None):
+                  aspect: float, amount_cols: slice, row0=0, h_total=None,
+                  col0=0, w_total=None):
     """Separable factors of the splat batch for fusion into other kernels:
     (gy (H, S), gx (S, W), amt (S, C)) with inactive rows zeroed.
 
-    row0/h_total: gy for the GLOBAL rows [row0, row0+h) of an h_total-row
-    grid (a shard's halo-padded row block; row0 may be traced). Rows outside
-    the grid clamp to the edge row, matching the replicated ghost rows a
-    halo exchange produces at the global boundary."""
+    row0/h_total (and col0/w_total): gy/gx for the GLOBAL rows [row0, row0+h)
+    / columns [col0, col0+w) of an (h_total, w_total) grid (a shard's
+    halo-padded block; offsets may be traced). Coordinates outside the grid
+    clamp to the edge, matching the replicated ghosts a halo exchange
+    produces at the global boundary."""
     if h_total is None:
         h_total = h
+    if w_total is None:
+        w_total = w
     rows = jnp.clip(row0 + jnp.arange(h, dtype=jnp.float32), 0, h_total - 1)
-    u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
+    cols = jnp.clip(col0 + jnp.arange(w, dtype=jnp.float32), 0, w_total - 1)
+    u = (cols + 0.5) / w_total
     v = (rows + 0.5) / h_total
     px = (u[None, :] - splats[:, SPLAT_X][:, None]) * aspect
     py = v[None, :] - splats[:, SPLAT_Y][:, None]

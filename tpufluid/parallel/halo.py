@@ -1,11 +1,11 @@
-"""Halo exchange for row-sharded grids (runs inside shard_map).
+"""Halo exchange for mesh-sharded grids (runs inside shard_map).
 
 The fluid-grid analog of ring attention's neighbor block passing (SURVEY.md
-§5.7): every 5-point stencil needs one ghost row from each mesh neighbor;
-semi-Lagrangian advection needs ``ceil(max|v| * dt)`` rows (bounded by the
-reference's +/-1000 velocity clamp, script.js:863). Ghosts move over ICI via
-``lax.ppermute``; at the global top/bottom the ghost is the clamped edge row
-(CLAMP_TO_EDGE semantics of the single-device kernels).
+§5.7): every 5-point stencil needs one ghost row/column from each mesh
+neighbor; semi-Lagrangian advection needs ``ceil(max|v| * dt)`` (bounded by
+the reference's +/-1000 velocity clamp, script.js:863). Ghosts move over ICI
+via ``lax.ppermute``; at the global walls the ghost is the clamped edge
+row/column (CLAMP_TO_EDGE semantics of the single-device kernels).
 """
 
 from __future__ import annotations
@@ -14,23 +14,30 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from tpufluid.parallel.mesh import ROW_AXIS
+from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
 
 
-def exchange_halo_rows(block: jnp.ndarray, width: int, axis_name: str = ROW_AXIS) -> jnp.ndarray:
-    """Pad a local (..., h, W) row-block with ``width`` ghost rows per side.
+def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
+                  axis: int) -> jnp.ndarray:
+    """Pad a local block with ``width`` ghost slices per side along ``axis``
+    (a positional array axis), exchanged over mesh axis ``axis_name``.
 
-    Device k receives its upper ghost (rows just above its block) from device
-    k+1's bottom rows and its lower ghost from device k-1's top rows. The
-    first/last devices replicate their own edge row (global clamp-to-edge).
-    Returns (..., h + 2*width, W).
+    Device k receives its upper ghost (slices just above its block) from
+    device k+1's first slices and its lower ghost from device k-1's last
+    slices. The first/last devices replicate their own edge slice (global
+    clamp-to-edge).
 
-    ``width`` may exceed the local block height (e.g. the flagship config's
+    ``width`` may exceed the local block extent (e.g. the flagship config's
     dye advection needs a 136-row halo over 128-row shards): the exchange then
-    runs ceil(width / h) neighbor hops, chaining full blocks so device k sees
-    devices k±1..k±hops. Once a chain crosses the global boundary it carries
-    the edge-replicated block, which is exactly CLAMP_TO_EDGE semantics.
+    runs ceil(width / extent) neighbor hops, chaining full blocks so device k
+    sees devices k±1..k±hops. Once a chain crosses the global boundary it
+    carries the edge-replicated block, which is exactly CLAMP_TO_EDGE
+    semantics.
     """
+    if axis != -2:
+        moved = jnp.moveaxis(block, axis, -2)
+        out = exchange_halo(moved, width, axis_name, -2)
+        return jnp.moveaxis(out, -2, axis)
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     h_loc = block.shape[-2]
@@ -76,6 +83,18 @@ def exchange_halo_rows(block: jnp.ndarray, width: int, axis_name: str = ROW_AXIS
     ghost_below = jnp.concatenate(below_blocks[::-1], axis=-2)[..., -width:, :]
     ghost_above = jnp.concatenate(above_blocks, axis=-2)[..., :width, :]
     return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
+
+
+def exchange_halo_rows(block: jnp.ndarray, width: int,
+                       axis_name: str = ROW_AXIS) -> jnp.ndarray:
+    """Row (sublane-axis) halo exchange: (..., h, W) -> (..., h+2w, W)."""
+    return exchange_halo(block, width, axis_name, -2)
+
+
+def exchange_halo_cols(block: jnp.ndarray, width: int,
+                       axis_name: str = COL_AXIS) -> jnp.ndarray:
+    """Column (lane-axis) halo exchange: (..., H, w) -> (..., H, w+2w)."""
+    return exchange_halo(block, width, axis_name, -1)
 
 
 def is_first_row_device(axis_name: str = ROW_AXIS) -> jnp.ndarray:
