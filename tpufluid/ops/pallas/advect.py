@@ -191,37 +191,42 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
     else:
         cstart = pl.multiple_of(j * cb, LANE)
 
-    if col_halo or with_splats:
-        # Stage the window in f32 VMEM scratch (refs support the gather
-        # loop's dynamic row slicing; bf16 upcasts here — dynamic
-        # rotate/gather are 32-bit ops), fusing in:
-        #   * the separable rank-S splat bump over the WINDOW rows (the
-        #     reference splats dye then advects it, script.js:1287-1293;
-        #     bilinear sampling of dye+bump == sampling each — exact), an
-        #     MXU matmul instead of a full extra HBM pass over the dye;
-        #   * in column-window mode, one lane-rotate so the target block
-        #     always sits at lane offset col_halo (static group offsets).
-        win_ref = scratch[0]
-        base = src_ref[:].astype(jnp.float32)
-        if with_splats:
-            gy_sl = gy_ref[pl.ds(rstart, win), :].astype(jnp.float32)
-            gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
-            chans = []
-            for ch in range(channels):
-                amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
-                bump = jax.lax.dot_general(
-                    gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                chans.append(base[ch] + bump)
-            base = jnp.stack(chans)
-        if col_halo:
-            base = pltpu.roll(base, jnp.mod(col_halo - coff, cbw), axis=2)
-        win_ref[:] = base
-    else:
-        win_ref = src_ref
+    if with_splats:
+        # The separable rank-S splat bump (the reference splats dye then
+        # advects it, script.js:1287-1293; bilinear sampling of dye+bump ==
+        # sampling each — exact): one tiny MXU matmul per loaded slice
+        # instead of a full extra HBM pass over the dye — or a staged f32
+        # window copy, which measured slower.
+        gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
+        amts = [amt_ref[:, ch:ch + 1].reshape(1, -1) for ch in range(channels)]
 
-    def load(al):
-        return win_ref[:, pl.ds(al, r + align), :]
+    def bumped(raw, al, nrows):
+        if not with_splats:
+            return raw
+        gy_sl = gy_ref[pl.ds(pl.multiple_of(rstart + al, align), nrows),
+                       :].astype(jnp.float32)
+        raw = raw.astype(jnp.float32)
+        return jnp.stack([
+            raw[ch] + jax.lax.dot_general(gy_sl * amts[ch], gxs,
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            for ch in range(channels)])
+
+    if col_halo:
+        # Column-window mode: lane-align the window once so the target block
+        # sits at lane offset col_halo regardless of edge clamping, staged
+        # in f32 VMEM scratch (refs support the gather loop's dynamic row
+        # slicing; bf16 upcasts here — rotate/gather are 32-bit ops). The
+        # bump rides the staging (pre-roll coords).
+        win_ref = scratch[0]
+        win_ref[:] = pltpu.roll(bumped(src_ref[:], 0, win).astype(jnp.float32),
+                                jnp.mod(col_halo - coff, cbw), axis=2)
+
+        def load(al):
+            return win_ref[:, pl.ds(al, r + align), :]
+    else:
+        def load(al):
+            return bumped(src_ref[:, pl.ds(al, r + align), :], al, r + align)
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -392,7 +397,7 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         # Staged modes (column windows / fused splats) keep the window in
         # f32 (dynamic rotate/gather are 32-bit-only in this Mosaic).
         scratch_shapes=([pltpu.VMEM((c, win, cbw), jnp.float32)]
-                        if (col_halo or with_splats) else []),
+                        if col_halo else []),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
