@@ -121,24 +121,12 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4, halo: int = HALO,
     return _pick_tile(h, w, c, itemsize, halo, span)[0] > 0
 
 
-def bilinear_backtrace_gather(win_ref, x, yp, w_true=None, yp_hi=None,
-                              span: int = 1):
-    """Full-width-window bilinear gather (target lanes aligned with window
-    lanes): win_ref a STAGED (C, WIN, W) VMEM ref, x/yp (R, W) window-local
-    texel coords. Used by the fused project+advect kernel (ratio-1, row
-    windows only)."""
-    c, win, w = win_ref.shape
-    r, cb = x.shape
-    align = row_align(win_ref.dtype.itemsize)
-    x_hi = jnp.float32(w - 1 if w_true is None else w_true - 1)
-    if yp_hi is None:
-        yp_hi = jnp.float32(win - 1)
-
-    def load(al):
-        return win_ref[:, pl.ds(al, r + align), :]
-
-    return _gather_stream(load, c, win, w, x, yp, 0.0, x_hi, yp_hi, span,
-                          r, cb, 0, align)
+def _trip_unroll(win: int, r: int, align: int) -> int:
+    """Row offsets served per gather-loop trip (static shifts of one rolled
+    slice); bounded by the halo so the slice always fits the window. Two is
+    the measured optimum (453 vs 444 steps/s at four — the past-the-end
+    sub-bodies of wider unrolls multiply zeros ~20% of the time)."""
+    return max(1, min(2, (win - r) // align))
 
 
 def _clamped_start(i, block: int, halo: int, total: int, align: int):
@@ -212,6 +200,7 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                                           preferred_element_type=jnp.float32)
             for ch in range(channels)])
 
+    nrk = r + _trip_unroll(win, r, align) * align
     if col_halo:
         # Column-window mode: lane-align the window once so the target block
         # sits at lane offset col_halo regardless of edge clamping, staged
@@ -222,11 +211,11 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
         win_ref[:] = pltpu.roll(bumped(src_ref[:], 0, win).astype(jnp.float32),
                                 jnp.mod(col_halo - coff, cbw), axis=2)
 
-        def load(al):
-            return win_ref[:, pl.ds(al, r + align), :]
+        def load2(al):
+            return win_ref[:, pl.ds(al, nrk), :]
     else:
-        def load(al):
-            return bumped(src_ref[:, pl.ds(al, r + align), :], al, r + align)
+        def load2(al):
+            return bumped(src_ref[:, pl.ds(al, nrk), :], al, nrk)
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0).astype(jnp.float32)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -247,24 +236,26 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
     yp_hi = jnp.minimum(jnp.float32(win - 1),
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
-    acc = _gather_stream(load, channels, win, cbw, x_local, yp, x_lo, x_hi,
+    acc = _gather_stream(load2, channels, win, cbw, x_local, yp, x_lo, x_hi,
                          yp_hi, span, r, cb, col_halo // LANE, align)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
-def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
+def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
                    r, cb, goff, align: int = SUBLANE):
     """Bilinear gather on an ALIGNED window ref: target lanes sit at the
     STATIC lane offset goff*128, so each output lane-group reads from window
     groups g + goff +/- span (2*span+1 TAAs).
 
-    load(al) -> (C, r+align, CBW): rows [al, al+r+align) of the staged window
-    (al align-ed; align is the dtype's sublane tiling). Each row-offset trip
-    slices r+align aligned rows (free address arithmetic) and row-aligns them
-    with ONE small sublane roll — round 1 rolled the whole (r + 2*halo)-row
-    window every trip. bf16 loads upcast in-register before the 32-bit-only
-    rotate/gather ops. Rows wrapped by the alignment roll only ever combine
-    with exactly-zero bilinear weights."""
+    load2(al) -> (C, r+2*align, CBW): rows [al, al+r+2*align) of the staged
+    window (al align-ed; align is the dtype's sublane tiling). Each loop trip
+    slices those aligned rows (free address arithmetic on a ref), row-aligns
+    them with ONE small sublane roll, and serves TWO consecutive row offsets
+    (the second operand is a static shift of the same roll) — round 1 rolled
+    the whole (r + 2*halo)-row window once per single offset. bf16 loads
+    upcast in-register before the 32-bit-only rotate/gather ops. Rows
+    wrapped by the alignment roll only ever combine with exactly-zero
+    bilinear weights."""
     x_local = jnp.clip(x_local, x_lo, x_hi)
     x0 = jnp.floor(x_local)
     fx = (x_local - x0).astype(jnp.float32)
@@ -282,7 +273,6 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
 
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
-    nr = r + align
 
     def gather_at(idx, rows_op):
         out = []
@@ -305,11 +295,10 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
             out.append(acc)
         return jnp.concatenate(out, axis=-1)
 
-    def body(oy, acc):
-        al = pl.multiple_of(jnp.clip((oy // align) * align, 0, win - nr),
-                            align)
-        rows_op = pltpu.roll(load(al).astype(jnp.float32),
-                             jnp.mod(al - oy, nr), axis=1)[:, :r, :]
+    unroll = _trip_unroll(win, r, align)
+    nrk = r + unroll * align
+
+    def sub_body(oy, rows_op, acc):
         g0 = gather_at(x0i, rows_op)
         g1 = gather_at(x1i, rows_op)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
@@ -317,8 +306,23 @@ def _gather_stream(load, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
                + jnp.where(y0_rel == oy - 1, fy, 0.0))
         return acc + gx * wgt[None]
 
+    def body(k, acc):
+        # SEVERAL row offsets per trip: the oy+d operands are free static
+        # shifts of the same rolled slice, dividing loop entries, loads and
+        # rolls (the dynamic-bound fori's entry overhead measured comparable
+        # to a trip's gather work). Past-the-end offsets multiply zeros.
+        oy = oy_min + unroll * k
+        al = pl.multiple_of(jnp.clip((oy // align) * align, 0, win - nrk),
+                            align)
+        rolled = pltpu.roll(load2(al).astype(jnp.float32),
+                            jnp.mod(al - oy, nrk), axis=1)
+        for d in range(unroll):
+            acc = sub_body(oy + d, rolled[:, d:r + d, :], acc)
+        return acc
+
     acc = jnp.zeros((c, r, cb), dtype=jnp.float32)
-    return lax.fori_loop(oy_min, oy_max + 2, body, acc)
+    n_trips = (oy_max + 2 - oy_min + unroll - 1) // unroll
+    return lax.fori_loop(0, n_trips, body, acc)
 
 
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,

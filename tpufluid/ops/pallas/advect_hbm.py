@@ -150,7 +150,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     goff = col_halo // LANE
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
-    nr = r + align
+    nr2 = r + 2 * align
 
     # Segment plan (all scalars): trips walk [lo_t, hi_t+1] once; segment k
     # serves trips whose (unclipped) aligned slice start falls in
@@ -207,16 +207,30 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
         # One loop over the tile's union offset range: per-slab bounds were
         # measured SLOWER here (92 vs 120 steps/s on the demo config) — the
         # extra loop entries and small operands cost more than the skipped
-        # zero-weight trips, the same lesson as the same-grid kernel.
-        def oy_body(oy, acc):
+        # zero-weight trips, the same lesson as the same-grid kernel. TWO
+        # offsets per trip share one slice+roll (the second operand is a
+        # static shift); the second weight is masked past the segment's end
+        # so the next segment does not double-serve it.
+        def sub_body(oy, rows_op, gate, acc):
+            if col_halo:
+                rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
+            g0 = gather_at(x0i, rows_op)
+            g1 = gather_at(x1i, rows_op)
+            gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
+            wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
+                   + jnp.where(s_rel == oy - 1, fy, 0.0)) * gate
+            return acc + gxv * wgt[None]
+
+        def oy_body(kk, acc):
+            oy = oy_lo + 2 * kk
             al_un = ((i * r + oy) // align) * align
-            al = pl.multiple_of(jnp.clip(al_un, 0, h_global - nr), align)
+            al = pl.multiple_of(jnp.clip(al_un, 0, h_global - nr2), align)
             al_loc = pl.multiple_of(al - seg_start, align)
             # bf16 sources upcast here: rotate/gather are 32-bit ops.
-            sl16 = scratch[:, pl.ds(al_loc, nr), :].astype(jnp.float32)
+            sl16 = scratch[:, pl.ds(al_loc, nr2), :].astype(jnp.float32)
             if with_splats:
                 # Rank-S separable splat bump over these rows (MXU).
-                gy_sl = gy_ref[pl.ds(al, nr), :].astype(jnp.float32)
+                gy_sl = gy_ref[pl.ds(al, nr2), :].astype(jnp.float32)
                 chans = []
                 for ch in range(channels):
                     amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
@@ -226,17 +240,13 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
                     chans.append(sl16[ch] + bump)
                 sl16 = jnp.stack(chans)
             m = i * r + oy - al
-            rows_op = pltpu.roll(sl16, jnp.mod(-m, nr), axis=1)[:, :r, :]
-            if col_halo:
-                rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
-            g0 = gather_at(x0i, rows_op)
-            g1 = gather_at(x1i, rows_op)
-            gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
-            wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
-                   + jnp.where(s_rel == oy - 1, fy, 0.0))
-            return acc + gxv * wgt[None]
+            rolled = pltpu.roll(sl16, jnp.mod(-m, nr2), axis=1)
+            acc = sub_body(oy, rolled[:, :r, :], 1.0, acc)
+            gate = (oy + 1 <= oy_hi).astype(jnp.float32)
+            return sub_body(oy + 1, rolled[:, 1:r + 1, :], gate, acc)
 
-        return lax.fori_loop(oy_lo, oy_hi + 1, oy_body, acc)
+        n_trips = (oy_hi + 1 - oy_lo + 1) // 2
+        return lax.fori_loop(0, n_trips, oy_body, acc)
 
     acc = jnp.zeros((channels, r, cb), jnp.float32)
     acc = lax.fori_loop(0, n_seg, seg_body, acc)
