@@ -152,11 +152,35 @@ def backtrace_row_bounds(vel_v, dt, h_true: int):
     return sb.min(axis=(1, 3)), sb.max(axis=(1, 3))
 
 
+def _pack_bf16(lo, hi):
+    """Pack two bf16 planes into one uint32 plane (lo in bits 0..15).
+    bf16 is the top half of f32, so the bf16 bit pattern is
+    bitcast(f32(x)) >> 16 — exact, and no 16-bit vector ops are needed."""
+    b_lo = lax.bitcast_convert_type(lo.astype(jnp.float32), jnp.uint32) >> 16
+    if hi is None:
+        return b_lo
+    b_hi = (lax.bitcast_convert_type(hi.astype(jnp.float32), jnp.uint32)
+            & jnp.uint32(0xFFFF0000))
+    return b_lo | b_hi
+
+
+def _unpack_bf16(planes, channels: int):
+    """(CP, ...) uint32 -> (channels, ...) f32 (inverse of _pack_bf16)."""
+    outs = []
+    for k in range(planes.shape[0]):
+        outs.append(lax.bitcast_convert_type(planes[k] << 16, jnp.float32))
+        if 2 * k + 1 < channels:
+            outs.append(lax.bitcast_convert_type(
+                planes[k] & jnp.uint32(0xFFFF0000), jnp.float32))
+    return jnp.stack(outs)
+
+
 def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                    dissipation: float,
                    rows: int, cols: int, h_global: int, w_global: int,
                    channels: int, h_true: int, w_true: int, halo: int,
-                   span: int, col_halo: int, align: int, with_splats: bool):
+                   span: int, col_halo: int, align: int, with_splats: bool,
+                   packed: bool):
     if with_splats:
         gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
         scratch = rest[4:]
@@ -201,7 +225,27 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
             for ch in range(channels)])
 
     nrk = r + _trip_unroll(win, r, align) * align
-    if col_halo:
+    if packed:
+        # Channel-packed bf16 mode (no fused splat): TWO bf16 channels share
+        # one uint32 gather plane — tpu.dynamic_gather is 32-bit-only, so
+        # this halves the gather issues AND the per-trip roll bytes. Packed
+        # once per tile into uint32 scratch; per-group `valid` masks are
+        # disjoint across neighbor groups, so the integer accumulation in
+        # gather_at never mixes live halves. Unpacked after the gathers.
+        cp = (channels + 1) // 2
+        win_ref = scratch[0]
+        raw = src_ref[:]
+        pk = jnp.stack([
+            _pack_bf16(raw[2 * k],
+                       raw[2 * k + 1] if 2 * k + 1 < channels else None)
+            for k in range(cp)])
+        if col_halo:
+            pk = pltpu.roll(pk, jnp.mod(col_halo - coff, cbw), axis=2)
+        win_ref[:] = pk
+
+        def load2(al):
+            return win_ref[:, pl.ds(al, nrk), :]
+    elif col_halo:
         # Column-window mode: lane-align the window once so the target block
         # sits at lane offset col_halo regardless of edge clamping, staged
         # in f32 VMEM scratch (refs support the gather loop's dynamic row
@@ -237,12 +281,13 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
     acc = _gather_stream(load2, channels, win, cbw, x_local, yp, x_lo, x_hi,
-                         yp_hi, span, r, cb, col_halo // LANE, align)
+                         yp_hi, span, r, cb, col_halo // LANE, align,
+                         packed=packed)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
 def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
-                   r, cb, goff, align: int = SUBLANE):
+                   r, cb, goff, align: int = SUBLANE, packed: bool = False):
     """Bilinear gather on an ALIGNED window ref: target lanes sit at the
     STATIC lane offset goff*128, so each output lane-group reads from window
     groups g + goff +/- span (2*span+1 TAAs).
@@ -291,7 +336,7 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
                 vals = [jnp.take_along_axis(op[ch], local_c, axis=1)
                         for ch in range(rows_op.shape[0])]
                 v = jnp.stack(vals)
-                acc = acc + jnp.where(valid[None], v, 0.0)
+                acc = acc + jnp.where(valid[None], v, jnp.zeros((), v.dtype))
             out.append(acc)
         return jnp.concatenate(out, axis=-1)
 
@@ -301,6 +346,9 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
     def sub_body(oy, rows_op, acc):
         g0 = gather_at(x0i, rows_op)
         g1 = gather_at(x1i, rows_op)
+        if packed:
+            g0 = _unpack_bf16(g0, c)
+            g1 = _unpack_bf16(g1, c)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
         wgt = (jnp.where(y0_rel == oy, 1.0 - fy, 0.0)
                + jnp.where(y0_rel == oy - 1, fy, 0.0))
@@ -314,8 +362,10 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
         oy = oy_min + unroll * k
         al = pl.multiple_of(jnp.clip((oy // align) * align, 0, win - nrk),
                             align)
-        rolled = pltpu.roll(load2(al).astype(jnp.float32),
-                            jnp.mod(al - oy, nrk), axis=1)
+        op = load2(al)
+        if not packed:
+            op = op.astype(jnp.float32)
+        rolled = pltpu.roll(op, jnp.mod(al - oy, nrk), axis=1)
         for d in range(unroll):
             acc = sub_body(oy + d, rolled[:, d:r + d, :], acc)
         return acc
@@ -372,12 +422,16 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         return (0, rs, cs)
 
     with_splats = splat is not None
+    # Channel-packed gathers: bf16 sources without a fused splat bump gather
+    # ceil(C/2) uint32 planes instead of C (the bump is f32-additive, so the
+    # splat path stays unpacked).
+    packed = src.dtype == jnp.bfloat16 and not with_splats and c > 1
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
         rows=rows, cols=cols, h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
         halo=halo, span=span, col_halo=col_halo, align=align,
-        with_splats=with_splats,
+        with_splats=with_splats, packed=packed,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -398,10 +452,13 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
-        # Staged modes (column windows / fused splats) keep the window in
-        # f32 (dynamic rotate/gather are 32-bit-only in this Mosaic).
-        scratch_shapes=([pltpu.VMEM((c, win, cbw), jnp.float32)]
-                        if col_halo else []),
+        # Staged modes keep the window 32-bit (dynamic rotate/gather are
+        # 32-bit-only in this Mosaic): channel-packed uint32 planes for
+        # splat-free bf16, f32 otherwise.
+        scratch_shapes=(
+            [pltpu.VMEM(((c + 1) // 2, win, cbw), jnp.uint32)] if packed
+            else [pltpu.VMEM((c, win, cbw), jnp.float32)] if col_halo
+            else []),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
