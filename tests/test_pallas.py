@@ -101,6 +101,34 @@ def test_advect_fused_splat_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_advect_fused_splat_bf16_packed(rng):
+    """bfloat16 fused-splat advection packs the BUMPED window (two channels
+    per uint32 lane); the bump rounds to bf16 storage before packing —
+    matching the jnp fallback's (src + bump).astype(dtype) and the reference,
+    whose splat pass writes half-float dye that advection then reads."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W, S, C = 96, 128, 4, 3
+    bf = jnp.bfloat16
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400)),
+                   -1000, 1000).astype(bf)
+    src = jnp.asarray(rng.random((C, H, W))).astype(bf)
+    gy = jnp.asarray(rng.random((H, S)).astype(np.float32))
+    gx = jnp.asarray(rng.random((S, W)).astype(np.float32))
+    amt = jnp.asarray(rng.standard_normal((S, C)).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+
+    bumped = (src.astype(jnp.float32)
+              + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)).astype(bf)
+    want = advect(vel.astype(jnp.float32), bumped.astype(jnp.float32), dt, 1.0)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 1.0, splat=(gy, gx, amt))
+    assert got.dtype == bf
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale
+
+
 def test_jacobi_prescale_fuses_warm_start(rng):
     """jacobi(prescale=k) == jacobi on k*pressure (clearShader fusion)."""
     p = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))

@@ -226,15 +226,20 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
 
     nrk = r + _trip_unroll(win, r, align) * align
     if packed:
-        # Channel-packed bf16 mode (no fused splat): TWO bf16 channels share
-        # one uint32 gather plane — tpu.dynamic_gather is 32-bit-only, so
-        # this halves the gather issues AND the per-trip roll bytes. Packed
-        # once per tile into uint32 scratch; per-group `valid` masks are
-        # disjoint across neighbor groups, so the integer accumulation in
-        # gather_at never mixes live halves. Unpacked after the gathers.
+        # Channel-packed bf16 mode: TWO bf16 channels share one uint32
+        # gather plane — tpu.dynamic_gather is 32-bit-only, so this cuts the
+        # gather issues and the per-trip roll bytes ~in half. Packed once per
+        # tile into uint32 scratch; per-group `valid` masks are disjoint
+        # across neighbor groups, so the integer accumulation in gather_at
+        # never mixes live halves. Unpacked after the gathers. A fused splat
+        # bump rounds to bf16 STORAGE before packing — exactly the jnp
+        # fallback (and the reference, whose splat pass writes half-float dye
+        # that the advection pass then reads, script.js:1287-1293).
         cp = (channels + 1) // 2
         win_ref = scratch[0]
         raw = src_ref[:]
+        if with_splats:
+            raw = bumped(raw, 0, win).astype(jnp.bfloat16)
         pk = jnp.stack([
             _pack_bf16(raw[2 * k],
                        raw[2 * k + 1] if 2 * k + 1 < channels else None)
@@ -422,10 +427,10 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         return (0, rs, cs)
 
     with_splats = splat is not None
-    # Channel-packed gathers: bf16 sources without a fused splat bump gather
-    # ceil(C/2) uint32 planes instead of C (the bump is f32-additive, so the
-    # splat path stays unpacked).
-    packed = src.dtype == jnp.bfloat16 and not with_splats and c > 1
+    # Channel-packed gathers: bf16 sources gather ceil(C/2) uint32 planes
+    # instead of C; fused splat bumps round to bf16 storage at staging
+    # (matching the jnp fallback's (src + bump).astype(dtype)).
+    packed = src.dtype == jnp.bfloat16 and c > 1
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
         rows=rows, cols=cols, h_global=h, w_global=w, channels=c,
