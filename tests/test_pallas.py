@@ -304,6 +304,20 @@ def test_advect_hbm_bf16_matches_oracle(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
                                rtol=0, atol=0.02)
 
+    # Fused splat: the bump rounds to bf16 storage before packing (matching
+    # the jnp fallback and the reference's half-float splat texture).
+    S = 4
+    gy = jnp.asarray(rng.random((H, S)).astype(np.float32))
+    gx = jnp.asarray(rng.random((S, W)).astype(np.float32))
+    amt = jnp.asarray(rng.standard_normal((S, 3)).astype(np.float32))
+    bumped = (src.astype(jnp.float32)
+              + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)).astype(bf)
+    want = advect(vel.astype(jnp.float32), bumped.astype(jnp.float32), dt, 1.0)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel, src, dt, 1.0, splat=(gy, gx, amt))
+    scale = float(jnp.abs(want).max())
+    assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale
+
 
 def test_advect_hbm_matches_oracle(rng):
     """HBM-resident data-bounded-window advection == oracle (same-grid and

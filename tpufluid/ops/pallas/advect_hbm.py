@@ -37,7 +37,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpufluid.ops.pallas.advect import _clamped_start, backtrace_row_bounds
+from tpufluid.ops.pallas.advect import (_clamped_start, _pack_bf16,
+                                        _unpack_bf16, backtrace_row_bounds)
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
 from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
 
@@ -96,11 +97,19 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4,
 def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             dissipation: float, rows: int, cols: int, h_global: int,
             w_global: int, channels: int, h_true: int, w_true: int,
-            span: int, col_halo: int, align: int, with_splats: bool):
+            span: int, col_halo: int, align: int, with_splats: bool,
+            packed: bool):
     if with_splats:
-        gy_ref, gx_ref, amt_ref, out_ref, scratch, sem = rest
+        gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
+        scratch_list = rest[4:]
     else:
-        out_ref, scratch, sem = rest
+        out_ref = rest[0]
+        scratch_list = rest[1:]
+    if packed:
+        scratch, pk_ref, sem = scratch_list
+    else:
+        scratch, sem = scratch_list
+        pk_ref = None
     r, cb = rows, cols
     win2 = r + _EXTRA
     cbw = cols + 2 * col_halo
@@ -181,7 +190,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
                 vals = [jnp.take_along_axis(op[ch], local_c, axis=1)
                         for ch in range(rows_op.shape[0])]
                 v = jnp.stack(vals)
-                acc = acc + jnp.where(valid[None], v, 0.0)
+                acc = acc + jnp.where(valid[None], v, jnp.zeros((), v.dtype))
             out.append(acc)
         return jnp.concatenate(out, axis=-1)
 
@@ -201,6 +210,28 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
         copy.start()
         copy.wait()
 
+        if packed:
+            # Pack the DMA'd bf16 segment ONCE (channel pairs per uint32
+            # lane, ops/pallas/advect._pack_bf16) so every trip slices and
+            # rolls half the planes. A fused splat bump rounds to bf16
+            # storage before packing — the jnp fallback and the reference's
+            # half-float splat texture do the same.
+            raw = scratch[:]
+            if with_splats:
+                gy_sl = gy_ref[pl.ds(seg_start, win2), :].astype(jnp.float32)
+                chans = []
+                for ch in range(channels):
+                    amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
+                    bump = jax.lax.dot_general(
+                        gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    chans.append(raw[ch].astype(jnp.float32) + bump)
+                raw = jnp.stack(chans).astype(jnp.bfloat16)
+            pk_ref[:] = jnp.stack([
+                _pack_bf16(raw[2 * kk],
+                           raw[2 * kk + 1] if 2 * kk + 1 < channels else None)
+                for kk in range((channels + 1) // 2)])
+
         oy_lo = jnp.maximum(lo_t, s0_un + k * stride - i * r)
         oy_hi = jnp.minimum(hi_t + 1, s0_un + (k + 1) * stride - 1 - i * r)
 
@@ -216,6 +247,9 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
                 rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
             g0 = gather_at(x0i, rows_op)
             g1 = gather_at(x1i, rows_op)
+            if packed:
+                g0 = _unpack_bf16(g0, channels)
+                g1 = _unpack_bf16(g1, channels)
             gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
             wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
                    + jnp.where(s_rel == oy - 1, fy, 0.0)) * gate
@@ -226,19 +260,22 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             al_un = ((i * r + oy) // align) * align
             al = pl.multiple_of(jnp.clip(al_un, 0, h_global - nr2), align)
             al_loc = pl.multiple_of(al - seg_start, align)
-            # bf16 sources upcast here: rotate/gather are 32-bit ops.
-            sl16 = scratch[:, pl.ds(al_loc, nr2), :].astype(jnp.float32)
-            if with_splats:
-                # Rank-S separable splat bump over these rows (MXU).
-                gy_sl = gy_ref[pl.ds(al, nr2), :].astype(jnp.float32)
-                chans = []
-                for ch in range(channels):
-                    amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
-                    bump = jax.lax.dot_general(
-                        gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    chans.append(sl16[ch] + bump)
-                sl16 = jnp.stack(chans)
+            if packed:
+                sl16 = pk_ref[:, pl.ds(al_loc, nr2), :]
+            else:
+                # bf16 sources upcast here: rotate/gather are 32-bit ops.
+                sl16 = scratch[:, pl.ds(al_loc, nr2), :].astype(jnp.float32)
+                if with_splats:
+                    # Rank-S separable splat bump over these rows (MXU).
+                    gy_sl = gy_ref[pl.ds(al, nr2), :].astype(jnp.float32)
+                    chans = []
+                    for ch in range(channels):
+                        amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
+                        bump = jax.lax.dot_general(
+                            gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        chans.append(sl16[ch] + bump)
+                    sl16 = jnp.stack(chans)
             m = i * r + oy - al
             rolled = pltpu.roll(sl16, jnp.mod(-m, nr2), axis=1)
             acc = sub_body(oy, rolled[:, :r, :], 1.0, acc)
@@ -289,11 +326,16 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     hi_t = hi_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).max((1, 3))
 
     with_splats = splat is not None
+    # Channel-packed gathers (see ops/pallas/advect.py): bf16 sources gather
+    # ceil(C/2) uint32 planes; splat bumps round to bf16 storage at segment
+    # packing (matching the jnp fallback's (src + bump).astype(dtype)).
+    packed = src.dtype == jnp.bfloat16 and c > 1
     kernel = functools.partial(
         _kernel, dissipation=float(dissipation), rows=rows, cols=cols,
         h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
         span=span, col_halo=col_halo, align=align, with_splats=with_splats,
+        packed=packed,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -315,10 +357,11 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((c, win2, cbw), src.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((c, win2, cbw), src.dtype)]
+            + ([pltpu.VMEM(((c + 1) // 2, win2, cbw), jnp.uint32)]
+               if packed else [])
+            + [pltpu.SemaphoreType.DMA(())]),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
