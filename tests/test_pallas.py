@@ -364,3 +364,74 @@ def test_advect_extreme_velocity_clamped_displacement(rng):
         got = pa.advect_pallas(vel, src, dt, 1.0)
     want = advect(vel, src, dt, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_lane_window_plan():
+    """Static column-gather plans: legacy default == span-halo plan; a tight
+    same-grid displacement bound fits every output group's reach in TWO
+    window groups (the saved third dynamic_gather is the round-3 headline
+    lever)."""
+    import tpufluid.ops.pallas.advect as pa
+
+    # Legacy (no bound): block at span*128, groups g..g+2*span.
+    off, lo, hi = pa.lane_window_plan(None, 1, 256, 512)
+    assert (off, lo, hi) == (128, 0, 2)
+    off, lo, hi = pa.lane_window_plan(None, 2, 256, 768)
+    assert (off, lo, hi) == (256, 0, 4)
+    # Tight same-grid bound (|v|<=1000 texels/s * dt<=1/60): 2 groups.
+    off, lo, hi = pa.lane_window_plan(1000 / 60, 1, 256, 512)
+    assert hi - lo + 1 == 2
+    D = int(np.ceil(1000 / 60)) + 2
+    assert off >= D and off + 255 + D <= 511
+    # No column window: block at 0, legacy +/-span.
+    assert pa.lane_window_plan(1000 / 60, 1, 128, 128) == (0, -1, 1)
+    # Bound wider than the window halo: falls back to the legacy plan.
+    assert pa.lane_window_plan(500.0, 1, 256, 512) == (128, 0, 2)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_advect_tight_plan_matches_oracle(dtype, rng):
+    """Windowed column tiling WITH the tight displacement-bound gather plan
+    (the dispatch path at >=512-wide grids) == oracle, at velocities spanning
+    the full +/-1000 reference clamp and on edge tiles."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 80, 512   # cols=256 window mode; tiles include both column edges
+    dt = jnp.float32(1 / 60)
+    vel = jnp.where(jnp.asarray(rng.random((2, H, W))) > 0.5, 1000.0,
+                    -1000.0).astype(jnp.float32)
+    vel = (vel * jnp.asarray(rng.random((2, H, W)))).astype(dtype)
+    src = jnp.asarray(rng.random((3, H, W))).astype(dtype)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 0.7, max_disp_x=1000 / 60)
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 0.7)
+    tol = 1e-4 if dtype == "float32" else 0.02
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=0, atol=tol)
+
+
+def test_advect_hbm_tight_plan_matches_oracle(rng):
+    """HBM-segment kernel with the tight gather plan (cross-resolution dye,
+    span>1) == oracle."""
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.advect import advect
+    from tpufluid.ops.sampling import resample_bilinear
+
+    hv, wv = 16, 128
+    H, W = 64, 512
+    dt = jnp.float32(1 / 60)
+    vel = jnp.clip(jnp.asarray((rng.standard_normal((2, hv, wv)) * 700)
+                               .astype(np.float32)), -1000, 1000)
+    dye = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
+    vel_r = resample_bilinear(vel, (H, W))
+    vel_r = jnp.stack([vel_r[0] * (W / wv), vel_r[1] * (H / hv)])
+    disp = 1000 / 60 * W / wv
+    span = pa.group_span_for_displacement(disp)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel_r, dye, dt, 1.0, span=span,
+                                   max_disp_x=disp)
+    want = advect(vel, dye, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)

@@ -71,6 +71,39 @@ def group_span_for_displacement(max_disp: float) -> int:
     return max(1, int(math.ceil((max_disp + 2) / LANE)))
 
 
+def lane_window_plan(max_disp_x, span: int, cols: int, cbw: int):
+    """Static column-gather plan: (lane_off, s_lo, s_hi).
+
+    ``lane_off`` is the in-window lane offset the staging roll gives the
+    target block; output lane-group g then gathers from window groups g+s,
+    s in [s_lo, s_hi]. The reachable span per output lane is +/-D lanes
+    around its own position, so CENTERING the block mid-group (lane_off ~64
+    at the same-grid bound) makes the span straddle one group boundary
+    instead of two: 2 dynamic_gathers per corner instead of 3 — the gather
+    issue rate is the measured floor of the whole advection (docs/BENCH.md).
+
+    max_disp_x None keeps the legacy span-halo plan (block at lane offset
+    span*128, groups g..g+2*span), which is what a span-sized displacement
+    bound degenerates to; callers with a tighter bound (dispatch knows the
+    reference's +/-1000 texels/s * dt clamp) get the narrower plan.
+    """
+    if cols == cbw:  # no column window: block at lane offset 0
+        return 0, -span, span
+    D = (span * LANE - 2) if max_disp_x is None else int(math.ceil(max_disp_x))
+    D += 2  # bilinear x1 corner + roundoff
+    best = None
+    for off in range(D, cbw - cols - D + 1):
+        s_lo = (off - D) // LANE
+        s_hi = (LANE - 1 + off + D) // LANE
+        # Prefer fewer groups, then balanced slack for out-of-contract kicks.
+        key = (s_hi - s_lo + 1, -min(off - D, (cbw - cols - D) - off))
+        if best is None or key < best[0]:
+            best = (key, (off, s_lo, s_hi))
+    if best is None:  # bound exceeds the window halo: legacy centered plan
+        return span * LANE, 0, 2 * span
+    return best[1]
+
+
 def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                halo: int = HALO, span: int = 1) -> Tuple[int, int]:
     """(rows, cols) per tile: prefer small tiles (gather work tracks the
@@ -180,7 +213,7 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                    rows: int, cols: int, h_global: int, w_global: int,
                    channels: int, h_true: int, w_true: int, halo: int,
                    span: int, col_halo: int, align: int, with_splats: bool,
-                   packed: bool):
+                   packed: bool, lane_off: int, s_range: Tuple[int, int]):
     if with_splats:
         gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
         scratch = rest[4:]
@@ -245,7 +278,7 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                        raw[2 * k + 1] if 2 * k + 1 < channels else None)
             for k in range(cp)])
         if col_halo:
-            pk = pltpu.roll(pk, jnp.mod(col_halo - coff, cbw), axis=2)
+            pk = pltpu.roll(pk, jnp.mod(lane_off - coff, cbw), axis=2)
         win_ref[:] = pk
 
         def load2(al):
@@ -258,7 +291,7 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
         # bump rides the staging (pre-roll coords).
         win_ref = scratch[0]
         win_ref[:] = pltpu.roll(bumped(src_ref[:], 0, win).astype(jnp.float32),
-                                jnp.mod(col_halo - coff, cbw), axis=2)
+                                jnp.mod(lane_off - coff, cbw), axis=2)
 
         def load2(al):
             return win_ref[:, pl.ds(al, nrk), :]
@@ -273,29 +306,31 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
     vel_v = vel_ref[1].astype(jnp.float32)
 
     # Aligned-window coords: global x = j*cb + local - dt*u; aligned local
-    # x = global - j*cb + col_halo.
-    x_local = cols_local + jnp.float32(col_halo) - dt * vel_u
+    # x = global - j*cb + lane_off (the staging roll puts the target block at
+    # lane_off — see lane_window_plan).
+    x_local = cols_local + jnp.float32(lane_off) - dt * vel_u
     yp = rows_local + roff - dt * vel_v
 
     # Global CLAMP_TO_EDGE bounds in aligned-window coords.
     jcb = (j * cb).astype(jnp.float32)
-    x_lo = jnp.maximum(jnp.float32(col_halo) - jcb, 0.0)
-    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + col_halo,
+    x_lo = jnp.maximum(jnp.float32(lane_off) - jcb, 0.0)
+    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + lane_off,
                        jnp.float32(cbw - 1))
     yp_hi = jnp.minimum(jnp.float32(win - 1),
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
     acc = _gather_stream(load2, channels, win, cbw, x_local, yp, x_lo, x_hi,
-                         yp_hi, span, r, cb, col_halo // LANE, align,
-                         packed=packed)
+                         yp_hi, s_range, r, cb, align, packed=packed)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
 
 
-def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
-                   r, cb, goff, align: int = SUBLANE, packed: bool = False):
-    """Bilinear gather on an ALIGNED window ref: target lanes sit at the
-    STATIC lane offset goff*128, so each output lane-group reads from window
-    groups g + goff +/- span (2*span+1 TAAs).
+def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
+                   s_range, r, cb, align: int = SUBLANE, packed: bool = False):
+    """Bilinear gather on an ALIGNED window ref: the staging roll puts the
+    target block at a static lane offset chosen by lane_window_plan, so each
+    output lane-group reads only from window groups g + s, s in s_range —
+    2 TAAs per corner at the same-grid displacement bound instead of the
+    legacy 3 (the span-halo plan).
 
     load2(al) -> (C, r+2*align, CBW): rows [al, al+r+2*align) of the staged
     window (al align-ed; align is the dtype's sublane tiling). Each loop trip
@@ -330,8 +365,8 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
             sl = slice(g_out * LANE, (g_out + 1) * LANE)
             idx_g = idx[:, sl]
             acc = jnp.zeros((rows_op.shape[0], r, LANE), dtype=rows_op.dtype)
-            for s in range(-span, span + 1):
-                gg = g_out + goff + s
+            for s in range(s_range[0], s_range[1] + 1):
+                gg = g_out + s
                 if gg < 0 or gg >= n_groups_win:
                     continue
                 local = idx_g - gg * LANE
@@ -383,13 +418,15 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi, span,
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                   dissipation: float, rows_per_block: int = 0,
                   true_shape=None, halo: int = HALO, span: int = 1,
-                  splat=None) -> jnp.ndarray:
+                  splat=None, max_disp_x=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
     texels/second*; source (C,H,W) or (H,W) on the SAME grid.
 
     halo/span size the row halo and lane-group gather span for the maximum
     backtrace displacement in source texels (halo_for_displacement /
     group_span_for_displacement); the defaults cover the same-grid bound.
+    max_disp_x (source texels) tightens the column-gather group plan below
+    the span worst case (lane_window_plan); None keeps the legacy plan.
     splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
     added to the source in-kernel before sampling (one MXU bump per window
     instead of a separate full-grid splat pass)."""
@@ -431,12 +468,14 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     # instead of C; fused splat bumps round to bf16 storage at staging
     # (matching the jnp fallback's (src + bump).astype(dtype)).
     packed = src.dtype == jnp.bfloat16 and c > 1
+    lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
         rows=rows, cols=cols, h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
         halo=halo, span=span, col_halo=col_halo, align=align,
         with_splats=with_splats, packed=packed,
+        lane_off=lane_off, s_range=(s_lo, s_hi),
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.advect import (_clamped_start, _pack_bf16,
-                                        _unpack_bf16, backtrace_row_bounds)
+                                        _unpack_bf16, backtrace_row_bounds,
+                                        lane_window_plan)
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
 from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
 
@@ -98,7 +99,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             dissipation: float, rows: int, cols: int, h_global: int,
             w_global: int, channels: int, h_true: int, w_true: int,
             span: int, col_halo: int, align: int, with_splats: bool,
-            packed: bool):
+            packed: bool, lane_off: int, s_range: Tuple[int, int]):
     if with_splats:
         gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
         scratch_list = rest[4:]
@@ -144,11 +145,12 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     fy = (yg - y0g).astype(jnp.float32)
     s_rel = y0g.astype(jnp.int32) - (i * r + rows_local)  # global offsets
 
-    # Aligned-window column coords (target block at lane offset col_halo).
-    x_local = cols_local + jnp.float32(col_halo) - dt * vel_u
+    # Aligned-window column coords (the per-trip roll puts the target block
+    # at lane_off — see advect.lane_window_plan).
+    x_local = cols_local + jnp.float32(lane_off) - dt * vel_u
     jcb = (j * cb).astype(jnp.float32)
-    x_lo = jnp.maximum(jnp.float32(col_halo) - jcb, 0.0)
-    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + col_halo,
+    x_lo = jnp.maximum(jnp.float32(lane_off) - jcb, 0.0)
+    x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + lane_off,
                        jnp.float32(cbw - 1))
     x_local = jnp.clip(x_local, x_lo, x_hi)
     x0 = jnp.floor(x_local)
@@ -156,7 +158,6 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     x0i = x0.astype(jnp.int32)
     x1i = jnp.minimum((x0i + 1).astype(jnp.float32), x_hi).astype(jnp.int32)
 
-    goff = col_halo // LANE
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
     nr2 = r + 2 * align
@@ -179,8 +180,8 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             idx_g = idx[:, sl]
             acc = jnp.zeros((rows_op.shape[0], idx.shape[0], LANE),
                             dtype=rows_op.dtype)
-            for s in range(-span, span + 1):
-                gg = g_out + goff + s
+            for s in range(s_range[0], s_range[1] + 1):
+                gg = g_out + s
                 if gg < 0 or gg >= n_groups_win:
                     continue
                 local = idx_g - gg * LANE
@@ -195,7 +196,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
         return jnp.concatenate(out, axis=-1)
 
     # Pre-rolled lane alignment applies per slice (column-window mode).
-    lane_shift = jnp.mod(col_halo - coff, cbw) if col_halo else 0
+    lane_shift = jnp.mod(lane_off - coff, cbw) if col_halo else 0
 
     def seg_body(k, acc):
         seg_start = pl.multiple_of(
@@ -292,12 +293,15 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
 
 def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                       dissipation: float, true_shape=None,
-                      span: int = 1, splat=None) -> jnp.ndarray:
+                      span: int = 1, splat=None,
+                      max_disp_x=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection, velocity in source-texels/second.
 
     No worst-case row halo: segments are DMA'd on demand, so this is the
     right kernel when the displacement bound is large (cross-resolution dye
-    advection). ``span`` sizes the column gather window only.
+    advection). ``span`` sizes the column gather window only; max_disp_x
+    (source texels) tightens the gather group plan below the span worst case
+    (advect.lane_window_plan).
     splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
     added to each slice in-kernel before sampling."""
     squeeze = source.ndim == 2
@@ -330,12 +334,13 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     # ceil(C/2) uint32 planes; splat bumps round to bf16 storage at segment
     # packing (matching the jnp fallback's (src + bump).astype(dtype)).
     packed = src.dtype == jnp.bfloat16 and c > 1
+    lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
     kernel = functools.partial(
         _kernel, dissipation=float(dissipation), rows=rows, cols=cols,
         h_global=h, w_global=w, channels=c,
         h_true=true_shape[0], w_true=true_shape[1],
         span=span, col_halo=col_halo, align=align, with_splats=with_splats,
-        packed=packed,
+        packed=packed, lane_off=lane_off, s_range=(s_lo, s_hi),
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),

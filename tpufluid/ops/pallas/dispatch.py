@@ -171,7 +171,8 @@ def project_and_self_advect(velocity, pressure, dt, dissipation):
                                           pad_to(pressure, *pad),
                                           true_shape=(h, w))
             out = _pa.advect_pallas(vel_p, vel_p, dt, dissipation,
-                                    true_shape=(h, w))
+                                    true_shape=(h, w),
+                                    max_disp_x=_MAX_DISP_SIM_TEXELS)
             return out[..., :h, :w]
     vel = gradient_subtract(velocity, pressure)
     return advect(vel, vel, dt, dissipation)
@@ -243,7 +244,8 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                 out = _hbm.advect_pallas_hbm(pad_to(velocity, *pad),
                                              pad_to(source, *pad),
                                              dt, dissipation, true_shape=(h, w),
-                                             span=span, splat=padded_splat(pad))
+                                             span=span, splat=padded_splat(pad),
+                                             max_disp_x=max_disp_x)
                 return out[..., :h, :w]
 
         pad = _padded_shape(h, w, "advect", it,
@@ -258,7 +260,8 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                 if all_ch:
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
                                             true_shape=(h, w), halo=halo,
-                                            span=span, splat=sp)
+                                            span=span, splat=sp,
+                                            max_disp_x=max_disp_x)
                 elif source.ndim == 3:
                     # Large-halo windows don't fit VMEM with all channels live:
                     # one kernel launch per channel.
@@ -267,12 +270,14 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                             vel_p, src_p[ch], dt, dissipation,
                             true_shape=(h, w), halo=halo, span=span,
                             splat=None if sp is None else
-                            (sp[0], sp[1], sp[2][:, ch:ch + 1]))
+                            (sp[0], sp[1], sp[2][:, ch:ch + 1]),
+                            max_disp_x=max_disp_x)
                         for ch in range(c)])
                 else:
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
                                             true_shape=(h, w), halo=halo,
-                                            span=span, splat=sp)
+                                            span=span, splat=sp,
+                                            max_disp_x=max_disp_x)
                 return out[..., :h, :w]
     if splat_factors is not None:
         gy, gx, amt = splat_factors
