@@ -215,3 +215,28 @@ def test_diagnostics_on_sharded_state():
         s1 = single(s1, DT, jnp.asarray(trace.batches[t]))
     d1 = diagnostics(s1, cfg)
     assert abs(d["kinetic_energy"] - d1["kinetic_energy"]) < 1e-3 * max(d1["kinetic_energy"], 1)
+
+
+def test_sharded_multi_step_matches_stepwise():
+    """Scan-inside-shard_map (one dispatch for T steps) must equal T
+    per-call sharded steps exactly — same per-shard code, same collectives,
+    only the loop moves inside the region."""
+    from tpufluid.parallel import make_sharded_multi_step
+
+    cfg = CFG
+    steps = 6
+    trace = swirl_trace(cfg, steps, seed=13)
+    mesh = make_mesh()
+    stepwise = make_sharded_step(cfg, mesh)
+    multi = make_sharded_multi_step(cfg, mesh)
+
+    a = shard_state(init_state(cfg), mesh)
+    for t in range(steps):
+        a = stepwise(a, DT, jnp.asarray(trace.batches[t]))
+    b = multi(shard_state(init_state(cfg), mesh), DT,
+              jnp.asarray(trace.batches))
+
+    for f in ("velocity", "dye", "pressure"):
+        x, y = jnp.asarray(getattr(a, f)), jnp.asarray(getattr(b, f))
+        assert float(jnp.abs(x - y).max()) <= 1e-6 * max(
+            float(jnp.abs(x).max()), 1e-3), f

@@ -13,5 +13,5 @@ Two paths:
 
 from tpufluid.parallel.mesh import make_mesh, shard_state
 from tpufluid.parallel.halo import exchange_halo_rows
-from tpufluid.parallel.sharded_step import make_sharded_step, sharded_fluid_step
+from tpufluid.parallel.sharded_step import (make_sharded_multi_step, make_sharded_step, sharded_fluid_step)
 from tpufluid.parallel.auto import make_auto_sharded_step

@@ -269,3 +269,38 @@ def make_sharded_step(config: FluidConfig, mesh=None):
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def make_sharded_multi_step(config: FluidConfig, mesh=None):
+    """Scan a batch of steps INSIDE one shard_map region: (state, dt,
+    batches (T, MAX_SPLATS, 8)) -> state after T steps.
+
+    One dispatch per T steps (the per-call dispatch tax dominates per-step
+    loops on tunneled backends), one shard_map entry/exit instead of T, and
+    the halo-exchange collectives ride inside the compiled loop — this is
+    the execution mode the trace-replay benchmarks use (bench.py), mirrored
+    for the sharded path."""
+    if mesh is None:
+        mesh = make_mesh()
+    ny, nx = mesh.devices.shape
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    if sh % ny or dh % ny or sw % nx or dw % nx:
+        raise ValueError(
+            f"grid extents {(sh, sw)}/{(dh, dw)} must divide mesh {(ny, nx)}")
+
+    specs = state_specs()
+
+    def multi(state, dt, batches):
+        def body(c, b):
+            return sharded_fluid_step(c, dt, b, config), 0.0
+        return lax.scan(body, state, batches)[0]
+
+    mapped = jax.shard_map(
+        multi, mesh=mesh,
+        in_specs=(specs, P(), P()),
+        out_specs=specs,
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=0)
