@@ -59,13 +59,13 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                 break
     if rows == 0:
         return (0, 0)
-    # NARROW column tiles first: this kernel serves large displacement
+    # NARROWEST column tiles first: this kernel serves large displacement
     # ratios, where the trip count tracks the tile's velocity range times
     # the ratio — a full-width tile's range can approach the worst case
-    # (measured 7.8 ms/step on the demo config), while a 256-col tile sees
-    # only ~2 sim cells of variation. Column-window overlap is bounded by
-    # span*128 lanes and far cheaper than the extra trips.
-    cands = (256, 384, 512, 128) + ((w,) if w <= 2048 else ())
+    # (measured 7.8 ms/step on the demo config). With the tight lane plan
+    # the span-group count scales with the window width, so 128-col tiles
+    # beat 256+ (round-3 device sweep: demo 171.5 vs 146.4 steps/s at 384).
+    cands = (128, 256, 384, 512) + ((w,) if w <= 2048 else ())
     cols = 0
     for cb in cands:
         if cb > w or w % cb or cb % LANE:
@@ -74,7 +74,8 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
             continue
         cbw = cb + (2 * span * LANE if cb != w else 0)
         win2 = rows + _EXTRA
-        vmem = (channels * (2 * win2 * 4 + win2 * itemsize)
+        # double-buffered segment scratch (2x win2) + packed/unpacked temps
+        vmem = (channels * (2 * win2 * 4 + 2 * win2 * itemsize)
                 + (8 * channels + 10) * rows * 4) * cbw
         if vmem <= _VMEM_BUDGET:
             cols = cb
@@ -173,6 +174,18 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     if with_splats:
         gxs = gx_ref[:, pl.ds(cstart, cbw)].astype(jnp.float32)
 
+    def seg_copy(k, slot):
+        """Async-copy descriptor for segment k into double-buffer slot."""
+        seg_start = pl.multiple_of(
+            jnp.clip(s0_un + k * stride, 0, h_global - win2), align)
+        if col_halo:
+            return pltpu.make_async_copy(
+                src_ref.at[:, pl.ds(seg_start, win2), pl.ds(cstart, cbw)],
+                scratch.at[slot], sem.at[slot])
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(seg_start, win2), :],
+            scratch.at[slot], sem.at[slot])
+
     def gather_at(idx, rows_op):
         out = []
         for g_out in range(n_groups_out):
@@ -199,17 +212,18 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     lane_shift = jnp.mod(lane_off - coff, cbw) if col_halo else 0
 
     def seg_body(k, acc):
+        # Double-buffered segments: wait on this slot, immediately start the
+        # NEXT segment's DMA into the other slot, then compute — the copy
+        # overlaps the gather trips (the serial start-wait version measured
+        # the DMA at ~25% of the demo-config step).
+        slot = lax.rem(k, 2)
         seg_start = pl.multiple_of(
             jnp.clip(s0_un + k * stride, 0, h_global - win2), align)
-        if col_halo:
-            copy = pltpu.make_async_copy(
-                src_ref.at[:, pl.ds(seg_start, win2), pl.ds(cstart, cbw)],
-                scratch, sem)
-        else:
-            copy = pltpu.make_async_copy(
-                src_ref.at[:, pl.ds(seg_start, win2), :], scratch, sem)
-        copy.start()
-        copy.wait()
+        seg_copy(k, slot).wait()
+
+        @pl.when(k + 1 < n_seg)
+        def _():
+            seg_copy(k + 1, lax.rem(k + 1, 2)).start()
 
         if packed:
             # Pack the DMA'd bf16 segment ONCE (channel pairs per uint32
@@ -217,7 +231,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             # rolls half the planes. A fused splat bump rounds to bf16
             # storage before packing — the jnp fallback and the reference's
             # half-float splat texture do the same.
-            raw = scratch[:]
+            raw = scratch[slot]
             if with_splats:
                 gy_sl = gy_ref[pl.ds(seg_start, win2), :].astype(jnp.float32)
                 chans = []
@@ -265,7 +279,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
                 sl16 = pk_ref[:, pl.ds(al_loc, nr2), :]
             else:
                 # bf16 sources upcast here: rotate/gather are 32-bit ops.
-                sl16 = scratch[:, pl.ds(al_loc, nr2), :].astype(jnp.float32)
+                sl16 = scratch[slot, :, pl.ds(al_loc, nr2), :].astype(jnp.float32)
                 if with_splats:
                     # Rank-S separable splat bump over these rows (MXU).
                     gy_sl = gy_ref[pl.ds(al, nr2), :].astype(jnp.float32)
@@ -286,6 +300,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
         n_trips = (oy_hi + 1 - oy_lo + 1) // 2
         return lax.fori_loop(0, n_trips, oy_body, acc)
 
+    seg_copy(0, 0).start()
     acc = jnp.zeros((channels, r, cb), jnp.float32)
     acc = lax.fori_loop(0, n_seg, seg_body, acc)
     out_ref[:] = (acc / (1.0 + dissipation * dt)).astype(out_ref.dtype)
@@ -363,10 +378,10 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((c, win2, cbw), src.dtype)]
+            [pltpu.VMEM((2, c, win2, cbw), src.dtype)]
             + ([pltpu.VMEM(((c + 1) // 2, win2, cbw), jnp.uint32)]
                if packed else [])
-            + [pltpu.SemaphoreType.DMA(())]),
+            + [pltpu.SemaphoreType.DMA((2,))]),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,
             bytes_accessed=(3 * c + 2) * h * w * src.dtype.itemsize,
