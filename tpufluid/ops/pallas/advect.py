@@ -57,8 +57,12 @@ from tpufluid.ops.pallas.common import LANE, SUBLANE, round_up, row_align
 # violation of the budget is observable.
 HALO = 24  # multiple of the sublane count
 _VMEM_BUDGET = 12 * 1024 * 1024
-_PREF_ROWS = 32   # device sweep optimum at 1024^2 (r1 BENCH.md; out/jobs/64_tilesweep)
-_PREF_COLS = 256
+# Round-3 device sweep at 1024^2 with the tight lane plan: 64x128 tiles beat
+# the r1 optimum 32x256 (f32 665 vs 597 steps/s; bf16 900 vs 826 — narrower
+# windows mean fewer span groups and a smaller per-tile velocity range,
+# taller tiles amortize the per-tile coordinate setup).
+_PREF_ROWS = 64
+_PREF_COLS = 128
 
 
 def halo_for_displacement(max_disp: float) -> int:
