@@ -161,9 +161,12 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4, halo: int = HALO,
 def _trip_unroll(win: int, r: int, align: int) -> int:
     """Row offsets served per gather-loop trip (static shifts of one rolled
     slice); bounded by the halo so the slice always fits the window. Two is
-    the measured optimum (453 vs 444 steps/s at four — the past-the-end
-    sub-bodies of wider unrolls multiply zeros ~20% of the time)."""
-    return max(1, min(2, (win - r) // align))
+    the measured f32 optimum (the past-the-end sub-bodies of wider unrolls
+    multiply zeros ~20% of the time); the channel-packed bf16 path (align
+    16) prefers four (916 vs 900 steps/s at 1024^2, r3 sweep) — its slices
+    are half the bytes, so the wider slice costs less than the saved loop
+    entries."""
+    return max(1, min(4 if align == 16 else 2, (win - r) // align))
 
 
 def _clamped_start(i, block: int, halo: int, total: int, align: int):
