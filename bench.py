@@ -78,42 +78,52 @@ def _bench_render(config, frames: int = 200):
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                   help="state dtype override: configs 1-3 default to float32 "
+                        "(round-over-round comparability), 4-5 to bfloat16; "
+                        "bfloat16 is the parity-faithful mode (the reference "
+                        "stores half-float textures, script.js:145-153)")
     args = p.parse_args()
 
     from tpufluid import FluidConfig
 
+    dtype = args.dtype or ("bfloat16" if args.config in (4, 5) else "float32")
+    tag = "fp32" if dtype == "float32" else "bfloat16"
+
     if args.config == 1:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8).validate()
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=3, chunk=100)
-        metric = "sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, fp32)"
+        metric = f"sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, {tag})"
     elif args.config == 2:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
-                          MAX_SPLATS=8).validate()
+                          MAX_SPLATS=8, DTYPE=dtype).validate()
         value = _bench_render(cfg)
         metric = "render frames/sec, 1280x720 full display pipeline (bloom mips + sunrays + shading + dither)"
     elif args.config == 3:
         cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8).validate()
+                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=5, chunk=100)
-        metric = "sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, fp32, trace replay"
+        metric = f"sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, {tag}, trace replay"
     elif args.config == 4:
         cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
                           CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
-                          DTYPE="bfloat16").validate()
+                          DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=2, chunk=50)
-        metric = "sim steps/sec, 4096^2 bfloat16, 20 Jacobi iters, trace replay"
+        metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
     else:
         cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
-                          DTYPE="bfloat16").validate()
+                          DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=1, chunk=20)
-        metric = "sim steps/sec, 16384^2 bfloat16 single chip, 20 Jacobi iters"
+        metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"
 
     print(json.dumps({
         "metric": metric,

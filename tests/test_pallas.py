@@ -435,3 +435,36 @@ def test_advect_hbm_tight_plan_matches_oracle(rng):
     want = advect(vel, dye, dt, 1.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-4)
+
+
+@pytest.mark.parametrize("shading", [True, False])
+@pytest.mark.parametrize("shape", [
+    (48, 300, 32, 128),    # downsample both axes, ragged width
+    (64, 91, 48, 128),     # sub-lane-width source, column upsample
+    (256, 456, 48, 256),   # steep row downsample (bloom-res-like)
+    (96, 128, 96, 128),    # identity rows (golden-config shape)
+])
+def test_display_resample_shade_matches_oracle(shape, shading, rng):
+    """Fused display kernel == the jnp tap math (ops/display.shaded_base),
+    including the edge tiles' clamped windows."""
+    import tpufluid.ops.pallas.display as pdl
+    from tpufluid.ops.display import shaded_base
+
+    h, w, oh, ow = shape
+    dye = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+    assert pdl.supported((3, h, w), (oh, ow), shading)
+    with _interp(pdl):
+        got = pdl.resample_shade_pallas(dye, (oh, ow), shading)
+    want = shaded_base(dye, (oh, ow), shading)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_display_supported_gate():
+    import tpufluid.ops.pallas.display as pdl
+
+    assert pdl.supported((3, 1024, 1820), (720, 1280), True)   # config 2
+    assert pdl.supported((3, 1024, 1820), (360, 640), True)    # server tick
+    assert not pdl.supported((3, 1024, 1820), (910, 512), True)   # capture w
+    assert not pdl.supported((3, 24, 200), (32, 256), True)    # source too short
+    assert not pdl.supported((3, 1024, 1820), (720, 1280), True, itemsize=2)

@@ -102,9 +102,18 @@ def test_sharded_step_kernels_on_device(warm_tunnel):
         sp = jnp.asarray(tr.batches[t])
         a = single(a, dt, sp)
         b = sharded(b, dt, sp)
+        if t == 0:
+            # Tight single-step equivalence: the meaningful claim. (Multi-step
+            # diffs grow ~3x/step — near-clamp |v|~1000 flow is chaotic — so
+            # only the first step bounds the implementations' true distance.)
+            scale = max(float(jnp.abs(a.velocity).max()), 1.0)
+            d0 = float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max())
+            assert d0 < 5e-6 * scale, (d0, scale)
+            assert float(jnp.abs(jnp.asarray(b.dye) - a.dye).max()) < 1e-5
+    # Loose 3-step sanity: same attractor, no structural drift.
     scale = max(float(jnp.abs(a.velocity).max()), 1.0)
-    assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-5 * scale
-    assert float(jnp.abs(jnp.asarray(b.dye) - a.dye).max()) < 1e-5
+    assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-3 * scale
+    assert float(jnp.abs(jnp.asarray(b.dye) - a.dye).max()) < 1e-4
 
 
 def test_scan_throughput_smoke(warm_tunnel):
@@ -120,3 +129,25 @@ def test_scan_throughput_smoke(warm_tunnel):
     s = multi(init_state(cfg), jnp.float32(1 / 60), jnp.asarray(tr.batches))
     checksum = float(jnp.sum(jnp.abs(s.velocity.astype(jnp.float32))))
     assert np.isfinite(checksum) and checksum > 0
+
+
+def test_display_kernel_matches_jnp_on_device(warm_tunnel):
+    """Fused display resample+shading kernel (compiled Mosaic) == jnp taps.
+
+    Compares the shaded base directly (the kernel's contract) — comparing
+    full frames instead would route differences through the bloom gamma pow,
+    whose derivative blows up at 0 and amplifies fp-order noise ~1000x."""
+    from tpufluid.ops.display import shaded_base
+    from tpufluid.ops.pallas import display as pdl
+
+    rng = np.random.default_rng(7)
+    for (h, w, oh, ow, shading) in [(1024, 1820, 720, 1280, True),
+                                    (256, 456, 48, 256, True),
+                                    (1024, 1820, 360, 640, False)]:
+        dye = jnp.asarray(rng.random((3, h, w)).astype(np.float32))
+        assert pdl.supported((3, h, w), (oh, ow), shading)
+        got = jax.jit(lambda d: pdl.resample_shade_pallas(
+            d, (oh, ow), shading))(dye)
+        want = jax.jit(lambda d: shaded_base(d, (oh, ow), shading))(dye)
+        err = float(jnp.abs(got - want).max())
+        assert err < 2e-5, (h, w, oh, ow, shading, err)

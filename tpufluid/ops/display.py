@@ -13,13 +13,43 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from tpufluid.ops.sampling import sample_affine, uv_grid
+from tpufluid.ops.sampling import sample_affine, sample_affine_axis, uv_grid
 
 
 def linear_to_gamma(color: jnp.ndarray) -> jnp.ndarray:
     """max(1.055 * c^(1/2.4) - 0.055, 0) (script.js:563-566)."""
     color = jnp.maximum(color, 0.0)
     return jnp.maximum(1.055 * jnp.power(color, 0.416666667) - 0.055, 0.0)
+
+
+def shaded_base(dye_rgb: jnp.ndarray, out_hw: Tuple[int, int],
+                shading: bool) -> jnp.ndarray:
+    """The display's dye sampling: center tap, with SHADING multiplied by the
+    diffuse term from the four 1-display-texel neighbor norms
+    (script.js:571-584). jnp path — ops/pallas/display.py fuses the same
+    math into one kernel; both share sampling.affine_axis_plan coordinates.
+    """
+    out_h, out_w = out_hw
+    if not shading:
+        return sample_affine(dye_rgb, out_hw)
+    # The five taps share separable stages: l/r/center differ only in u, so
+    # they share one row (v) pass; t/b differ only in v, so they share one
+    # column (u) pass — 7 axis passes instead of 10.
+    tx, ty = 1.0 / out_w, 1.0 / out_h
+    rows = sample_affine_axis(dye_rgb, out_h, axis=-2)
+    c = sample_affine_axis(rows, out_w, axis=-1)
+    lc = sample_affine_axis(rows, out_w, axis=-1, off=-tx)
+    rc = sample_affine_axis(rows, out_w, axis=-1, off=tx)
+    cols = sample_affine_axis(dye_rgb, out_w, axis=-1)
+    tc = sample_affine_axis(cols, out_h, axis=-2, off=ty)
+    bc = sample_affine_axis(cols, out_h, axis=-2, off=-ty)
+    norm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=0))
+    dx = norm(rc) - norm(lc)
+    dy = norm(tc) - norm(bc)
+    nz = jnp.sqrt(tx * tx + ty * ty)
+    inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + nz * nz)
+    diffuse = jnp.clip(nz * inv_len + 0.7, 0.7, 1.0)
+    return c * diffuse[None]
 
 
 def display_composite(
@@ -29,31 +59,17 @@ def display_composite(
     bloom_tex: Optional[jnp.ndarray],
     sunrays_tex: Optional[jnp.ndarray],
     dither_tex: Optional[jnp.ndarray],
+    base: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """-> (4, h, w) premultiplied RGBA (alpha = max(r,g,b), script.js:608-609).
 
     All sources are sampled bilinearly at the display target's texel centers;
     SHADING neighbors are offset by one *display* texel (drawDisplay sets
-    texelSize to 1/target size, script.js:1336-1340).
+    texelSize to 1/target size, script.js:1336-1340). ``base`` optionally
+    supplies the (already shaded) center taps — the Pallas fused path.
     """
     out_h, out_w = out_hw
-    c = sample_affine(dye_rgb, out_hw)
-
-    if shading:
-        # Neighbors offset by one *display* texel; constant offsets, so each
-        # tap is a separable affine sample (no 2-D gather).
-        tx, ty = 1.0 / out_w, 1.0 / out_h
-        lc = sample_affine(dye_rgb, out_hw, ou=-tx)
-        rc = sample_affine(dye_rgb, out_hw, ou=tx)
-        tc = sample_affine(dye_rgb, out_hw, ov=ty)
-        bc = sample_affine(dye_rgb, out_hw, ov=-ty)
-        norm = lambda x: jnp.sqrt(jnp.sum(x * x, axis=0))
-        dx = norm(rc) - norm(lc)
-        dy = norm(tc) - norm(bc)
-        nz = jnp.sqrt(tx * tx + ty * ty)
-        inv_len = 1.0 / jnp.sqrt(dx * dx + dy * dy + nz * nz)
-        diffuse = jnp.clip(nz * inv_len + 0.7, 0.7, 1.0)
-        c = c * diffuse[None]
+    c = shaded_base(dye_rgb, out_hw, shading) if base is None else base
 
     bloom = None
     if bloom_tex is not None:

@@ -178,6 +178,19 @@ def project_and_self_advect(velocity, pressure, dt, dissipation):
     return advect(vel, vel, dt, dissipation)
 
 
+def display_base(dye_rgb, out_hw, shading: bool):
+    """Shaded display center: the display shader's 5-tap dye sampling +
+    diffuse term fused into one Pallas pass (ops/pallas/display.py), or None
+    when unsupported (caller falls back to the jnp taps in ops/display.py)."""
+    if _on_tpu():
+        from tpufluid.ops.pallas import display as _pd
+
+        if (dye_rgb.dtype == jnp.float32
+                and _pd.supported(dye_rgb.shape, out_hw, shading)):
+            return _pd.resample_shade_pallas(dye_rgb, out_hw, shading)
+    return None
+
+
 def advect(velocity, source, dt, dissipation, splat_factors=None):
     """Semi-Lagrangian advection; velocity (2,Hs,Ws), source (...,H,W).
 

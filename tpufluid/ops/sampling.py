@@ -89,6 +89,45 @@ def uv_grid(h: int, w: int, dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray
     return jnp.broadcast_to(u[None, :], (h, w)), jnp.broadcast_to(v[:, None], (h, w))
 
 
+def affine_axis_plan(n_in: int, n_out: int, scale: float = 1.0,
+                     off: float = 0.0, wrap: bool = False):
+    """(i0, i1, f) for one separable affine bilinear stage at
+    p = ((k+0.5)/n_out)*scale + off. The single source of these coordinates:
+    the Pallas display kernel consumes this plan as data so its taps are
+    bit-identical to the jnp path (in-kernel recomputation can differ by an
+    ulp through FMA fusion, which a 1024-scale coordinate amplifies to ~1e-4
+    in texel space)."""
+    p = (jnp.arange(n_out, dtype=jnp.float32) + 0.5) / n_out * scale + off
+    x = p * n_in - 0.5
+    x0 = jnp.floor(x)
+    f = x - x0
+    i0 = x0.astype(jnp.int32)
+    if wrap:
+        i0, i1 = jnp.mod(i0, n_in), jnp.mod(i0 + 1, n_in)
+    else:
+        i0, i1 = jnp.clip(i0, 0, n_in - 1), jnp.clip(i0 + 1, 0, n_in - 1)
+    return i0, i1, f
+
+
+def sample_affine_axis(tex: jnp.ndarray, n_out: int, axis: int,
+                       scale: float = 1.0, off: float = 0.0,
+                       wrap: bool = False) -> jnp.ndarray:
+    """One separable stage of an affine bilinear sample: take+lerp along
+    ``axis`` (-1 = u/columns, -2 = v/rows) at p = ((k+0.5)/n_out)*scale + off.
+
+    Exposed so callers with several taps that share one stage (the display
+    shader's 5 neighbor taps, ops/display.py) can compute the shared stage
+    once instead of per tap.
+    """
+    assert axis in (-1, -2)
+    i0, i1, f = affine_axis_plan(tex.shape[axis], n_out, scale, off, wrap)
+    f = f.astype(tex.dtype)
+    if axis == -2:
+        f = f[:, None]
+    return (jnp.take(tex, i0, axis=axis) * (1 - f)
+            + jnp.take(tex, i1, axis=axis) * f)
+
+
 def sample_affine(tex: jnp.ndarray, out_hw: Tuple[int, int],
                   su: float = 1.0, ou: float = 0.0,
                   sv: float = 1.0, ov: float = 0.0,
@@ -105,33 +144,8 @@ def sample_affine(tex: jnp.ndarray, out_hw: Tuple[int, int],
     CLAMP_TO_EDGE by default; wrap=True gives REPEAT (dither texture).
     """
     out_h, out_w = out_hw
-    h, w = tex.shape[-2], tex.shape[-1]
-
-    u = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * su + ou
-    x = u * w - 0.5
-    x0 = jnp.floor(x)
-    fx = (x - x0).astype(tex.dtype)
-    if wrap:
-        ix0 = jnp.mod(x0.astype(jnp.int32), w)
-        ix1 = jnp.mod(x0.astype(jnp.int32) + 1, w)
-    else:
-        ix0 = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-        ix1 = jnp.clip(x0.astype(jnp.int32) + 1, 0, w - 1)
-    t = jnp.take(tex, ix0, axis=-1) * (1 - fx) + jnp.take(tex, ix1, axis=-1) * fx
-
-    v = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * sv + ov
-    y = v * h - 0.5
-    y0 = jnp.floor(y)
-    fy = (y - y0).astype(tex.dtype)[:, None]
-    if wrap:
-        iy0 = jnp.mod(y0.astype(jnp.int32), h)
-        iy1 = jnp.mod(y0.astype(jnp.int32) + 1, h)
-    else:
-        iy0 = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-        iy1 = jnp.clip(y0.astype(jnp.int32) + 1, 0, h - 1)
-    a = jnp.take(t, iy0, axis=-2)
-    b = jnp.take(t, iy1, axis=-2)
-    return a * (1 - fy) + b * fy
+    t = sample_affine_axis(tex, out_w, axis=-1, scale=su, off=ou, wrap=wrap)
+    return sample_affine_axis(t, out_h, axis=-2, scale=sv, off=ov, wrap=wrap)
 
 
 def resample_bilinear(tex: jnp.ndarray, out_hw: Tuple[int, int]) -> jnp.ndarray:

@@ -60,12 +60,18 @@ def render_frame(
     if config.BLOOM and dither is None:
         dither = jnp.asarray(blue_noise_64())
 
+    base = None
+    if config.USE_PALLAS:
+        from tpufluid.ops.pallas import dispatch as K
+        base = K.display_base(dye, out_hw, config.SHADING)
+
     display = display_composite(
         dye, out_hw,
         shading=config.SHADING,
         bloom_tex=bloom_tex,
         sunrays_tex=sunrays_tex,
         dither_tex=dither if config.BLOOM else None,
+        base=base,
     )
 
     blend = to_screen or not config.TRANSPARENT  # script.js:1304-1310
