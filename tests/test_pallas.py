@@ -468,3 +468,65 @@ def test_display_supported_gate():
     assert not pdl.supported((3, 1024, 1820), (910, 512), True)   # capture w
     assert not pdl.supported((3, 24, 200), (32, 256), True)    # source too short
     assert not pdl.supported((3, 1024, 1820), (720, 1280), True, itemsize=2)
+
+
+def test_display_composite_matches_oracle(rng):
+    """Full fused display composite (taps + shading + sunrays multiply +
+    dithered gamma bloom + alpha) == ops.display.display_composite, across
+    keyword subsets and ragged (non-8-multiple) source row counts."""
+    import tpufluid.ops.pallas.display as pdl
+    from tpufluid.ops.display import display_composite
+    from tpufluid.utils.bluenoise import blue_noise_64
+
+    dye = jnp.asarray(rng.random((3, 100, 171)).astype(np.float32))
+    bloom = jnp.asarray((rng.random((3, 44, 57)) * 2).astype(np.float32))
+    rays = jnp.asarray(rng.random((42, 43)).astype(np.float32))
+    dith = jnp.asarray(blue_noise_64())
+    for shading, bl, sr, dt in [(True, bloom, rays, dith),
+                                (True, bloom, None, dith),
+                                (False, None, rays, None),
+                                (True, bloom, rays, None),
+                                (False, None, None, None)]:
+        assert pdl.supported(
+            (3, 100, 171), (48, 256), shading,
+            bloom_hw=None if bl is None else tuple(bl.shape[-2:]),
+            sunrays_hw=None if sr is None else tuple(sr.shape[-2:]))
+        with _interp(pdl):
+            got = pdl.display_pallas(dye, (48, 256), shading, bl, sr, dt)
+        want = display_composite(dye, (48, 256), shading, bl, sr,
+                                 dt if bl is not None else None)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-6, atol=2e-6,
+                                   err_msg=str((shading, bl is None, sr is None)))
+
+
+def test_bloom_pyramid_matches_oracle(rng):
+    """VMEM-resident bloom pyramid kernel (matmul blur stages) ==
+    ops.bloom.apply_bloom for the default 256-scale chain."""
+    import tpufluid.ops.pallas.bloom as pb
+    from tpufluid.ops.bloom import apply_bloom
+    from tpufluid.ops.sampling import resample_bilinear
+    from tpufluid import FluidConfig
+
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+                      CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
+                      MAX_SPLATS=8).validate()
+    bw, bh = cfg.bloom_size
+    mips = cfg.bloom_mip_sizes()
+    dye = jnp.asarray((rng.random((3, 256, 420)) * 2).astype(np.float32))
+    want = apply_bloom(dye, (bh, bw), mips, cfg.BLOOM_THRESHOLD,
+                       cfg.BLOOM_SOFT_KNEE, cfg.BLOOM_INTENSITY)
+    assert pb.supported((bh, bw), tuple(mips))
+    base = resample_bilinear(dye, (bh, bw))
+    with _interp(pb):
+        got = pb.bloom_pyramid_pallas(base, mips, cfg.BLOOM_THRESHOLD,
+                                      cfg.BLOOM_SOFT_KNEE, cfg.BLOOM_INTENSITY)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bloom_pyramid_supported_gate():
+    import tpufluid.ops.pallas.bloom as pb
+
+    assert not pb.supported((32, 57), ((28, 16),))      # < 2 mips -> zeros path
+    assert not pb.supported((256, 455), ((227, 128), (113, 64)), itemsize=2)

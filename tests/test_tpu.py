@@ -151,3 +151,47 @@ def test_display_kernel_matches_jnp_on_device(warm_tunnel):
         want = jax.jit(lambda d: shaded_base(d, (oh, ow), shading))(dye)
         err = float(jnp.abs(got - want).max())
         assert err < 2e-5, (h, w, oh, ow, shading, err)
+
+
+def test_display_composite_on_device(warm_tunnel):
+    """Fused display composite (compiled Mosaic) == jnp display_composite at
+    the config-2 geometry, including the ragged-row sunrays source whose
+    unaligned window starts once miscompiled."""
+    from tpufluid.ops.display import display_composite
+    from tpufluid.ops.pallas import display as pdl
+    from tpufluid.utils.bluenoise import blue_noise_64
+
+    rng = np.random.default_rng(3)
+    dye = jnp.asarray(rng.random((3, 1024, 1820)).astype(np.float32))
+    bloom = jnp.asarray((rng.random((3, 256, 455)) * 2).astype(np.float32))
+    rays = jnp.asarray(rng.random((196, 348)).astype(np.float32))
+    dith = jnp.asarray(blue_noise_64())
+    got = jax.jit(lambda d: pdl.display_pallas(
+        d, (720, 1280), True, bloom, rays, dith))(dye)
+    want = jax.jit(lambda d: display_composite(
+        d, (720, 1280), True, bloom, rays, dith))(dye)
+    err = float(jnp.abs(got - want).max())
+    assert err < 5e-5, err  # gamma pow near 0 amplifies fp-order noise
+
+
+def test_bloom_pyramid_on_device(warm_tunnel):
+    """Bloom pyramid kernel (compiled, HIGHEST-precision MXU hats) == jnp."""
+    from tpufluid import FluidConfig
+    from tpufluid.ops.bloom import apply_bloom
+    from tpufluid.ops.pallas import bloom as pb
+    from tpufluid.ops.sampling import resample_bilinear
+
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+                      CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
+                      MAX_SPLATS=8).validate()
+    bw, bh = cfg.bloom_size
+    mips = cfg.bloom_mip_sizes()
+    rng = np.random.default_rng(5)
+    dye = jnp.asarray((rng.random((3, 1024, 1820)) * 2).astype(np.float32))
+    want = jax.jit(lambda d: apply_bloom(
+        d, (bh, bw), mips, cfg.BLOOM_THRESHOLD, cfg.BLOOM_SOFT_KNEE,
+        cfg.BLOOM_INTENSITY))(dye)
+    got = jax.jit(lambda d: pb.bloom_pyramid_pallas(
+        resample_bilinear(d, (bh, bw)), mips, cfg.BLOOM_THRESHOLD,
+        cfg.BLOOM_SOFT_KNEE, cfg.BLOOM_INTENSITY))(dye)
+    assert float(jnp.abs(got - want).max()) < 1e-5

@@ -191,6 +191,41 @@ def display_base(dye_rgb, out_hw, shading: bool):
     return None
 
 
+def bloom_chain(dye_rgb, base_hw, mip_sizes, threshold, soft_knee, intensity):
+    """Bloom prefilter + mip pyramid + final as ONE VMEM-resident Pallas
+    program (the XLA chain is fixed-overhead-bound on its tiny mips), or
+    None when unsupported (jnp ops.bloom.apply_bloom path)."""
+    if _on_tpu() and dye_rgb.dtype == jnp.float32:
+        from tpufluid.ops.pallas import bloom as _pb
+
+        if _pb.supported(tuple(base_hw), tuple(mip_sizes)):
+            base = resample_bilinear(dye_rgb, base_hw)
+            return _pb.bloom_pyramid_pallas(base, mip_sizes, threshold,
+                                            soft_knee, intensity)
+    return None
+
+
+def display_full(dye_rgb, out_hw, shading: bool, bloom_tex, sunrays_tex,
+                 dither_tex):
+    """Whole display composite (taps + shading + sunrays multiply + dithered
+    gamma bloom + alpha) in one Pallas pass -> (C+1, h, w) premultiplied
+    RGBA, or None when unsupported (jnp composite path)."""
+    if _on_tpu():
+        from tpufluid.ops.pallas import display as _pd
+
+        bl = None if bloom_tex is None else tuple(bloom_tex.shape[-2:])
+        sr = None if sunrays_tex is None else tuple(sunrays_tex.shape[-2:])
+        ok = (dye_rgb.dtype == jnp.float32
+              and (bloom_tex is None or bloom_tex.dtype == jnp.float32)
+              and (sunrays_tex is None or sunrays_tex.dtype == jnp.float32)
+              and _pd.supported(dye_rgb.shape, out_hw, shading,
+                                bloom_hw=bl, sunrays_hw=sr))
+        if ok:
+            return _pd.display_pallas(dye_rgb, out_hw, shading, bloom_tex,
+                                      sunrays_tex, dither_tex)
+    return None
+
+
 def advect(velocity, source, dt, dissipation, splat_factors=None):
     """Semi-Lagrangian advection; velocity (2,Hs,Ws), source (...,H,W).
 

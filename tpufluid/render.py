@@ -47,10 +47,18 @@ def render_frame(
     bloom_tex = None
     if config.BLOOM:
         bw, bh = config.bloom_size
-        bloom_tex = apply_bloom(
-            dye, (bh, bw), config.bloom_mip_sizes(),
-            config.BLOOM_THRESHOLD, config.BLOOM_SOFT_KNEE, config.BLOOM_INTENSITY,
-        )
+        mips = config.bloom_mip_sizes()
+        if config.USE_PALLAS:
+            from tpufluid.ops.pallas import dispatch as K
+            bloom_tex = K.bloom_chain(
+                dye, (bh, bw), mips, config.BLOOM_THRESHOLD,
+                config.BLOOM_SOFT_KNEE, config.BLOOM_INTENSITY)
+        if bloom_tex is None:
+            bloom_tex = apply_bloom(
+                dye, (bh, bw), mips,
+                config.BLOOM_THRESHOLD, config.BLOOM_SOFT_KNEE,
+                config.BLOOM_INTENSITY,
+            )
 
     sunrays_tex = None
     if config.SUNRAYS:
@@ -60,19 +68,22 @@ def render_frame(
     if config.BLOOM and dither is None:
         dither = jnp.asarray(blue_noise_64())
 
-    base = None
+    display = None
     if config.USE_PALLAS:
         from tpufluid.ops.pallas import dispatch as K
-        base = K.display_base(dye, out_hw, config.SHADING)
-
-    display = display_composite(
-        dye, out_hw,
-        shading=config.SHADING,
-        bloom_tex=bloom_tex,
-        sunrays_tex=sunrays_tex,
-        dither_tex=dither if config.BLOOM else None,
-        base=base,
-    )
+        display = K.display_full(dye, out_hw, config.SHADING, bloom_tex,
+                                 sunrays_tex, dither if config.BLOOM else None)
+    if display is None:
+        base = (K.display_base(dye, out_hw, config.SHADING)
+                if config.USE_PALLAS else None)
+        display = display_composite(
+            dye, out_hw,
+            shading=config.SHADING,
+            bloom_tex=bloom_tex,
+            sunrays_tex=sunrays_tex,
+            dither_tex=dither if config.BLOOM else None,
+            base=base,
+        )
 
     blend = to_screen or not config.TRANSPARENT  # script.js:1304-1310
     if not config.TRANSPARENT:
