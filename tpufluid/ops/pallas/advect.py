@@ -192,6 +192,26 @@ def backtrace_row_bounds(vel_v, dt, h_true: int):
     return sb.min(axis=(1, 3)), sb.max(axis=(1, 3))
 
 
+def backtrace_col_bounds(vel_u, dt, w_true: int):
+    """Per-(8-row x 128-lane)-block min x0 / max x1 GLOBAL backtrace column
+    indices (x = clip(col - dt*u)), as two (H/8, W/128) i32 arrays — the
+    column analog of backtrace_row_bounds. Kernels use the per-tile
+    reduction to SKIP gather lane groups the tile's backtraces never touch
+    (measured demo-config occupancy: 2.06 of the 4 statically-planned
+    groups, out/jobs/73). Conservative: computed with the global clamp
+    only, a superset of the kernel's window-capped reach, and skipping an
+    untouched group is exact — its validity masks would be all-false."""
+    h, w = vel_u.shape[-2:]
+    colg = jnp.arange(w, dtype=jnp.float32)[None, :]
+    xp = jnp.clip(colg - jnp.asarray(dt, jnp.float32) * vel_u.astype(jnp.float32),
+                  0.0, float(w_true - 1))
+    x0 = jnp.floor(xp).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w_true - 1)
+    b0 = x0.reshape(h // SUBLANE, SUBLANE, w // LANE, LANE).min(axis=(1, 3))
+    b1 = x1.reshape(h // SUBLANE, SUBLANE, w // LANE, LANE).max(axis=(1, 3))
+    return b0, b1
+
+
 def _pack_bf16(lo, hi):
     """Pack two bf16 planes into one uint32 plane (lo in bits 0..15).
     bf16 is the top half of f32, so the bf16 bit pattern is

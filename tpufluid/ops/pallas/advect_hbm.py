@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.advect import (_clamped_start, _pack_bf16,
-                                        _unpack_bf16, backtrace_row_bounds,
+                                        _unpack_bf16, backtrace_col_bounds,
+                                        backtrace_row_bounds,
                                         lane_window_plan)
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
 from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
@@ -96,7 +97,7 @@ def supported(src_shape: Tuple[int, ...], itemsize: int = 4,
     return _pick_tile(h, w, c, itemsize, span)[0] > 0
 
 
-def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
+def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             dissipation: float, rows: int, cols: int, h_global: int,
             w_global: int, channels: int, h_true: int, w_true: int,
             span: int, col_halo: int, align: int, with_splats: bool,
@@ -132,6 +133,11 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
     # (n_r, n_c) arrays ride along unblocked).
     lo_t = lo_ref[i, j]
     hi_t = hi_ref[i, j]
+    # Column-group occupancy guard (aligned-window lane coords): gather
+    # groups outside [lmin, lmax] are skipped — exact, their masks would be
+    # all-false (advect.backtrace_col_bounds).
+    lmin_t = xlo_ref[i, j] - j * cols + lane_off
+    lmax_t = xhi_ref[i, j] - j * cols + lane_off
 
     rows_local = lax.broadcasted_iota(jnp.int32, (r, cb), 0)
     cols_local = lax.broadcasted_iota(jnp.int32, (r, cb), 1).astype(jnp.float32)
@@ -186,14 +192,32 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
             src_ref.at[:, pl.ds(seg_start, win2), :],
             scratch.at[slot], sem.at[slot])
 
-    def gather_at(idx, rows_op):
+    # The tight plan centers typical reach on the MIDDLE groups of the
+    # static span (lane_window_plan); the extremal groups exist for the
+    # worst-case displacement contract but are untouched by ~90% of tiles
+    # at bench state (out/jobs/73: occupancy 2.06 of 4, p90 = 2). The inner
+    # pair runs unconditionally; the outer groups ride ONE lax.cond per
+    # corner pair — per-group conds measured SLOWER than the skipped
+    # gathers (~30 cycles each x 16/trip, out/jobs/75).
+    s_all = [s for s in range(s_range[0], s_range[1] + 1)
+             if any(0 <= g_out + s < n_groups_win
+                    for g_out in range(n_groups_out))]
+    if len(s_all) > 2:
+        mid = (s_range[0] + s_range[1]) // 2
+        s_inner = (mid, mid + 1)
+        s_outer = [s for s in s_all if s not in s_inner]
+    else:
+        s_inner = tuple(s_all)
+        s_outer = []
+
+    def gather_groups(idx, rows_op, subset):
         out = []
         for g_out in range(n_groups_out):
             sl = slice(g_out * LANE, (g_out + 1) * LANE)
             idx_g = idx[:, sl]
             acc = jnp.zeros((rows_op.shape[0], idx.shape[0], LANE),
                             dtype=rows_op.dtype)
-            for s in range(s_range[0], s_range[1] + 1):
+            for s in subset:
                 gg = g_out + s
                 if gg < 0 or gg >= n_groups_win:
                     continue
@@ -207,6 +231,30 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
                 acc = acc + jnp.where(valid[None], v, jnp.zeros((), v.dtype))
             out.append(acc)
         return jnp.concatenate(out, axis=-1)
+
+    if s_outer:
+        # Any output group's reach past its inner pair triggers the outer
+        # groups for the whole tile (conservative, tile-uniform scalar).
+        inner_lo = jnp.int32(s_inner[0] * LANE)
+        inner_hi = jnp.int32((s_inner[-1] + 1) * LANE - 1)
+        # bounds are in aligned-window lane coords relative to group g_out:
+        # reach outside [g_out*LANE + inner_lo - ... ] — compare against the
+        # widest output group's inner window.
+        need_outer = ((lmin_t < inner_lo)
+                      | (lmax_t > inner_hi + (n_groups_out - 1) * LANE))
+
+    def gather_pair(idx0, idx1, rows_op):
+        g0 = gather_groups(idx0, rows_op, s_inner)
+        g1 = gather_groups(idx1, rows_op, s_inner)
+        if not s_outer:
+            return g0, g1
+
+        def with_outer(pair):
+            a, b = pair
+            return (a + gather_groups(idx0, rows_op, s_outer),
+                    b + gather_groups(idx1, rows_op, s_outer))
+
+        return lax.cond(need_outer, with_outer, lambda p: p, (g0, g1))
 
     # Pre-rolled lane alignment applies per slice (column-window mode).
     lane_shift = jnp.mod(lane_off - coff, cbw) if col_halo else 0
@@ -260,8 +308,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, vel_ref, src_ref, *rest,
         def sub_body(oy, rows_op, gate, acc):
             if col_halo:
                 rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
-            g0 = gather_at(x0i, rows_op)
-            g1 = gather_at(x1i, rows_op)
+            g0, g1 = gather_pair(x0i, x1i, rows_op)
             if packed:
                 g0 = _unpack_bf16(g0, channels)
                 g1 = _unpack_bf16(g1, channels)
@@ -343,6 +390,10 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     # Per-tile bounds plan the DMA segments and the union offset walk.
     lo_t = lo_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).min((1, 3))
     hi_t = hi_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).max((1, 3))
+    # Column-group occupancy bounds: skip gather groups a tile never reaches.
+    xlo_b, xhi_b = backtrace_col_bounds(velocity[0], dt, true_shape[1])
+    xlo_t = xlo_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).min((1, 3))
+    xhi_t = xhi_b.reshape(n_r, rows // SUBLANE, n_c, cols // LANE).max((1, 3))
 
     with_splats = splat is not None
     # Channel-packed gathers (see ops/pallas/advect.py): bf16 sources gather
@@ -361,12 +412,14 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
                      lambda i, j: (0, i * rows, j * cols),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=ANY_SPACE),   # source stays in HBM
     ]
-    args = [dt_arr, lo_t, hi_t, velocity, src]
+    args = [dt_arr, lo_t, hi_t, xlo_t, xhi_t, velocity, src]
     if with_splats:
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
         args += list(splat)
