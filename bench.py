@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def _bench_steps(config, chunks: int, chunk: int):
+def _bench_steps(config, chunks: int, chunk: int, sharded: bool = False):
     import jax.numpy as jnp
 
     from tpufluid import init_state
@@ -34,13 +34,23 @@ def _bench_steps(config, chunks: int, chunk: int):
     trace = swirl_trace(config, chunk, seed=42)
     batches = jnp.asarray(trace.batches)
     dt = jnp.float32(1.0 / 60.0)
-    multi = make_multi_step(config)
-    state = init_state(config)
+    if sharded:
+        from tpufluid.parallel import make_mesh, shard_state
+        from tpufluid.parallel.sharded_step import make_sharded_multi_step
 
-    # Warm up: compile + first run. The scalar read forces a REAL device
+        mesh = make_mesh()
+        multi = make_sharded_multi_step(config, mesh)
+        state = shard_state(init_state(config), mesh)
+    else:
+        multi = make_multi_step(config)
+        state = init_state(config)
+
+    # Warm up: compile + first runs. The scalar read forces a REAL device
     # sync (block_until_ready alone has proven unreliable on tunneled
-    # backends before the first device->host transfer).
-    state = multi(state, dt, batches)
+    # backends before the first device->host transfer). shard_map programs
+    # need >= 2 discarded executions (lazy program load, docs/BENCH.md).
+    for _ in range(3 if sharded else 1):
+        state = multi(state, dt, batches)
     float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
 
     t0 = time.perf_counter()
@@ -83,6 +93,11 @@ def main() -> None:
                         "(round-over-round comparability), 4-5 to bfloat16; "
                         "bfloat16 is the parity-faithful mode (the reference "
                         "stores half-float textures, script.js:145-153)")
+    p.add_argument("--sharded", action="store_true",
+                   help="run the shard_map step (2-D mesh over all visible "
+                        "devices, halo-exchange collectives, the SAME Pallas "
+                        "kernel suite) instead of the single-device step; "
+                        "sim configs only")
     args = p.parse_args()
 
     from tpufluid import FluidConfig
@@ -95,7 +110,7 @@ def main() -> None:
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=3, chunk=100)
+        value = _bench_steps(cfg, chunks=3, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, {tag})"
     elif args.config == 2:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
@@ -108,23 +123,25 @@ def main() -> None:
                           CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=5, chunk=100)
+        value = _bench_steps(cfg, chunks=5, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, {tag}, trace replay"
     elif args.config == 4:
         cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
                           CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=2, chunk=50)
+        value = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
     else:
         cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
                           PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=1, chunk=20)
+        value = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"
 
+    if args.sharded and args.config != 2:
+        metric += ", sharded (shard_map mesh over visible devices)"
     print(json.dumps({
         "metric": metric,
         "value": round(value, 2),
