@@ -530,3 +530,23 @@ def test_bloom_pyramid_supported_gate():
 
     assert not pb.supported((32, 57), ((28, 16),))      # < 2 mips -> zeros path
     assert not pb.supported((256, 455), ((227, 128), (113, 64)), itemsize=2)
+
+
+def test_backtrace_col_bounds_conservative(rng):
+    """The column-occupancy pre-pass bounds must contain every index the
+    gather actually uses (skipping a touched group would drop real data)."""
+    import tpufluid.ops.pallas.advect as pa
+
+    h, w = 64, 256
+    u = jnp.asarray((rng.standard_normal((h, w)) * 900).astype(np.float32))
+    dt = 1 / 60
+    b0, b1 = pa.backtrace_col_bounds(u, dt, w)
+    x = np.clip(np.arange(w)[None, :] - dt * np.asarray(u), 0, w - 1)
+    x0 = np.floor(x).astype(int)
+    x1 = np.minimum(x0 + 1, w - 1)
+    for bi in range(h // 8):
+        for bj in range(w // 128):
+            blk0 = x0[bi * 8:(bi + 1) * 8, bj * 128:(bj + 1) * 128]
+            blk1 = x1[bi * 8:(bi + 1) * 8, bj * 128:(bj + 1) * 128]
+            assert int(b0[bi, bj]) <= blk0.min()
+            assert int(b1[bi, bj]) >= blk1.max()
