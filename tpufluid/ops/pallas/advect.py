@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.common import Element as _Element
 
-from tpufluid.ops.pallas.common import LANE, SUBLANE, round_up, row_align
+from tpufluid.ops.pallas.common import (LANE, SUBLANE, dot_f32_3x,
+                                        round_up, row_align)
 
 # Worst-case same-grid displacement budget. The reference clamps velocity to
 # +/-1000 texels/s (script.js:863) and dt to 1/60 s (script.js:1191) AFTER
@@ -137,7 +138,10 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                 + (channels * 8 + 10) * rows * cbw) * itemsize
         if vmem <= _VMEM_BUDGET or rows == align:
             break
-        rows //= 2
+        # Re-align after halving: h's divisors need not halve to multiples
+        # of the sublane count (688 = 16*43 halves 344 -> 172, not 8-aligned
+        # — the portrait-config crash caught by the round-4 config fuzz).
+        rows = (rows // 2 // align) * align
         while rows >= align and h % rows:
             rows -= align
         if rows < align:
@@ -275,13 +279,25 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
     def bumped(raw, al, nrows):
         if not with_splats:
             return raw
+        raw = raw.astype(jnp.float32)
         gy_sl = gy_ref[pl.ds(pl.multiple_of(rstart + al, align), nrows),
                        :].astype(jnp.float32)
-        raw = raw.astype(jnp.float32)
+        # Channels stack along rows: ONE dot instead of C serial dots (MXU
+        # latency, not MACs, dominates these rank-S bumps). Packed mode
+        # rounds the bump to bf16 storage immediately (the reference's
+        # half-float splat texture does the same), so the single-pass
+        # default precision is below the storage rounding; f32 mode needs
+        # the bf16x3 split (ops/pallas/common.dot_f32_3x).
+        a = jnp.concatenate([gy_sl * amts[ch] for ch in range(channels)],
+                            axis=0)
+        dims = (((1,), (0,)), ((), ()))
+        if packed:
+            full = jax.lax.dot_general(a, gxs, dims,
+                                       preferred_element_type=jnp.float32)
+        else:
+            full = dot_f32_3x(a, gxs, dims)
         return jnp.stack([
-            raw[ch] + jax.lax.dot_general(gy_sl * amts[ch], gxs,
-                                          (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+            raw[ch] + full[ch * nrows:(ch + 1) * nrows]
             for ch in range(channels)])
 
     nrk = r + _trip_unroll(win, r, align) * align

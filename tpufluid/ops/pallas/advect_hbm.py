@@ -42,7 +42,8 @@ from tpufluid.ops.pallas.advect import (_clamped_start, _pack_bf16,
                                         backtrace_row_bounds,
                                         lane_window_plan)
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
-from tpufluid.ops.pallas.common import LANE, SUBLANE, row_align
+from tpufluid.ops.pallas.common import (LANE, SUBLANE, dot_f32_3x,
+                                        row_align)
 
 _VMEM_BUDGET = 12 * 1024 * 1024
 _PREF_ROWS = 32
@@ -53,7 +54,10 @@ def _pick_tile(h: int, w: int, channels: int, itemsize: int,
                span: int) -> Tuple[int, int]:
     align = row_align(itemsize)
     rows = 0
-    for r in range(align, h + 1, align):
+    # Cap the scan: ragged heights (e.g. 688 = 16*43) have huge divisors
+    # whose windows blow the VMEM budget and made supported() reject the
+    # whole shape (round-4 config fuzz); small tiles always work.
+    for r in range(align, min(h, 4 * _PREF_ROWS) + 1, align):
         if h % r == 0 and r + _EXTRA <= h:
             rows = r
             if r >= _PREF_ROWS:
@@ -110,9 +114,13 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
         scratch_list = rest[1:]
     if packed:
         scratch, pk_ref, sem = scratch_list
+        st_ref = None
+    elif with_splats:
+        scratch, st_ref, sem = scratch_list
+        pk_ref = None
     else:
         scratch, sem = scratch_list
-        pk_ref = None
+        pk_ref = st_ref = None
     r, cb = rows, cols
     win2 = r + _EXTRA
     cbw = cols + 2 * col_halo
@@ -202,10 +210,25 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
     s_all = [s for s in range(s_range[0], s_range[1] + 1)
              if any(0 <= g_out + s < n_groups_win
                     for g_out in range(n_groups_out))]
-    if len(s_all) > 2:
-        mid = (s_range[0] + s_range[1]) // 2
-        s_inner = (mid, mid + 1)
-        s_outer = [s for s in s_all if s not in s_inner]
+    # The guard is sound only for single-output-group tiles: the per-tile
+    # scalar bounds live in tile coords, but with several output groups the
+    # s offsets are group-RELATIVE — a neighbor-group gather (s=-1) can be
+    # needed while the tile-level bounds look interior (the 320x180 ragged
+    # config dropped real dye through exactly that hole).
+    if len(s_all) > 2 and n_groups_out == 1:
+        # The inner pair = the groups holding the ZERO-displacement reach
+        # (x_local ~ cols_local + lane_off), NOT the middle of the static
+        # span: the plan's lane_off decides where typical backtraces land
+        # (assuming the middle silently dropped real data on plans whose
+        # lane_off sits low in the window — round-4 ragged-config repro).
+        lo = lane_off // LANE
+        hi = lo + 1
+        if lo in s_all and hi in s_all:
+            s_inner = (lo, hi)
+            s_outer = [s for s in s_all if s not in s_inner]
+        else:  # zero-displacement reach outside the plan: don't guard
+            s_inner = tuple(s_all)
+            s_outer = []
     else:
         s_inner = tuple(s_all)
         s_outer = []
@@ -281,19 +304,38 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             # half-float splat texture do the same.
             raw = scratch[slot]
             if with_splats:
+                # Single DEFAULT-precision dot: the bump rounds to bf16
+                # STORAGE right here (like the reference's half-float splat
+                # texture), which dwarfs the 1-pass matmul error; channels
+                # stack along rows so ONE dot serves all (MXU latency, not
+                # MACs, is what the per-channel dots cost).
                 gy_sl = gy_ref[pl.ds(seg_start, win2), :].astype(jnp.float32)
-                chans = []
-                for ch in range(channels):
-                    amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
-                    bump = jax.lax.dot_general(
-                        gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    chans.append(raw[ch].astype(jnp.float32) + bump)
-                raw = jnp.stack(chans).astype(jnp.bfloat16)
+                a = jnp.concatenate(
+                    [gy_sl * amt_ref[:, ch:ch + 1].reshape(1, -1)
+                     for ch in range(channels)], axis=0)
+                full = jax.lax.dot_general(
+                    a, gxs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                raw = jnp.stack([
+                    raw[ch].astype(jnp.float32)
+                    + full[ch * win2:(ch + 1) * win2]
+                    for ch in range(channels)]).astype(jnp.bfloat16)
             pk_ref[:] = jnp.stack([
                 _pack_bf16(raw[2 * kk],
                            raw[2 * kk + 1] if 2 * kk + 1 < channels else None)
                 for kk in range((channels + 1) // 2)])
+        elif with_splats:
+            # f32 path: bump the WHOLE segment once into the staging scratch
+            # — per-trip-slice bumps serialized 3 MXU passes against every
+            # gather trip (demo f32 -15% measured, out/jobs/a01).
+            gy_sl = gy_ref[pl.ds(seg_start, win2), :].astype(jnp.float32)
+            a = jnp.concatenate(
+                [gy_sl * amt_ref[:, ch:ch + 1].reshape(1, -1)
+                 for ch in range(channels)], axis=0)
+            full = dot_f32_3x(a, gxs, (((1,), (0,)), ((), ())))
+            for ch in range(channels):
+                st_ref[ch] = (scratch[slot, ch].astype(jnp.float32)
+                              + full[ch * win2:(ch + 1) * win2])
 
         oy_lo = jnp.maximum(lo_t, s0_un + k * stride - i * r)
         oy_hi = jnp.minimum(hi_t + 1, s0_un + (k + 1) * stride - 1 - i * r)
@@ -324,20 +366,11 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             al_loc = pl.multiple_of(al - seg_start, align)
             if packed:
                 sl16 = pk_ref[:, pl.ds(al_loc, nr2), :]
+            elif with_splats:
+                sl16 = st_ref[:, pl.ds(al_loc, nr2), :]
             else:
                 # bf16 sources upcast here: rotate/gather are 32-bit ops.
                 sl16 = scratch[slot, :, pl.ds(al_loc, nr2), :].astype(jnp.float32)
-                if with_splats:
-                    # Rank-S separable splat bump over these rows (MXU).
-                    gy_sl = gy_ref[pl.ds(al, nr2), :].astype(jnp.float32)
-                    chans = []
-                    for ch in range(channels):
-                        amt_ch = amt_ref[:, ch:ch + 1].reshape(1, -1)
-                        bump = jax.lax.dot_general(
-                            gy_sl * amt_ch, gxs, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        chans.append(sl16[ch] + bump)
-                    sl16 = jnp.stack(chans)
             m = i * r + oy - al
             rolled = pltpu.roll(sl16, jnp.mod(-m, nr2), axis=1)
             acc = sub_body(oy, rolled[:, :r, :], 1.0, acc)
@@ -433,7 +466,9 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         scratch_shapes=(
             [pltpu.VMEM((2, c, win2, cbw), src.dtype)]
             + ([pltpu.VMEM(((c + 1) // 2, win2, cbw), jnp.uint32)]
-               if packed else [])
+               if packed else
+               [pltpu.VMEM((c, win2, cbw), jnp.float32)] if with_splats
+               else [])
             + [pltpu.SemaphoreType.DMA((2,))]),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,

@@ -76,6 +76,32 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def dot_f32_3x(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
+    """f32 matmul at bf16x3 accuracy (~5e-7 relative) from three
+    DEFAULT-precision MXU passes.
+
+    Mosaic's default f32 dot is single-pass bf16 (~3e-3 relative — enough to
+    make fused splat bumps diverge from the XLA oracle), it rejects
+    lax.Precision.HIGH, and HIGHEST (6 passes) measured 4-5% slower on the
+    headline/demo configs even with segment-level staging. The classic hi/lo
+    split recovers HIGH's accuracy at half HIGHEST's cost: a = hi(a) + lo(a)
+    with hi = round-to-bf16, so a@b ~ hi@hi + hi@lo + lo@hi (the dropped
+    lo@lo term is O(2^-16) of either factor). The resulting contract,
+    asserted by the config-fuzz evidence jobs: fused-splat bumps are exact
+    to ~1e-6 of the bump magnitude — far inside the reference's own
+    half-float splat-texture rounding — and kernel-vs-oracle step
+    deviations stay <= ~2e-4 relative per step."""
+    import jax
+
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    dot = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
 def pad_to(x: jnp.ndarray, h_pad: int, w_pad: int) -> jnp.ndarray:
     """Edge-pad the trailing (H, W) dims up to (h_pad, w_pad).
 

@@ -95,7 +95,9 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None,
     if splat_factors is not None:
         gy, gx, amt = splat_factors
         velocity = (velocity.astype(jnp.float32)
-                    + jnp.einsum("sc,hs,sw->chw", amt, gy, gx)).astype(velocity.dtype)
+                    + jnp.einsum("sc,hs,sw->chw", amt, gy, gx,
+                                 precision=jax.lax.Precision.HIGHEST)
+                    ).astype(velocity.dtype)
     if true_bounds is None:
         c = _jnp.curl(velocity)
         vel = _jnp.vorticity_confinement(velocity, c, curl_strength, dt)
@@ -330,7 +332,8 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
     if splat_factors is not None:
         gy, gx, amt = splat_factors
         bump = jnp.einsum("sc,hs,sw->chw", amt, gy.astype(jnp.float32),
-                          gx.astype(jnp.float32))
+                          gx.astype(jnp.float32),
+                          precision=jax.lax.Precision.HIGHEST)
         if source.ndim == 2:
             bump = bump[0]
         source = (source.astype(jnp.float32) + bump).astype(source.dtype)

@@ -27,7 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, make_window_index_map, row_align, window_start,
+    LANE, SUBLANE, dot_f32_3x, make_window_index_map, row_align, window_start,
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -95,21 +95,24 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
     v = vel_ref[1].astype(jnp.float32)
 
     if with_splats:
-        # Separable rank-S gaussian bump: gy is precomputed over all H rows;
-        # take this window's slice (gy laid out (H, S) so rows are sublanes).
-        gy = gy_ref[pl.ds(pl.multiple_of(start, align), blk_h), :].astype(
-            jnp.float32)                             # (blk_h, S)
+        # Separable rank-S gaussian bump. gy arrives as a BlockSpec window
+        # aligned with the velocity window: an in-kernel dynamic sublane
+        # slice feeding the MXU miscompiled at clamped window starts
+        # (h=176 dense-factor repro, out/jobs/93) — the DMA engine does the
+        # dynamic offset instead.
+        gy = gy_ref[...].astype(jnp.float32)         # (blk_h, S)
         gx = gx_ref[:].astype(jnp.float32)           # (S, w)
         amt = amt_ref[:]                             # (S, 2)
         # Static slices + reshape (Mosaic can't lower fancy [None,:,0] gathers).
         amt_u = amt[:, 0:1].reshape(1, -1)
         amt_v = amt[:, 1:2].reshape(1, -1)
-        u = u + jax.lax.dot_general(
-            gy * amt_u, gx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        v = v + jax.lax.dot_general(
-            gy * amt_v, gx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # dot_f32_3x: Mosaic's default f32 dot is single-pass bf16 (~3e-3
+        # relative), which made splat bumps diverge between kernels and the
+        # XLA oracle; it rejects Precision.HIGH, and HIGHEST (6 passes)
+        # measured -27% on the demo config (ops/pallas/common.py).
+        dims = (((1,), (0,)), ((), ()))
+        u = u + dot_f32_3x(gy * amt_u, gx, dims)
+        v = v + dot_f32_3x(gy * amt_v, gx, dims)
 
     # curl = 0.5 * (R.y - L.y - T.x + B.x)   (script.js:814-833)
     c = 0.5 * (shift_r(v) - shift_l(v) - shift_t(u) + shift_b(u))
@@ -268,7 +271,11 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
             pl.BlockSpec(memory_space=pltpu.SMEM),  # true-wall bounds (4,)
             pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
                          idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # gy (H, S) whole
+            # gy windowed like the velocity rows (same index map geometry)
+            pl.BlockSpec((_Element(win), _Element(splat_gy.shape[1])),
+                         make_window_index_map(rows_per_block, halo, h,
+                                               align=align),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # gx (S, W) whole
             pl.BlockSpec(memory_space=pltpu.VMEM),  # amt (S, 2) whole
         ],

@@ -59,6 +59,7 @@ def _splat_sum(field: jnp.ndarray, splats: jnp.ndarray, amounts: jnp.ndarray,
     gy = jnp.exp(-(py * py) / radius)
     # (C,H,W) update: sum_s amounts[s,c] * gy[s,h] * gx[s,w]
     bump = jnp.einsum("sc,sh,sw->chw", amounts.astype(jnp.float32), gy, gx,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
     return (field.astype(jnp.float32) + bump).astype(field.dtype)
 
