@@ -195,3 +195,29 @@ def test_bloom_pyramid_on_device(warm_tunnel):
         resample_bilinear(d, (bh, bw)), mips, cfg.BLOOM_THRESHOLD,
         cfg.BLOOM_SOFT_KNEE, cfg.BLOOM_INTENSITY))(dye)
     assert float(jnp.abs(got - want).max()) < 1e-5
+
+
+def test_portrait_config_on_device(warm_tunnel):
+    """Portrait canvas (ragged rows AND ragged cols on both grids): the
+    geometry class where round 4's config fuzz caught a tile-alignment crash
+    and the half-precision splat-bump divergence. Contract tolerances: the
+    fused bumps are bf16x3-exact (~1e-6 of the bump), so two chaotic steps
+    stay within ~1e-3 relative of the jnp oracle."""
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=96, DYE_RESOLUTION=384, CANVAS_WIDTH=480,
+                      CANVAS_HEIGHT=854, MAX_SPLATS=4).validate()
+    cfg_np = FluidConfig(**{**cfg.__dict__, "USE_PALLAS": False})
+    tr = swirl_trace(cfg, 2, seed=13)
+    dt = jnp.float32(1 / 60)
+    a, b = init_state(cfg), init_state(cfg_np)
+    for t in range(2):
+        sp = jnp.asarray(tr.batches[t])
+        a = jax.jit(lambda s, d, x: fluid_step(s, d, x, cfg))(a, dt, sp)
+        b = jax.jit(lambda s, d, x: fluid_step(s, d, x, cfg_np))(b, dt, sp)
+    scale = max(float(jnp.abs(b.velocity).max()), 1.0)
+    assert float(jnp.abs(a.velocity - b.velocity).max()) < 1e-3 * scale
+    assert float(jnp.abs(a.dye - b.dye).max()) < 2e-3
+    assert bool(jnp.isfinite(a.velocity).all())
