@@ -200,6 +200,44 @@ def test_variable_dt_replay_deterministic():
     assert float(jnp.abs(c.dye - a.dye).max()) > 0
 
 
+def test_tracer_state_roundtrip_deterministic():
+    """An interactive session resumed from PointerTracer.state_dict must
+    continue EXACTLY like the uninterrupted one: burst RNG cursor, color
+    cycling RNG + timer, pointer machines, pending spill — all of it
+    (the SURVEY §5.4 'RNG cursor' claim, made real)."""
+    t1 = PointerTracer(CFG, seed=5)
+    t1.feed("burst", n=9)  # > MAX_SPLATS: leaves spill behind
+    t1.feed("down", pid=0, x=40.0, y=20.0)
+    pre = [t1.drain_step(1 / 60)]
+    # snapshot mid-session, through a JSON roundtrip (= checkpoint storage)
+    snap = json.loads(json.dumps(t1.state_dict()))
+    t2 = PointerTracer(CFG, seed=999)  # wrong seed: must not matter
+    t2.load_state_dict(snap)
+    # identical event feeds from here on
+    for tr in (t1, t2):
+        tr.feed("move", pid=0, x=70.0, y=30.0)
+        tr.feed("burst", n=3)  # exercises the burst RNG cursor
+    for k in range(4):
+        a = t1.drain_step(0.03)  # 0.03*10 accumulates a color re-roll
+        b = t2.drain_step(0.03)
+        assert a == b, f"step {k}: resumed tracer diverged"
+    assert pre  # session really had pre-snapshot activity
+
+
+def test_checkpoint_carries_tracer_state(tmp_path):
+    tracer = PointerTracer(CFG, seed=7)
+    tracer.feed("burst", n=6)
+    tracer.drain_step(1 / 60)
+    s = _some_state()
+    p = str(tmp_path / "ck.npz")
+    save_state(p, s, CFG, step=9, tracer=tracer)
+    _, _, step, extra = load_state(p)
+    assert step == 9 and "tracer" in extra
+    t2 = PointerTracer(CFG, seed=0)
+    t2.load_state_dict(extra["tracer"])
+    assert t2.drain_step(1 / 60) == tracer.drain_step(1 / 60)
+
+
 def test_app_cli_smoke(tmp_path):
     from tpufluid.app import main
 

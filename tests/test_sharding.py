@@ -136,6 +136,62 @@ def test_sharded_2d_long_backtrace_cols():
     assert float(jnp.abs(jnp.asarray(b.velocity) - a.velocity).max()) < 1e-5 * vscale
 
 
+def test_sharded_step_8x_dye_ratio_matches_single_device():
+    """The demo's REAL dye/sim geometry is 8x (1024 dye / 128 sim); earlier
+    coverage stopped at 4x. At 8x the dye halo (~144 rows) spans multiple
+    64-row dye shards (multi-hop exchange) while the velocity-resample pad
+    stays at its small derived value (sharded_step.vel_resample_pad)."""
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=512, CANVAS_WIDTH=512,
+                      CANVAS_HEIGHT=512, MAX_SPLATS=4, USE_PALLAS=False).validate()
+    from tpufluid.parallel.sharded_step import dye_halo_width
+    assert dye_halo_width(cfg) > 512 // 8  # really exercises multi-hop
+    trace = swirl_trace(cfg, 3, seed=21)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh()
+    sharded = make_sharded_step(cfg, mesh)
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(3):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    for f, tol in (("velocity", 2e-4), ("dye", 2e-4), ("pressure", 4e-4)):
+        x, y = jnp.asarray(getattr(s1, f)), jnp.asarray(getattr(s8, f))
+        scale = max(float(jnp.abs(x).max()), 1e-3)
+        assert float(jnp.abs(x - y).max()) < tol * scale, f
+
+
+@pytest.mark.parametrize("canvas,shape", [
+    ((256, 512), (8, 1)),   # portrait, rows mesh
+    ((256, 512), (4, 2)),   # portrait, 2-D mesh
+    ((512, 256), (2, 4)),   # landscape, 2-D mesh
+])
+def test_sharded_step_nonsquare_canvas(canvas, shape):
+    """Non-square canvases drive every aspect-corrected quantity
+    (getResolution swap, correctRadius, correctDelta) through the sharded
+    path — w != h exposes any transposed-extent assumption in the halo or
+    resample coordinate math."""
+    cw, ch = canvas
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=128, CANVAS_WIDTH=cw,
+                      CANVAS_HEIGHT=ch, MAX_SPLATS=4, USE_PALLAS=False).validate()
+    sw, sh = cfg.sim_size
+    assert sw != sh  # really non-square grids
+    trace = swirl_trace(cfg, 3, seed=9)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh(shape=shape)
+    sharded = make_sharded_step(cfg, mesh)
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(3):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    for f, tol in (("velocity", 2e-4), ("dye", 2e-4), ("pressure", 4e-4)):
+        x, y = jnp.asarray(getattr(s1, f)), jnp.asarray(getattr(s8, f))
+        scale = max(float(jnp.abs(x).max()), 1e-3)
+        assert float(jnp.abs(x - y).max()) < tol * scale, f
+
+
 @pytest.mark.parametrize("steps", [1, 10])
 def test_sharded_step_matches_single_device(steps):
     cfg = CFG

@@ -2,9 +2,12 @@
 
 The reference persists nothing (fields live only in GL textures; the only
 export is the PNG screenshot). Long-horizon TPU runs need real snapshots:
-``save_state``/``load_state`` serialize the state pytree + config + trace
-cursor + RNG cursor to an .npz; ``resize_state`` (tpufluid.state) is the
-parity op for the reference's resize-preserves-fields behavior
+``save_state``/``load_state`` serialize the state pytree + config + step
+cursor to an .npz, and — when a ``tracer`` is passed — the full input-side
+session state (PointerTracer.state_dict: both RNG cursors, pointer state
+machines, pending bursts), so an interactive session resumes
+deterministically across the boundary. ``resize_state`` (tpufluid.state) is
+the parity op for the reference's resize-preserves-fields behavior
 (script.js:1108-1126).
 """
 
@@ -24,10 +27,14 @@ _FORMAT_VERSION = 1
 
 
 def save_state(path: str, state: FluidState, config: FluidConfig,
-               step: int = 0, extra: Optional[dict] = None) -> None:
+               step: int = 0, extra: Optional[dict] = None,
+               tracer=None) -> None:
     cfg = dataclasses.asdict(config)
+    extra = dict(extra or {})
+    if tracer is not None:
+        extra["tracer"] = tracer.state_dict()
     meta = {"version": _FORMAT_VERSION, "step": int(step), "config": cfg,
-            "extra": extra or {}}
+            "extra": extra}
     np.savez_compressed(
         path,
         velocity=np.asarray(state.velocity),

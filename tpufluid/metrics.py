@@ -24,6 +24,13 @@ from tpufluid.state import FluidState
 
 @lru_cache(maxsize=None)
 def _make_diagnostics(config: FluidConfig):
+    # Grid-size normalizers so records are comparable across resolutions
+    # (config also keys the lru cache: a reconfigure re-specializes the jit).
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    sim_cells = float(sw * sh)
+    dye_cells = float(dw * dh)
+
     def diag(state: FluidState):
         v = state.velocity.astype(jnp.float32)
         d = state.dye.astype(jnp.float32)
@@ -31,7 +38,9 @@ def _make_diagnostics(config: FluidConfig):
         return {
             "max_speed": jnp.max(jnp.sqrt(v[0] ** 2 + v[1] ** 2)),
             "kinetic_energy": jnp.sum(v * v) * 0.5,
+            "energy_per_cell": jnp.sum(v * v) * 0.5 / sim_cells,
             "dye_mass": jnp.sum(d),
+            "dye_mean": jnp.sum(d) / dye_cells,
             "dye_max": jnp.max(d),
             "div_rms": jnp.sqrt(jnp.mean(div * div)),
             "div_max": jnp.max(jnp.abs(div)),

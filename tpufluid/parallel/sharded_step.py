@@ -90,6 +90,25 @@ def vel_halo_width(config: FluidConfig) -> int:
     return _G_VEL
 
 
+def vel_resample_pad(config: FluidConfig) -> int:
+    """Ghost rows/cols of VELOCITY needed by the per-shard dye resample.
+
+    Invariant (why a small pad is enough even at 8x+ dye/sim ratios): only
+    the padded dye block's CENTER rows/cols survive the post-gather crop,
+    and each advection output depends solely on the resampled velocity at
+    its own texel — so velocity must be true only at the center dye texel
+    centers. Those map at most ``0.5*sim/dye - 0.5`` sim texels beyond the
+    shard's own sim block, plus one texel for the bilinear +1 tap; the
+    ghost rows' resampled velocity is arbitrary and discarded. The pad is
+    therefore driven by the SIM/dye ratio (>= 2 whenever dye >= sim), not
+    by the dye/sim ratio the halo widths scale with."""
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    need_r = math.ceil(0.5 * sh / dh - 0.5) + 1
+    need_c = math.ceil(0.5 * sw / dw - 0.5) + 1
+    return max(2, need_r, need_c)
+
+
 def _mirror_wall_ghosts(pad, width: int, idx, loc: int, total: int, axis: int):
     """Rewrite ghost slices that fall OUTSIDE the global grid with the MIRROR
     of the slices just inside the wall (ghost at global index -k := index
@@ -221,15 +240,17 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     gd = dye_halo_width(config)
     gdc = 0 if nx == 1 else dye_halo_width_cols(config)
     dye_pad = exch2d(dye, gd, gdc)
-    vel_pad1 = exch2d(vel, 16, gc)
+    gvr = vel_resample_pad(config)  # see its docstring for the invariant
+    gvrc = gvr if nx > 1 else 0     # plain-jnp sample: no lane alignment needed
+    vel_pad1 = exch2d(vel, gvr, gvrc)
     rows_d = jnp.clip(ridx * hd_loc - gd
                       + jnp.arange(hd_loc + 2 * gd, dtype=jnp.float32),
                       0, dh_g - 1)
     cols_d = jnp.clip(cidx * wd_loc - gdc
                       + jnp.arange(wd_loc + 2 * gdc, dtype=jnp.float32),
                       0, dw - 1)
-    row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (ridx * h_loc - 16)
-    col_coords = (cols_d + 0.5) / dw * sw - 0.5 - (cidx * w_loc - gc)
+    row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (ridx * h_loc - gvr)
+    col_coords = (cols_d + 0.5) / dw * sw - 0.5 - (cidx * w_loc - gvrc)
     vel_d = _sample_2d(vel_pad1.astype(jnp.float32), row_coords, col_coords)
     vel_d = jnp.stack([vel_d[0] * (dw / sw), vel_d[1] * (dh_g / sh_g)])
 

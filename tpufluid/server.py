@@ -162,6 +162,27 @@ fetch('/config').then(r => r.json()).then(cfg => {
   });
 });
 
+// ---- live canvas resize (reference resizeCanvas, script.js:1178-1179,
+// 1196-1205: on size change, FBOs re-init with the fields GPU-resampled).
+// The sim canvas tracks the window proportionally (the streaming-bandwidth
+// analog of devicePixelRatio scaling); debounced so a drag-resize lands as
+// one reconfigure, which runs resize_state live on the server.
+let baseW = window.innerWidth, baseH = window.innerHeight, rsTimer = null;
+window.addEventListener('resize', () => {
+  clearTimeout(rsTimer);
+  rsTimer = setTimeout(() => {
+    const sw = window.innerWidth / baseW, sh = window.innerHeight / baseH;
+    if (Math.abs(sw - 1) < 0.02 && Math.abs(sh - 1) < 0.02) return;
+    fetch('/config').then(r => r.json()).then(cfg => {
+      const w = Math.max(64, Math.round(cfg.CANVAS_WIDTH * sw));
+      const h = Math.max(64, Math.round(cfg.CANVAS_HEIGHT * sh));
+      baseW = window.innerWidth; baseH = window.innerHeight;
+      fetch('/config', {method: 'POST',
+        body: JSON.stringify({CANVAS_WIDTH: w, CANVAS_HEIGHT: h})});
+    });
+  }, 250);
+});
+
 let frames = 0, t0 = performance.now();
 function tick() {
   const next = new Image();
@@ -183,14 +204,29 @@ MAX_DT = 1.0 / 60.0  # calcDeltaTime clamp (script.js:1191)
 class FluidServer:
     """Owns the sim loop; thread-safe event queue + latest JPEG frame."""
 
-    def __init__(self, config, seed: int = 0, quality: int = 80):
+    def __init__(self, config, seed: int = 0, quality: int = 80,
+                 resume: Optional[str] = None):
         from tpufluid import init_state
         from tpufluid.render import make_render, make_step_and_render
         from tpufluid.trace import PointerTracer
 
-        self.config = config
-        self.tracer = PointerTracer(config, seed=seed)
         self.state = None
+        self._resume_state = None
+        self.steps_done = 0
+        if resume:
+            # Deterministic interactive resume: the checkpoint carries the
+            # field state AND the tracer session state (both RNG cursors,
+            # pointer machines, pending bursts) — tpufluid.checkpoint.
+            from tpufluid.checkpoint import load_state
+
+            self._resume_state, config, self.steps_done, extra = load_state(resume)
+            self.config = config
+            self.tracer = PointerTracer(config, seed=seed)
+            if "tracer" in extra:
+                self.tracer.load_state_dict(extra["tracer"])
+        else:
+            self.config = config
+            self.tracer = PointerTracer(config, seed=seed)
         self._init_state = init_state
         # One fused step+render+quantize dispatch per frame.
         self.tick = make_step_and_render(config)
@@ -199,7 +235,6 @@ class FluidServer:
         self.paused = False
         self.lock = threading.Lock()
         self.frame_bytes: Optional[bytes] = None
-        self.steps_done = 0
         # Per-step splat batches + wall dts for Trace v2 export; capped at
         # ~10 minutes of session so a long server doesn't grow unbounded.
         self.recorded = []
@@ -251,8 +286,9 @@ class FluidServer:
                     # absolute set from the panel checkbox, toggle from 'P'
                     self.paused = bool(e["v"]) if "v" in e else not self.paused
 
-    def screenshot_png(self) -> bytes:
-        """Server-side captureScreenshot (script.js:237,287-299) -> PNG bytes."""
+    def screenshot_png(self) -> Optional[bytes]:
+        """Server-side captureScreenshot (script.js:237,287-299) -> PNG bytes,
+        or None before the sim thread produced its first state."""
         from tpufluid.io import frame_to_uint8
         from tpufluid.render import capture_frame
 
@@ -260,10 +296,25 @@ class FluidServer:
 
         with self.lock:
             state, cfg = self.state, self.config
+            if state is None:
+                return None
             frame = np.asarray(capture_frame(state, cfg))
         arr = frame_to_uint8(frame)
         buf = io.BytesIO()
         Image.fromarray(arr, "RGBA" if arr.shape[-1] == 4 else "RGB").save(buf, "PNG")
+        return buf.getvalue()
+
+    def checkpoint_bytes(self) -> Optional[bytes]:
+        """Full-session checkpoint (.npz): field state + config + step count
+        + tracer session state — resumable via FluidServer(resume=path)."""
+        from tpufluid.checkpoint import save_state
+
+        buf = io.BytesIO()
+        with self.lock:
+            if self.state is None:
+                return None
+            save_state(buf, self.state, self.config, step=self.steps_done,
+                       tracer=self.tracer)
         return buf.getvalue()
 
     def run(self):
@@ -274,10 +325,14 @@ class FluidServer:
 
         from PIL import Image
 
-        self.state = self._init_state(self.config)
-        # initial random burst, like the reference's startup (script.js:1170)
-        with self.lock:
-            self.tracer.splat_stack.append(int(np.random.default_rng().integers(5, 25)))
+        if self._resume_state is not None:
+            self.state = self._resume_state
+            self._resume_state = None
+        else:
+            self.state = self._init_state(self.config)
+            # initial random burst, like the reference's startup (script.js:1170)
+            with self.lock:
+                self.tracer.splat_stack.append(int(np.random.default_rng().integers(5, 25)))
 
         last = time.time()
         while not self._stop.is_set():
@@ -324,6 +379,15 @@ def make_handler(server: FluidServer):
         def log_message(self, *a):  # quiet
             pass
 
+        def handle_one_request(self):
+            # A frame client that navigates away mid-write is routine, not an
+            # error: swallow the broken pipe instead of spamming the handler
+            # thread with tracebacks.
+            try:
+                super().handle_one_request()
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+
         def _send(self, data: bytes, ctype: str, extra=()):
             self.send_response(200)
             self.send_header("Content-Type", ctype)
@@ -333,18 +397,27 @@ def make_handler(server: FluidServer):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_or_503(self, data, ctype: str, extra=()):
+            """503 for not-ready resources (e.g. before the first sim tick)."""
+            if data is None:
+                self.send_response(503)
+                self.end_headers()
+                return
+            self._send(data, ctype, extra)
+
         def do_GET(self):
             if self.path.startswith("/frame"):
                 with server.lock:
                     data = server.frame_bytes
-                if data is None:
-                    self.send_response(503)
-                    self.end_headers()
-                    return
-                self._send(data, "image/jpeg")
+                self._send_or_503(data, "image/jpeg")
             elif self.path.startswith("/screenshot"):
-                self._send(server.screenshot_png(), "image/png",
-                           [("Content-Disposition", "attachment; filename=fluid.png")])
+                self._send_or_503(server.screenshot_png(), "image/png",
+                                  [("Content-Disposition", "attachment; filename=fluid.png")])
+            elif self.path.startswith("/checkpoint.npz"):
+                self._send_or_503(server.checkpoint_bytes(),
+                                  "application/octet-stream",
+                                  [("Content-Disposition",
+                                    "attachment; filename=fluid_session.npz")])
             elif self.path.startswith("/trace.npz"):
                 # Export the interactive session as a deterministic replay
                 # trace (tpufluid.trace.Trace v2: per-step wall dt).
@@ -423,13 +496,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-bloom", action="store_true")
     p.add_argument("--no-sunrays", action="store_true")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume an interactive session from a /checkpoint.npz "
+                        "download (fields + config + tracer RNG cursors)")
     args = p.parse_args(argv)
 
     cw, ch = (int(x) for x in args.canvas.split("x"))
     config = FluidConfig(SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
                          CANVAS_WIDTH=cw, CANVAS_HEIGHT=ch,
                          BLOOM=not args.no_bloom, SUNRAYS=not args.no_sunrays).validate()
-    server = FluidServer(config, seed=args.seed)
+    server = FluidServer(config, seed=args.seed, resume=args.resume)
     sim_thread = threading.Thread(target=server.run, daemon=True)
     sim_thread.start()
 

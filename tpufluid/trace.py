@@ -158,6 +158,35 @@ class PointerTracer:
         else:
             raise ValueError(f"unknown event kind {kind!r}")
 
+    def state_dict(self) -> dict:
+        """Serializable snapshot of the FULL input-side session state: both
+        RNG cursors (burst splats + color cycling), the color-cycle timer,
+        every pointer's state machine, the pending splat stack and burst
+        spill — everything ``drain_step`` reads. Restoring it makes an
+        interactive session deterministic across a checkpoint boundary
+        (SURVEY.md §5.4's 'trace cursor + RNG cursor')."""
+        return {
+            "rng": self.rng.bit_generator.state,
+            "cycler_rng": self.cycler.rng.bit_generator.state,
+            "cycler_timer": self.cycler.timer,
+            "pointers": {str(pid): dataclasses.asdict(p)
+                         for pid, p in self.pointers.items()},
+            "splat_stack": list(self.splat_stack),
+            "spill": [[x, y, dx, dy, list(c)]
+                      for (x, y, dx, dy, c) in self._spill],
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.rng.bit_generator.state = d["rng"]
+        self.cycler.rng.bit_generator.state = d["cycler_rng"]
+        self.cycler.timer = float(d["cycler_timer"])
+        self.pointers = {}
+        for pid, pd in d["pointers"].items():
+            p = Pointer(**{**pd, "color": tuple(pd["color"])})
+            self.pointers[int(pid)] = p
+        self.splat_stack = [int(n) for n in d["splat_stack"]]
+        self._spill = [(e[0], e[1], e[2], e[3], tuple(e[4])) for e in d["spill"]]
+
     def drain_step(self, dt: float) -> List[Tuple]:
         """applyInputs (script.js:1219-1229): pop one burst + drain moved pointers.
 
