@@ -24,6 +24,61 @@ import time
 import numpy as np
 
 
+def measure_hbm_bandwidth_gbps() -> float:
+    """Achieved HBM bandwidth on THIS device (the roofline denominator):
+    a lax.scan of elementwise adds over a 256 MB carry — every iteration
+    reads and writes the full array and scan iterations cannot fuse
+    together, so bytes/time is the streaming copy bandwidth."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    x = jnp.ones((64, 1024, 1024), jnp.float32)
+    nbytes = x.size * x.dtype.itemsize
+
+    @jax.jit
+    def f(x):
+        def body(c, _):
+            return c + 1.0, ()
+        return lax.scan(body, x, None, length=20)[0]
+
+    float(jnp.sum(f(x)))  # compile + real sync (axon tunnel)
+    t0 = time.perf_counter()
+    float(jnp.sum(f(x)))
+    elapsed = time.perf_counter() - t0
+    return 2 * nbytes * 20 / elapsed / 1e9
+
+
+def modeled_hbm_bytes_per_step(config) -> int:
+    """Algorithmic HBM floor for one full step: every field element read and
+    written exactly as the fused pass structure requires, zero overcompute.
+
+    Pass structure (tpufluid/step.py): fused splat+curl+vorticity+divergence
+    (read vel, write vel+div), VMEM-resident 20-sweep Jacobi (read p+div,
+    write p), gradient-subtract (read vel+p, write vel), velocity self-advect
+    gather (read vel as operand + as source, write vel), dye advection
+    (same-grid: read vel+dye, write dye; cross-resolution: separable velocity
+    resample materializes a dye-res velocity, then the gather reads it)."""
+    import numpy as np
+
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    B = np.dtype(config.DTYPE).itemsize
+    sim, dye = sw * sh, dw * dh
+    b = (2 + 2 + 1) * sim        # pre-pressure fused pass
+    b += 3 * sim                 # Jacobi (p + div in, p out)
+    b += (2 + 1 + 2) * sim       # gradient subtract
+    b += 3 * 2 * sim             # velocity self-advect gather
+    if (sw, sh) == (dw, dh):
+        b += (2 + 3 + 3) * sim   # same-grid dye advect
+    else:
+        b += 2 * sim + 2 * dye   # separable velocity resample to dye grid
+        b += (2 + 3 + 3) * dye   # dye gather
+    return b * B
+
+
 def _bench_steps(config, chunks: int, chunk: int, sharded: bool = False):
     import jax.numpy as jnp
 
@@ -88,11 +143,13 @@ def _bench_render(config, frames: int = 200):
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
-    p.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
-                   help="state dtype override: configs 1-3 default to float32 "
-                        "(round-over-round comparability), 4-5 to bfloat16; "
-                        "bfloat16 is the parity-faithful mode (the reference "
-                        "stores half-float textures, script.js:145-153)")
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
+                   default=None,
+                   help="state dtype override: configs 1-2 default to float32, "
+                        "3-5 to bfloat16 — the parity-faithful mode (the "
+                        "reference stores 16-bit half-float textures, "
+                        "script.js:145-153; f32 EXCEEDS reference fidelity); "
+                        "float16 is the exact IEEE-half storage mode")
     p.add_argument("--sharded", action="store_true",
                    help="run the shard_map step (2-D mesh over all visible "
                         "devices, halo-exchange collectives, the SAME Pallas "
@@ -102,8 +159,8 @@ def main() -> None:
 
     from tpufluid import FluidConfig
 
-    dtype = args.dtype or ("bfloat16" if args.config in (4, 5) else "float32")
-    tag = "fp32" if dtype == "float32" else "bfloat16"
+    dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5) else "float32")
+    tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 
     if args.config == 1:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
@@ -142,12 +199,27 @@ def main() -> None:
 
     if args.sharded and args.config != 2:
         metric += ", sharded (shard_map mesh over visible devices)"
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "steps/sec" if args.config != 2 else "frames/sec",
         "vs_baseline": round(value / 60.0, 2),
-    }))
+    }
+    if args.config != 2:
+        # Roofline-utilization fields: the modeled algorithmic HBM floor per
+        # step vs this device's measured streaming bandwidth. Utilization
+        # << 1 on gather-heavy configs means the limiter is the
+        # dynamic_gather ISA issue rate, not HBM (docs/BENCH.md).
+        bw = measure_hbm_bandwidth_gbps()
+        bytes_step = modeled_hbm_bytes_per_step(cfg)
+        achieved = bytes_step * value / 1e9
+        out.update({
+            "hbm_bytes_per_step": bytes_step,
+            "achieved_gbps": round(achieved, 1),
+            "device_bw_gbps": round(bw, 1),
+            "hbm_utilization": round(achieved / bw, 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -178,28 +178,37 @@ def np_bloom_blur4(src, out_h, out_w):
     return out
 
 
-def np_apply_bloom(dye, base_hw, mip_sizes, threshold, soft_knee, intensity):
+def np_apply_bloom(dye, base_hw, mip_sizes, threshold, soft_knee, intensity,
+                   q=lambda x: x):
     """applyBloom (script.js:1350-1394): prefilter -> down chain -> additive
-    up chain -> final x intensity; zeros when < 2 mips."""
+    up chain -> final x intensity; zeros when < 2 mips.
+
+    ``q`` quantizes each pass's output to its STORAGE format — identity for
+    the f32 oracle, round-to-IEEE-half to emulate the reference's RGBA16F
+    FBOs (every pass here writes one, script.js:1012-1032)."""
     bh, bw = base_hw
     if len(mip_sizes) < 2:
         return np.zeros((3, bh, bw), np.float32)
-    last = np_bloom_prefilter(dye, bh, bw, threshold, soft_knee)
+    last = q(np_bloom_prefilter(dye, bh, bw, threshold, soft_knee))
     mips = []
     for (mw, mh) in mip_sizes:
-        last = np_bloom_blur4(last, mh, mw)
+        last = q(np_bloom_blur4(last, mh, mw))
         mips.append(last)
     for i in range(len(mips) - 2, -1, -1):
-        mips[i] = mips[i] + np_bloom_blur4(last, *mips[i].shape[-2:])
+        # additive ONE,ONE blend INTO the mip FBO: the sum itself lands in
+        # half-float storage (script.js:1376-1386)
+        mips[i] = q(mips[i] + np_bloom_blur4(last, *mips[i].shape[-2:]))
         last = mips[i]
-    return np_bloom_blur4(last, bh, bw) * intensity
+    return q(np_bloom_blur4(last, bh, bw) * intensity)
 
 
-def np_apply_sunrays(dye, out_h, out_w, weight):
+def np_apply_sunrays(dye, out_h, out_w, weight, q=lambda x: x):
     """sunraysMask + 16-step march + 1x separable blur
-    (script.js:676-724, 479-494, 1396-1419)."""
+    (script.js:676-724, 479-494, 1396-1419). ``q`` as in np_apply_bloom:
+    the mask lands in dye.write (RGBA16F), the march and each blur pass in
+    R16F FBOs (script.js:1034-1043)."""
     br = dye.max(axis=0)
-    mask = 1.0 - np.minimum(np.maximum(br * 20.0, 0.0), 0.8)
+    mask = q(1.0 - np.minimum(np.maximum(br * 20.0, 0.0), 0.8))
     density, decay0, exposure, iters = 0.3, 0.95, 0.7, 16
     rays = np.zeros((out_h, out_w), np.float32)
     for i in range(out_h):
@@ -216,6 +225,7 @@ def np_apply_sunrays(dye, out_h, out_w, weight):
                 color += np_sample_bilinear(mask, cu, cv) * decay * weight
                 decay *= decay0
             rays[i, j] = color * exposure
+    rays = q(rays)
     # blurShader: separable 3-tap with 1.33333-texel linear taps, 1 iteration.
     off = 1.33333333
     tx, ty = off / out_w, off / out_h
@@ -226,6 +236,7 @@ def np_apply_sunrays(dye, out_h, out_w, weight):
             tmp[i, j] = (np_sample_bilinear(rays, u, v) * 0.29411764
                          + np_sample_bilinear(rays, u - tx, v) * 0.35294117
                          + np_sample_bilinear(rays, u + tx, v) * 0.35294117)
+    tmp = q(tmp)
     out = np.zeros_like(rays)
     for i in range(out_h):
         for j in range(out_w):
@@ -233,7 +244,7 @@ def np_apply_sunrays(dye, out_h, out_w, weight):
             out[i, j] = (np_sample_bilinear(tmp, u, v) * 0.29411764
                          + np_sample_bilinear(tmp, u, v - ty) * 0.35294117
                          + np_sample_bilinear(tmp, u, v + ty) * 0.35294117)
-    return out
+    return q(out)
 
 
 def np_display(dye, out_h, out_w, shading, bloom, sunrays, dither):
@@ -280,20 +291,33 @@ def np_display(dye, out_h, out_w, shading, bloom, sunrays, dither):
     return out
 
 
-def np_render(dye, config, dither):
+def quantize_f16(x):
+    """Round-to-IEEE-half: the storage rounding every reference pass pays
+    when writing its RGBA16F/RG16F/R16F FBO (script.js:145-153)."""
+    return np.asarray(x).astype(np.float16).astype(np.float32)
+
+
+def np_render(dye, config, dither, storage=None):
     """Full render(null) composition (script.js:1296-1348): bloom + sunrays +
-    back color + display, blended ONE/ONE_MINUS_SRC_ALPHA."""
+    back color + display, blended ONE/ONE_MINUS_SRC_ALPHA.
+
+    storage=quantize_f16 emulates the reference's HALF-FLOAT texture
+    pipeline: the input dye and every intermediate pass output round to
+    IEEE half exactly where the reference writes a 16F FBO. The default
+    (None) is the f32 oracle."""
+    q = storage or (lambda x: x)
+    dye = q(dye)
     out_h, out_w = config.CANVAS_HEIGHT, config.CANVAS_WIDTH
     bloom = None
     if config.BLOOM:
         bw, bh = config.bloom_size
         bloom = np_apply_bloom(dye, (bh, bw), config.bloom_mip_sizes(),
                                config.BLOOM_THRESHOLD, config.BLOOM_SOFT_KNEE,
-                               config.BLOOM_INTENSITY)
+                               config.BLOOM_INTENSITY, q=q)
     sunrays = None
     if config.SUNRAYS:
         sw, sh = config.sunrays_size
-        sunrays = np_apply_sunrays(dye, sh, sw, config.SUNRAYS_WEIGHT)
+        sunrays = np_apply_sunrays(dye, sh, sw, config.SUNRAYS_WEIGHT, q=q)
     disp = np_display(dye, out_h, out_w, config.SHADING, bloom, sunrays,
                       dither if config.BLOOM else None)
     r, g, b = config.BACK_COLOR

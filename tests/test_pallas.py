@@ -227,17 +227,21 @@ def test_advect_cross_resolution_scaled_velocity(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
-def test_bf16_kernels_match_oracle(rng):
-    """Kernels consume bfloat16 natively (the reference's half-float storage):
-    in-register upcasts, (16,128)-aligned windows, bf16-tolerance equivalence
-    with the f32 oracle chain."""
+@pytest.mark.parametrize("dtype16", ["bfloat16", "float16"])
+def test_bf16_kernels_match_oracle(dtype16, rng):
+    """Kernels consume 16-bit storage natively — bfloat16 (the performance
+    mode) and IEEE float16 (the reference's EXACT half-float storage format,
+    script.js:145-153): in-register upcasts, (16,128)-aligned windows,
+    16-bit-tolerance equivalence with the f32 oracle chain. float16 takes
+    the unpacked plane path (the channel-packing bit tricks are
+    bf16-specific and gated on the dtype)."""
     import tpufluid.ops.pallas.advect as pa
     import tpufluid.ops.pallas.stencil as ps
     from tpufluid.ops.advect import advect
 
-    H, W = 96, 128  # bf16 windows need align 16 + 2*32-row halos
+    H, W = 96, 128  # 16-bit windows need align 16 + 2*32-row halos
     dt = jnp.float32(1 / 60)
-    bf = jnp.bfloat16
+    bf = jnp.dtype(dtype16)
     vel = jnp.clip(jnp.asarray((rng.standard_normal((2, H, W)) * 400)),
                    -1000, 1000).astype(bf)
     src = jnp.asarray(rng.random((3, H, W))).astype(bf)
@@ -286,12 +290,13 @@ def test_bf16_kernels_match_oracle(rng):
     assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale
 
 
-def test_advect_hbm_bf16_matches_oracle(rng):
+@pytest.mark.parametrize("dtype16", ["bfloat16", "float16"])
+def test_advect_hbm_bf16_matches_oracle(dtype16, rng):
     import tpufluid.ops.pallas.advect_hbm as ah
     from tpufluid.ops.advect import advect
 
     H, W = 64, 128
-    bf = jnp.bfloat16
+    bf = jnp.dtype(dtype16)
     vel = jnp.clip(jnp.asarray(rng.standard_normal((2, H, W)) * 400),
                    -1000, 1000).astype(bf)
     src = jnp.asarray(rng.random((3, H, W))).astype(bf)

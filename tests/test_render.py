@@ -71,6 +71,39 @@ def test_render_oracle_variants(rng):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5, err_msg=str(flags))
 
 
+def test_render_f16_storage_emulation_bounds_drift(rng):
+    """Half-float-pipeline fidelity evidence (the reference stores EVERY
+    texture as IEEE half, script.js:145-153): run the oracle with
+    round-to-f16 storage at every pass boundary and bound the drift of the
+    f32 render against it. If our f32 pipeline were hiding a systematic
+    divergence from the reference's 16F pipeline, the uint8-frame delta
+    would exceed half-float rounding noise; measured it stays within a
+    couple of 8-bit quantization steps."""
+    from tests.reference_impl import np_render, quantize_f16
+    from tpufluid.utils.bluenoise import blue_noise_64
+
+    cfg = FluidConfig(SIM_RESOLUTION=16, DYE_RESOLUTION=24, CANVAS_WIDTH=40,
+                      CANVAS_HEIGHT=32, BLOOM_RESOLUTION=16,
+                      SUNRAYS_RESOLUTION=12, MAX_SPLATS=4,
+                      USE_PALLAS=False).validate()
+    dw, dh = cfg.dye_size
+    dye = jnp.asarray(rng.random((3, dh, dw)).astype(np.float32))
+    s = init_state(cfg)
+    s.dye = dye
+    dither = jnp.asarray(blue_noise_64())
+
+    want16 = np_render(np.asarray(dye), cfg, np.asarray(dither),
+                       storage=quantize_f16)
+    got = np.asarray(render_frame(s, cfg, dither=dither))
+    # Compare as the reference's own acceptance surface: the uint8 screen
+    # frame (normalizeTexture clamp01*255, script.js:309-323).
+    u_got = frame_to_uint8(got).astype(np.int32)
+    u_16 = frame_to_uint8(want16.astype(np.float32)).astype(np.int32)
+    delta = np.abs(u_got - u_16)
+    assert delta.max() <= 2, delta.max()
+    assert delta.mean() <= 0.3, delta.mean()
+
+
 def test_render_shape_and_alpha():
     s = _dyed_state()
     f = np.asarray(render_frame(s, CFG))

@@ -161,6 +161,30 @@ def test_sharded_step_8x_dye_ratio_matches_single_device():
         assert float(jnp.abs(x - y).max()) < tol * scale, f
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_sharded_step_same_grid_matches_single_device(shape):
+    """sim_size == dye_size (the headline and 16K geometries): the dye phase
+    takes the no-resample fast path (sharded_step same-grid branch) and must
+    still match the single-device step."""
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=64, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=4, USE_PALLAS=False).validate()
+    assert cfg.sim_size == cfg.dye_size
+    trace = swirl_trace(cfg, 4, seed=17)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh(shape=shape)
+    sharded = make_sharded_step(cfg, mesh)
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(4):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    for f, tol in (("velocity", 2e-4), ("dye", 2e-4), ("pressure", 4e-4)):
+        x, y = jnp.asarray(getattr(s1, f)), jnp.asarray(getattr(s8, f))
+        scale = max(float(jnp.abs(x).max()), 1e-3)
+        assert float(jnp.abs(x - y).max()) < tol * scale, f
+
+
 @pytest.mark.parametrize("canvas,shape", [
     ((256, 512), (8, 1)),   # portrait, rows mesh
     ((256, 512), (4, 2)),   # portrait, 2-D mesh

@@ -115,14 +115,40 @@ def test_pressure_warm_start():
     np.testing.assert_allclose(np.asarray(out.pressure), 2.0 * cfg.PRESSURE, rtol=1e-6)
 
 
-def test_bfloat16_state_runs():
-    cfg = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, DTYPE="bfloat16",
+@pytest.mark.parametrize("dtype16", ["bfloat16", "float16"])
+def test_16bit_state_runs(dtype16):
+    """Both 16-bit storage modes: bfloat16 (performance) and IEEE float16
+    (the reference's exact half-float texture format, script.js:145-153)."""
+    cfg = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, DTYPE=dtype16,
                       MAX_SPLATS=4, USE_PALLAS=False).validate()
     trace = swirl_trace(cfg, 10)
     step = make_step(cfg)
     s = init_state(cfg)
-    assert s.velocity.dtype == jnp.bfloat16
+    assert s.velocity.dtype == jnp.dtype(dtype16)
     for t in range(10):
         s = step(s, DT, jnp.asarray(trace.batches[t]))
-    assert s.dye.dtype == jnp.bfloat16
+    assert s.dye.dtype == jnp.dtype(dtype16)
     assert np.isfinite(np.asarray(s.dye, dtype=np.float32)).all()
+
+
+def test_float16_more_faithful_than_bfloat16():
+    """The fidelity ordering that justifies offering BOTH 16-bit modes:
+    IEEE float16 (11 mantissa bits — the reference's actual RGBA16F storage)
+    lands measurably closer to the f32 truth than bfloat16 (8 bits) on a
+    single step, before chaotic amplification swamps rounding. (Measured
+    here: ~1.3% vs ~6.7% single-step velocity error.)"""
+    mk = lambda d: FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64,
+                               DTYPE=d, MAX_SPLATS=4,
+                               USE_PALLAS=False).validate()
+    trace = swirl_trace(mk("float32"), 1)
+    outs = {}
+    for d in ("float16", "bfloat16", "float32"):
+        cfg = mk(d)
+        s = make_step(cfg)(init_state(cfg), DT, jnp.asarray(trace.batches[0]))
+        outs[d] = np.asarray(s.velocity, np.float32)
+    v32 = outs["float32"]
+    scale = max(float(np.abs(v32).max()), 1.0)
+    err16 = float(np.abs(outs["float16"] - v32).max()) / scale
+    errbf = float(np.abs(outs["bfloat16"] - v32).max()) / scale
+    assert err16 < 0.03, err16
+    assert err16 < 0.5 * errbf, (err16, errbf)

@@ -45,6 +45,26 @@ def _on_tpu() -> bool:
         return False
 
 
+def _kernel_dtype(dtype) -> bool:
+    """Mosaic compiles f32 and bf16 only ('Unsupported type in mosaic
+    dialect: f16', measured on device) — float16 states stage through f32
+    around each pass (_f16_staged below). The kernels themselves are
+    dtype-generic (interpret-mode f16 tests pass); this gate is about the
+    TPU compiler, not the kernel math."""
+    return dtype in (jnp.float32, jnp.bfloat16)
+
+
+def _f16_staged(dtype) -> bool:
+    """True when a float16 state should run this pass as f32 compute with
+    f16 results — on TPU, always: Mosaic rejects f16 kernels and XLA's TPU
+    f16 gather lowering measured 14.6 steps/s at 1024^2 (vs 643 f32). The
+    staging is SEMANTICALLY the reference pipeline: GLSL highp/mediump
+    shader math is >= f32, and rounding to IEEE half happens only at the
+    FBO write — i.e. at the pass boundary, exactly where these wrappers
+    round (script.js:145-153)."""
+    return dtype == jnp.float16 and _on_tpu()
+
+
 def _padded_shape(h: int, w: int, kind: str, itemsize: int = 4,
                   min_h: int = 0) -> Optional[Tuple[int, int]]:
     hp = max(round_up(h, row_align(itemsize)), _MIN_H[kind][itemsize], min_h)
@@ -75,8 +95,12 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None,
     true_bounds: optional (row_lo, row_hi, col_lo, col_hi) array coords of
     the grid's TRUE walls for halo-padded shards (traced OK) — the clamp and
     -C reflection act there instead of at the array extents."""
+    if _f16_staged(velocity.dtype):
+        v, d = pre_pressure(velocity.astype(jnp.float32), curl_strength, dt,
+                            splat_factors=splat_factors, true_bounds=true_bounds)
+        return v.astype(jnp.float16), d.astype(jnp.float16)
     h, w = velocity.shape[-2:]
-    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
+    if _on_tpu() and _kernel_dtype(velocity.dtype):
         from tpufluid.ops.pallas import stencil as _pl
 
         pad = _padded_shape(h, w, "stencil", velocity.dtype.itemsize)
@@ -124,8 +148,12 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None,
 def jacobi_pressure(pressure, div, iterations, prescale=1.0):
     """Jacobi solve with the warm-start scale (reference clearShader
     p *= PRESSURE, script.js:1253-1257) fused into the first sweep's load."""
+    if _f16_staged(pressure.dtype):
+        return jacobi_pressure(pressure.astype(jnp.float32),
+                               div.astype(jnp.float32), iterations,
+                               prescale=prescale).astype(jnp.float16)
     h, w = pressure.shape
-    if _on_tpu() and pressure.dtype.itemsize in (2, 4):
+    if _on_tpu() and _kernel_dtype(pressure.dtype):
         from tpufluid.ops.pallas import jacobi as _pl
 
         pad = _padded_shape(h, w, "jacobi", pressure.dtype.itemsize)
@@ -142,8 +170,12 @@ def jacobi_pressure(pressure, div, iterations, prescale=1.0):
 def gradient_subtract(velocity, pressure):
     """Un-fused projection tail (the single-device step uses the fused
     project_and_self_advect; the sharded step needs the split)."""
+    if _f16_staged(velocity.dtype):
+        return gradient_subtract(velocity.astype(jnp.float32),
+                                 pressure.astype(jnp.float32)
+                                 ).astype(jnp.float16)
     h, w = velocity.shape[-2:]
-    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
+    if _on_tpu() and _kernel_dtype(velocity.dtype):
         from tpufluid.ops.pallas import stencil as _pl
 
         pad = _padded_shape(h, w, "stencil", velocity.dtype.itemsize)
@@ -161,8 +193,14 @@ def project_and_self_advect(velocity, pressure, dt, dissipation):
     from its ref (the round-1 fused project_advect kernel staged an f32 vel'
     window copy per tile and measured SLOWER on device at every size —
     out/jobs/80); falls back to the jnp chain."""
+    if _f16_staged(velocity.dtype):
+        # The projected velocity passes through f16 storage between the two
+        # passes, like the reference's RG16F gradientSubtract target that
+        # the advection pass then reads (script.js:1268-1285).
+        vel = gradient_subtract(velocity, pressure)
+        return advect(vel, vel, dt, dissipation)
     h, w = velocity.shape[-2:]
-    if _on_tpu() and velocity.dtype.itemsize in (2, 4):
+    if _on_tpu() and _kernel_dtype(velocity.dtype):
         from tpufluid.ops.pallas import advect as _pa
         from tpufluid.ops.pallas import stencil as _ps
 
@@ -266,9 +304,15 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
     source texels (they size the gather halo/span — the shapes alone cannot,
     e.g. a shard's pre-resampled dye velocity). Used directly by the sharded
     step, which resamples per shard with global coordinates."""
+    if _f16_staged(source.dtype):
+        out = advect_same_grid(velocity.astype(jnp.float32),
+                               source.astype(jnp.float32), dt, dissipation,
+                               max_disp_y, max_disp_x,
+                               splat_factors=splat_factors)
+        return out.astype(jnp.float16)
     h, w = source.shape[-2], source.shape[-1]
     it = source.dtype.itemsize
-    if _on_tpu() and it in (2, 4):
+    if _on_tpu() and _kernel_dtype(source.dtype):
         from tpufluid.ops.pallas import advect as _pl
 
         halo = _pl.halo_for_displacement(max_disp_y)

@@ -62,10 +62,21 @@ MAX_DT = 1.0 / 60.0  # reference dt clamp (script.js:1191)
 MAX_SPEED = 1000.0   # reference velocity clamp (script.js:863)
 
 _G_STENCIL = 16  # >= 3 stencil layers; 16-row aligned for bf16 kernels
-_G_JACOBI = 32   # > the 20 sweeps per chunk (mirror-ghost safety margin)
-_G_VEL = 32      # >= ceil(1000/60) + bilinear corner
+_JACOBI_SWEEPS_PER_EXCHANGE = 20
+_G_JACOBI = 32   # > the 20 sweeps per chunk (mirror-ghost margin). NOT 24:
+#                  padded heights must keep a large power-of-two factor or
+#                  the kernels' divisor-constrained tile pickers collapse
+#                  (1024+48=16*67 forces 16-row Jacobi blocks = 4x
+#                  overcompute; measured 473 vs 520 steps/s sharded,
+#                  out/jobs/b05). 1024+64=2^6*17 keeps 272-row blocks.
+_G_VEL = 32      # >= ceil(1000/60) + bilinear corner (18); 32 for the same
+#                  divisibility reason as _G_JACOBI
 _GC = 64         # column ghosts: >= every per-phase reach; keeps W % 128
+#                  (rows have no lane constraint; columns stay at the one
+#                  aligned width)
 _BIG = 1 << 30   # sentinel: "this shard owns no wall here"
+
+assert _G_JACOBI > _JACOBI_SWEEPS_PER_EXCHANGE
 
 
 def _round_mult(x: float, m: int) -> int:
@@ -217,7 +228,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
         div_pad = jacobi_pad(div)
         done = 0
         while done < iters:
-            k = min(20, iters - done)
+            k = min(_JACOBI_SWEEPS_PER_EXCHANGE, iters - done)
             p_pad = K.jacobi_pressure(jacobi_pad(p), div_pad, k,
                                       prescale=config.PRESSURE if done == 0 else 1.0)
             p = p_pad[_G_JACOBI:-_G_JACOBI, gc:gc + w_loc]
@@ -240,19 +251,27 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     gd = dye_halo_width(config)
     gdc = 0 if nx == 1 else dye_halo_width_cols(config)
     dye_pad = exch2d(dye, gd, gdc)
-    gvr = vel_resample_pad(config)  # see its docstring for the invariant
-    gvrc = gvr if nx > 1 else 0     # plain-jnp sample: no lane alignment needed
-    vel_pad1 = exch2d(vel, gvr, gvrc)
-    rows_d = jnp.clip(ridx * hd_loc - gd
-                      + jnp.arange(hd_loc + 2 * gd, dtype=jnp.float32),
-                      0, dh_g - 1)
-    cols_d = jnp.clip(cidx * wd_loc - gdc
-                      + jnp.arange(wd_loc + 2 * gdc, dtype=jnp.float32),
-                      0, dw - 1)
-    row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (ridx * h_loc - gvr)
-    col_coords = (cols_d + 0.5) / dw * sw - 0.5 - (cidx * w_loc - gvrc)
-    vel_d = _sample_2d(vel_pad1.astype(jnp.float32), row_coords, col_coords)
-    vel_d = jnp.stack([vel_d[0] * (dw / sw), vel_d[1] * (dh_g / sh_g)])
+    if (sw, sh_g) == (dw, dh_g):
+        # Same-grid dye (headline / 16K configs): the dye-texel-center
+        # velocity IS the velocity field — skip the resample entirely. The
+        # exchanged ghosts replicate the edge row/column at walls, exactly
+        # the clamped global sample the resample path would produce (only
+        # the CENTER rows' velocity matters — see vel_resample_pad).
+        vel_d = exch2d(vel, gd, gdc)
+    else:
+        gvr = vel_resample_pad(config)  # see its docstring for the invariant
+        gvrc = gvr if nx > 1 else 0     # plain-jnp sample: no lane alignment
+        vel_pad1 = exch2d(vel, gvr, gvrc)
+        rows_d = jnp.clip(ridx * hd_loc - gd
+                          + jnp.arange(hd_loc + 2 * gd, dtype=jnp.float32),
+                          0, dh_g - 1)
+        cols_d = jnp.clip(cidx * wd_loc - gdc
+                          + jnp.arange(wd_loc + 2 * gdc, dtype=jnp.float32),
+                          0, dw - 1)
+        row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (ridx * h_loc - gvr)
+        col_coords = (cols_d + 0.5) / dw * sw - 0.5 - (cidx * w_loc - gvrc)
+        vel_d = _sample_2d(vel_pad1.astype(jnp.float32), row_coords, col_coords)
+        vel_d = jnp.stack([vel_d[0] * (dw / sw), vel_d[1] * (dh_g / sh_g)])
 
     gy_d, gx_d, amt_d = factors(hd_loc + 2 * gd, wd_loc + 2 * gdc,
                                 slice(SPLAT_R, SPLAT_B + 1),
