@@ -36,13 +36,16 @@ def test_golden_frame():
     frame = _compute_frame()
     want = np.load(GOLDEN)["frame"]
     assert frame.shape == want.shape
-    # fp reassociation across jax versions/backends + 90 chaotic steps:
-    # demand close agreement in uint8-quantization terms.
+    # Bound rationale: on the generating jax version the recompute error is
+    # ~1e-4/255 (measured round 2) — the bound is pure headroom for fp
+    # reassociation across jax/XLA versions over 90 chaotic steps. 2/255
+    # max keeps any SINGLE pixel within one quantization step of the
+    # committed frame (a visibly-wrong region cannot hide under it), and
+    # the mean bound pins the global image.
     err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1)).max()
-    assert err < 8.0 / 255.0, f"golden frame drifted: max err {err:.4f}"
-    # and near-exact agreement in the mean
+    assert err < 2.0 / 255.0, f"golden frame drifted: max err {err:.4f}"
     mean_err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1)).mean()
-    assert mean_err < 1.0 / 255.0, f"golden mean err {mean_err:.5f}"
+    assert mean_err < 0.25 / 255.0, f"golden mean err {mean_err:.5f}"
 
 
 if __name__ == "__main__":

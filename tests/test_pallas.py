@@ -33,6 +33,62 @@ def test_jacobi_supported_gate():
     assert pj.supported((128, 128))
     assert not pj.supported((228, 128))   # demo 1280x720 sim grid: H % 8 != 0
     assert not pj.supported((128, 100))   # lane-unaligned width
+    # 16K-wide pressure: column-tiled windows (the round-1 gap: this shape
+    # silently fell back to 20 full-grid jnp sweeps, ~40% of the 16K step)
+    assert pj.supported((16384, 16384), 2)
+    assert pj.supported((16384, 16384), 4)
+
+
+def test_stencil_column_tiled_matches_oracle(rng):
+    """Wide grids take 2-D windows in the fused pre-pressure stencil and
+    gradient-subtract too (the 16K fallback gap): oracle-exact at the walls
+    and with fused splats."""
+    import tpufluid.ops.pallas.stencil as ps
+
+    h, w = 64, 16384
+    rows, cols = ps._pick_tile(h, w, 4)
+    assert cols < w  # really the column-tiled path
+    vel = jnp.asarray((rng.standard_normal((2, h, w)) * 200).astype(np.float32))
+    dt = jnp.float32(1 / 60)
+    S = 4
+    gy = jnp.asarray(rng.random((h, S)).astype(np.float32))
+    gx = jnp.asarray(rng.random((S, w)).astype(np.float32))
+    amt = jnp.asarray((rng.standard_normal((S, 2)) * 50).astype(np.float32))
+    with _interp(ps):
+        got_v, got_d = ps.curl_vorticity_divergence(vel, 30.0, dt, gy, gx, amt)
+    bumped = vel + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)
+    c = stencil.curl(bumped)
+    want_v = stencil.vorticity_confinement(bumped, c, 30.0, dt)
+    want_d = stencil.divergence(want_v)
+    scale = float(jnp.abs(want_v).max())
+    # 5e-4 relative: the confinement's 1/(|grad|+1e-4) amplifies the
+    # dot_f32_3x bump's ~1e-6 rounding (the documented <=2e-4/step contract,
+    # ops/pallas/common.dot_f32_3x).
+    assert float(jnp.abs(got_v - want_v).max()) < 5e-4 * scale
+    assert float(jnp.abs(got_d - want_d).max()) < 5e-4 * scale
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    with _interp(ps):
+        got = ps.gradient_subtract(vel, p)
+    want = stencil.gradient_subtract(vel, p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_jacobi_column_tiled_matches_oracle(rng):
+    """Grids too wide for full-width row blocks take 2-D (row x col)
+    windows with 128-lane halos; must still equal the oracle exactly,
+    including at the walls and with the warm-start prescale."""
+    h, w = 112, 8192
+    rows, cols = pj._pick_tile(h, w, pj._halo(4), 4)
+    assert cols < w  # really the column-tiled path
+    p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    with _interp(pj):
+        got = pj.jacobi_pressure(p, d, 20, prescale=0.8)
+    want = stencil.jacobi_pressure(
+        (p.astype(jnp.float32) * 0.8).astype(p.dtype), d, 20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
 
 
 def test_jacobi_zero_iters_identity(rng):

@@ -189,13 +189,19 @@ def test_live_canvas_resize():
         req = urllib.request.Request(url + "/config", data=body, method="POST")
         resp = json.loads(urllib.request.urlopen(req, timeout=60).read())
         assert resp["CANVAS_WIDTH"] == 128 and resp["CANVAS_HEIGHT"] == 96
-        # frames keep flowing at the new canvas geometry
-        time.sleep(1.0)
+        # frames keep flowing at the new canvas geometry (poll: the first
+        # tick after reconfigure pays the new config's jit compile)
         from PIL import Image
 
-        jpg = urllib.request.urlopen(url + "/frame", timeout=10).read()
-        im = Image.open(io.BytesIO(jpg))
-        assert (im.width, im.height) == (128, 96)
+        size = None
+        for _ in range(300):
+            jpg = urllib.request.urlopen(url + "/frame", timeout=10).read()
+            im = Image.open(io.BytesIO(jpg))
+            size = (im.width, im.height)
+            if size == (128, 96):
+                break
+            time.sleep(0.1)
+        assert size == (128, 96)
     finally:
         server.stop()
         httpd.shutdown()

@@ -131,6 +131,59 @@ def test_scan_throughput_smoke(warm_tunnel):
     assert np.isfinite(checksum) and checksum > 0
 
 
+def test_golden_frame_pallas_on_device(warm_tunnel):
+    """DEVICE golden: 30 swirl-trace steps + full render through the
+    compiled Mosaic kernel path, against a committed device-generated frame
+    (the CPU golden in tests/test_golden.py covers only the jnp path).
+    Regenerate with out/jobs pattern: see out/jobs/done/b11_device_golden.py."""
+    import os
+
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.render import render_frame
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    golden = os.path.join(os.path.dirname(__file__), "golden_frame_tpu.npz")
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, BLOOM_RESOLUTION=64,
+                      SUNRAYS_RESOLUTION=64, MAX_SPLATS=8).validate()
+    step = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    trace = swirl_trace(cfg, 30, seed=77)
+    s = init_state(cfg)
+    dt = jnp.float32(trace.dt)
+    for t in range(30):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+    frame = np.asarray(render_frame(s, cfg), dtype=np.float32)
+    want = np.load(golden)["frame"]
+    err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1))
+    # Same-hardware recompute is deterministic; 2/255 is libtpu-version
+    # headroom (same rationale as the CPU golden bound).
+    assert err.max() < 2.0 / 255.0, f"device golden drifted: {err.max():.4f}"
+    assert err.mean() < 0.25 / 255.0
+
+
+def test_float16_staged_step_on_device(warm_tunnel):
+    """float16 state via the f32-staged pass path (Mosaic has no f16):
+    runs the Pallas kernels, returns f16, tracks the f32 step closely."""
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=256, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=8, DTYPE="float16").validate()
+    cfg_f = FluidConfig(**{**cfg.__dict__, "DTYPE": "float32"})
+    tr = swirl_trace(cfg, 1, seed=42)
+    dt = jnp.float32(1 / 60)
+    sp = jnp.asarray(tr.batches[0])
+    a = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg))(init_state(cfg), dt, sp)
+    b = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg_f))(init_state(cfg_f), dt, sp)
+    assert a.velocity.dtype == jnp.float16
+    scale = max(float(jnp.abs(b.velocity).max()), 1.0)
+    err = float(jnp.abs(a.velocity.astype(jnp.float32) - b.velocity).max())
+    # f16 rounding only (11 mantissa bits): ~8x tighter than the bf16 bound.
+    assert err < 0.003 * scale, (err, scale)
+
+
 def test_display_kernel_matches_jnp_on_device(warm_tunnel):
     """Fused display resample+shading kernel (compiled Mosaic) == jnp taps.
 

@@ -2,14 +2,18 @@
 
 The reference pays one GL draw call per sweep (script.js:1259-1266: 20 draws
 through texture memory per frame). Here K sweeps run per HBM pass entirely in
-VMEM: the grid tiles the row axis and each program loads an overlapping
-(R + 2K', W) window of pressure and divergence, runs K unrolled sweeps
+VMEM: the grid tiles the plane and each program loads an overlapping haloed
+window of pressure and divergence, runs K unrolled sweeps
 p' = (L + R + T + B - div) * 0.25 on the VPU (neighbors via pltpu.roll +
-global-boundary masking), and writes back the central R rows, which are exact
-because staleness moves inward one row per sweep.
+global-boundary masking), and writes back the central block, which is exact
+because staleness moves inward one cell per sweep.
 
-Windows are IN-BOUNDS (clamped starts, ops/pallas/common.py) — no edge-pad
-copies of the fields are ever materialized in HBM.
+Tiling is 2-D: rows always, and — for grids too wide for a full-width row
+block (16384^2 pressure once fell back to 20 full-grid jnp sweeps, ~40% of
+that config's step) — columns as well, with a 128-lane halo per side (lane
+windows must be 128-aligned; 128 > the 20-sweep staleness reach). Windows
+are IN-BOUNDS (clamped starts, ops/pallas/common.py) — no edge-pad copies of
+the fields are ever materialized in HBM.
 
 bfloat16 fields (the reference's R16F textures) are loaded natively and
 upcast in-register — sweeps run in f32 like the shader's arithmetic — which
@@ -23,7 +27,7 @@ verified by tests/test_pallas.py in interpret mode and on-device by bench.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,11 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 # Element-indexed block dims allow overlapping (haloed) input windows.
 from tpufluid.ops.pallas.common import Element as _Element
 
-from tpufluid.ops.pallas.common import (
-    LANE, make_window_index_map, row_align, window_start,
-)
+from tpufluid.ops.pallas.common import LANE, row_align, window_start
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+_COL_HALO = LANE  # lane windows are 128-aligned; 128 > 20-sweep staleness
 
 
 def _halo(itemsize: int) -> int:
@@ -46,16 +49,38 @@ def _halo(itemsize: int) -> int:
     return 24 if itemsize == 4 else 32
 
 
-def _pick_block_rows(h: int, w: int, halo: int, itemsize: int) -> int:
+def _pick_tile(h: int, w: int, halo: int,
+               itemsize: int) -> Optional[Tuple[int, int]]:
+    """(rows, cols) per block, or None. cols == w means no column windows
+    (the fast path every grid up to ~8K wide takes)."""
     align = row_align(itemsize)
-    best = 0
-    for r in range(align, h + 1, align):
-        if h % r or r + 2 * halo > h:
-            continue
-        vmem = (4 * itemsize + 8) * (r + 2 * halo) * w
-        if vmem <= _VMEM_BUDGET:
-            best = r
-    return best
+    bytes_per = 4 * itemsize + 8  # p+div loads (it) + f32 p + roll temp
+
+    def best_rows(cw: int) -> int:
+        best = 0
+        for r in range(align, h + 1, align):
+            if h % r or r + 2 * halo > h:
+                continue
+            if bytes_per * (r + 2 * halo) * cw <= _VMEM_BUDGET:
+                best = r
+        return best
+
+    r = best_rows(w)
+    if r:
+        return r, w
+    # Column windows: prefer the widest cols whose window fits with a
+    # reasonable row block (overcompute = (win_r/r) * (cw/cols)).
+    best = None
+    cols = (w // LANE // 2) * LANE
+    while cols >= LANE:
+        if w % cols == 0 and cols + 2 * _COL_HALO <= w:
+            r = best_rows(cols + 2 * _COL_HALO)
+            if r:
+                over = ((r + 2 * halo) / r) * ((cols + 2 * _COL_HALO) / cols)
+                if best is None or over < best[0]:
+                    best = (over, (r, cols))
+        cols -= LANE
+    return best[1] if best else None
 
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
@@ -64,19 +89,26 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
         return False
     if w % LANE or h % row_align(itemsize):
         return False
-    return _pick_block_rows(h, w, _halo(itemsize), itemsize) > 0
+    return _pick_tile(h, w, _halo(itemsize), itemsize) is not None
 
 
 def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
-                         rows_per_block: int, h_global: int, h_true: int,
-                         w_true: int, align: int, prescale: float):
+                         col_halo: int, rows_per_block: int,
+                         cols_per_block: int, h_global: int, w_global: int,
+                         h_true: int, w_true: int, align: int,
+                         prescale: float):
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
-    w = p_ref.shape[1]
+    blk_w = p_ref.shape[1]
     start = window_start(i, rows_per_block, halo, h_global, align)
+    if col_halo:
+        j = pl.program_id(1)
+        cstart = window_start(j, cols_per_block, col_halo, w_global, LANE)
+    else:
+        cstart = 0
 
-    rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
-    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
+    rows = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0) + start
+    cols = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1) + cstart
     first_row = rows == 0
     last_row = rows == h_true - 1
     first_col = cols == 0
@@ -89,46 +121,64 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
     for _ in range(sweeps):
         # pltpu.roll needs non-negative shift: roll by N-1 == shift -1.
         left = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
-        right = jnp.where(last_col, p, pltpu.roll(p, w - 1, axis=1))
+        right = jnp.where(last_col, p, pltpu.roll(p, blk_w - 1, axis=1))
         below = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
         above = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
         p = (left + right + below + above - div) * 0.25
 
-    # Central rows sit at dynamic (aligned) offset i*R - start.
+    # Central rows/cols sit at dynamic (aligned) offsets inside the window.
     off = i * rows_per_block - start
-    out = jnp.zeros((rows_per_block, w), dtype=p.dtype)
+    out = jnp.zeros((rows_per_block, blk_w), dtype=p.dtype)
     for k in range(0, 2 * halo + 1, align):
         out = jnp.where(off == k, p[k:k + rows_per_block], out)
+    if col_halo:
+        coff = j * cols_per_block - cstart
+        outc = jnp.zeros((rows_per_block, cols_per_block), dtype=p.dtype)
+        for k in range(0, 2 * col_halo + 1, LANE):
+            outc = jnp.where(coff == k, out[:, k:k + cols_per_block], outc)
+        out = outc
     out_ref[:] = out.astype(out_ref.dtype)
 
 
 def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
-                  rows_per_block: int, true_shape,
+                  rows_per_block: int, cols_per_block: int, true_shape,
                   prescale: float = 1.0) -> jnp.ndarray:
     h, w = p.shape
     align = row_align(p.dtype.itemsize)
     n_blocks = h // rows_per_block
+    col_halo = 0 if cols_per_block == w else _COL_HALO
+    n_cblocks = w // cols_per_block
     kernel = functools.partial(
-        _jacobi_chunk_kernel, sweeps=sweeps, halo=halo,
-        rows_per_block=rows_per_block, h_global=h,
-        h_true=true_shape[0], w_true=true_shape[1], align=align,
-        prescale=float(prescale),
+        _jacobi_chunk_kernel, sweeps=sweeps, halo=halo, col_halo=col_halo,
+        rows_per_block=rows_per_block, cols_per_block=cols_per_block,
+        h_global=h, w_global=w, h_true=true_shape[0], w_true=true_shape[1],
+        align=align, prescale=float(prescale),
     )
     win = rows_per_block + 2 * halo
-    idx = make_window_index_map(rows_per_block, halo, h, align=align)
+    cw = cols_per_block + 2 * col_halo
+
+    def idx(i, j=0):
+        start = window_start(i, rows_per_block, halo, h, align)
+        if col_halo:
+            return (start, window_start(j, cols_per_block, col_halo, w, LANE))
+        return (start, 0)
+
+    grid = (n_blocks,) if not col_halo else (n_blocks, n_cblocks)
+    out_idx = (lambda i: (i, 0)) if not col_halo else (lambda i, j: (i, j))
     return pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((_Element(win), _Element(w)), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_Element(win), _Element(w)), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(win), _Element(cw)), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(win), _Element(cw)), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rows_per_block, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((rows_per_block, cols_per_block), out_idx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), p.dtype),
         cost_estimate=pl.CostEstimate(
             flops=6 * sweeps * h * w,
-            bytes_accessed=(3 * win + rows_per_block) * n_blocks * w * p.dtype.itemsize,
+            bytes_accessed=(3 * win * cw * n_cblocks + rows_per_block * w)
+            * n_blocks * p.dtype.itemsize,
             transcendentals=0,
         ),
     )(p, div)
@@ -152,15 +202,19 @@ def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
         true_shape = (h, w)
     chunk = min(chunk, iterations)
     halo = _halo(pressure.dtype.itemsize)
-    rows_per_block = _pick_block_rows(h, w, halo, pressure.dtype.itemsize)
-    if rows_per_block == 0:
+    # Exactness bound: staleness moves inward one cell per sweep, so each
+    # pass's sweep count must stay below every halo width.
+    chunk = min(chunk, halo - 1, _COL_HALO - 1)
+    tile = _pick_tile(h, w, halo, pressure.dtype.itemsize)
+    if tile is None:
         raise ValueError(f"unsupported shape {pressure.shape}")
+    rows_per_block, cols_per_block = tile
 
     p = pressure
     done = 0
     while done < iterations:
         k = min(chunk, iterations - done)
-        p = _jacobi_chunk(p, div, k, halo, rows_per_block, true_shape,
-                          prescale=prescale if done == 0 else 1.0)
+        p = _jacobi_chunk(p, div, k, halo, rows_per_block, cols_per_block,
+                          true_shape, prescale=prescale if done == 0 else 1.0)
         done += k
     return p

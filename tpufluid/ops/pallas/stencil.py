@@ -4,7 +4,10 @@ The reference runs these as three full-grid GL passes (script.js:1234-1251).
 This kernel computes all three in ONE HBM pass over the velocity field: row
 blocks with an 8-row in-bounds halo window (3 stencil layers needed; windows
 clamped per ops/pallas/common.py so no edge-pad copy is materialized),
-neighbors via pltpu.roll + global-boundary masking.
+neighbors via pltpu.roll + global-boundary masking. Grids too wide for a
+full-width row block (16384^2) tile columns too, with a 128-lane halo per
+side (lane windows must be 128-aligned; 3 layers of staleness << 128) —
+without this the 16K configs fell back to the multi-pass jnp chain.
 
 Outputs the post-confinement velocity (clamped to +/-1000, script.js:863) and
 its divergence (with the -C no-slip wall reflection, script.js:804-807).
@@ -27,10 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, dot_f32_3x, make_window_index_map, row_align, window_start,
+    LANE, SUBLANE, dot_f32_3x, row_align, window_start,
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+_COL_HALO = LANE  # lane windows are 128-aligned; >> 3 layers of staleness
 
 
 def _halo(itemsize: int) -> int:
@@ -38,16 +42,35 @@ def _halo(itemsize: int) -> int:
     return row_align(itemsize)
 
 
-def _pick_block_rows(h: int, w: int, itemsize: int) -> int:
+def _pick_tile(h: int, w: int, itemsize: int) -> Optional[Tuple[int, int]]:
+    """(rows, cols) per block, or None. cols == w means no column windows."""
     align = row_align(itemsize)
     halo = _halo(itemsize)
-    best = 0
-    for r in range(align, h + 1, align):
-        if h % r or r + 2 * halo > h:
-            continue
-        if (8 * itemsize + 16) * (r + 2 * halo) * w <= _VMEM_BUDGET:
-            best = r
-    return best
+    bytes_per = 8 * itemsize + 16
+
+    def best_rows(cw: int) -> int:
+        best = 0
+        for r in range(align, h + 1, align):
+            if h % r or r + 2 * halo > h:
+                continue
+            if bytes_per * (r + 2 * halo) * cw <= _VMEM_BUDGET:
+                best = r
+        return best
+
+    r = best_rows(w)
+    if r:
+        return r, w
+    best = None
+    cols = (w // LANE // 2) * LANE
+    while cols >= LANE:
+        if w % cols == 0 and cols + 2 * _COL_HALO <= w:
+            r = best_rows(cols + 2 * _COL_HALO)
+            if r:
+                over = ((r + 2 * halo) / r) * ((cols + 2 * _COL_HALO) / cols)
+                if best is None or over < best[0]:
+                    best = (over, (r, cols))
+        cols -= LANE
+    return best[1] if best else None
 
 
 def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
@@ -56,21 +79,27 @@ def supported(shape: Tuple[int, int], itemsize: int = 4) -> bool:
         return False
     if w % LANE or h % row_align(itemsize):
         return False
-    return _pick_block_rows(h, w, itemsize) > 0
+    return _pick_tile(h, w, itemsize) is not None
 
 
 def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
             out_vel_ref, out_div_ref, *,
-            curl_strength: float, rows_per_block: int, h_global: int,
-            with_splats: bool, halo: int, align: int):
+            curl_strength: float, rows_per_block: int, cols_per_block: int,
+            h_global: int, w_global: int, with_splats: bool, halo: int,
+            col_halo: int, align: int):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
     dt = dt_ref[0]
     start = window_start(i, rows_per_block, halo, h_global, align)
+    if col_halo:
+        j = pl.program_id(1)
+        cstart = window_start(j, cols_per_block, col_halo, w_global, LANE)
+    else:
+        cstart = 0
 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
-    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1) + cstart
     # The grid's TRUE walls as array coords (SMEM, may be traced): clamp +
     # -C reflection act exactly there. A shard passes sentinel bounds for
     # walls it does not own; padded/ghost regions then never mask.
@@ -99,7 +128,7 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
         # aligned with the velocity window: an in-kernel dynamic sublane
         # slice feeding the MXU miscompiled at clamped window starts
         # (h=176 dense-factor repro, out/jobs/93) — the DMA engine does the
-        # dynamic offset instead.
+        # dynamic offset instead. gx is windowed on columns the same way.
         gy = gy_ref[...].astype(jnp.float32)         # (blk_h, S)
         gx = gx_ref[:].astype(jnp.float32)           # (S, w)
         amt = amt_ref[:]                             # (S, 2)
@@ -141,22 +170,40 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
         ou = jnp.where(off == k, u[k:k + r], ou)
         ov = jnp.where(off == k, v[k:k + r], ov)
         od = jnp.where(off == k, div[k:k + r], od)
+    if col_halo:
+        coff = j * cols_per_block - cstart
+        cb = cols_per_block
+        ouc = jnp.zeros((r, cb), ou.dtype)
+        ovc = jnp.zeros((r, cb), ov.dtype)
+        odc = jnp.zeros((r, cb), od.dtype)
+        for k in range(0, 2 * col_halo + 1, LANE):
+            ouc = jnp.where(coff == k, ou[:, k:k + cb], ouc)
+            ovc = jnp.where(coff == k, ov[:, k:k + cb], ovc)
+            odc = jnp.where(coff == k, od[:, k:k + cb], odc)
+        ou, ov, od = ouc, ovc, odc
     out_vel_ref[0] = ou.astype(out_vel_ref.dtype)
     out_vel_ref[1] = ov.astype(out_vel_ref.dtype)
     out_div_ref[:] = od.astype(out_div_ref.dtype)
 
 
-def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int, h_global: int,
-               h_true: int, w_true: int, halo: int, align: int):
+def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int,
+               cols_per_block: int, h_global: int, w_global: int,
+               h_true: int, w_true: int, halo: int, col_halo: int,
+               align: int):
     """vel - un-halved grad(p) (gradientSubtractShader, script.js:892-913 —
     the reference's missing 0.5 factor is deliberate, see ops/stencil.py)."""
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
     w = p_ref.shape[1]
     start = window_start(i, rows_per_block, halo, h_global, align)
+    if col_halo:
+        j = pl.program_id(1)
+        cstart = window_start(j, cols_per_block, col_halo, w_global, LANE)
+    else:
+        cstart = 0
 
     rows = lax.broadcasted_iota(jnp.int32, (blk_h, w), 0) + start
-    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1)
+    cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1) + cstart
     first_row = rows == 0
     last_row = rows == h_true - 1
     first_col = cols == 0
@@ -178,8 +225,39 @@ def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int, h_global: int,
     for k in range(0, 2 * halo + 1, align):
         ou = jnp.where(off == k, u[k:k + r], ou)
         ov = jnp.where(off == k, v[k:k + r], ov)
+    if col_halo:
+        coff = j * cols_per_block - cstart
+        cb = cols_per_block
+        ouc = jnp.zeros((r, cb), ou.dtype)
+        ovc = jnp.zeros((r, cb), ov.dtype)
+        for k in range(0, 2 * col_halo + 1, LANE):
+            ouc = jnp.where(coff == k, ou[:, k:k + cb], ouc)
+            ovc = jnp.where(coff == k, ov[:, k:k + cb], ovc)
+        ou, ov = ouc, ovc
     out_ref[0] = ou.astype(out_ref.dtype)
     out_ref[1] = ov.astype(out_ref.dtype)
+
+
+def _tile_geometry(h: int, w: int, itemsize: int):
+    tile = _pick_tile(h, w, itemsize)
+    if tile is None:
+        raise ValueError(f"unsupported shape {(h, w)}")
+    rows, cols = tile
+    halo = _halo(itemsize)
+    align = row_align(itemsize)
+    col_halo = 0 if cols == w else _COL_HALO
+    win = rows + 2 * halo
+    cw = cols + 2 * col_halo
+    grid = (h // rows,) if not col_halo else (h // rows, w // cols)
+
+    def idx(lead_dims: int):
+        def index_map(i, j=0):
+            rs = window_start(i, rows, halo, h, align)
+            cs = window_start(j, cols, col_halo, w, LANE) if col_halo else 0
+            return (0,) * lead_dims + (rs, cs)
+        return index_map
+
+    return rows, cols, halo, col_halo, align, win, cw, grid, idx
 
 
 def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
@@ -190,28 +268,24 @@ def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
     _, h, w = velocity.shape
     if true_shape is None:
         true_shape = (h, w)
-    rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
-    if rows_per_block == 0:
-        raise ValueError(f"unsupported shape {velocity.shape}")
-    halo = _halo(velocity.dtype.itemsize)
-    align = row_align(velocity.dtype.itemsize)
-    n_blocks = h // rows_per_block
-    win = rows_per_block + 2 * halo
-    idx1 = make_window_index_map(rows_per_block, halo, h, lead_dims=1, align=align)
-    idx0 = make_window_index_map(rows_per_block, halo, h, lead_dims=0, align=align)
-    kernel = functools.partial(_gs_kernel, rows_per_block=rows_per_block,
-                               h_global=h, h_true=true_shape[0],
-                               w_true=true_shape[1], halo=halo, align=align)
+    (rows, cols, halo, col_halo, align, win, cw, grid, idx) = _tile_geometry(
+        h, w, velocity.dtype.itemsize)
+    kernel = functools.partial(_gs_kernel, rows_per_block=rows,
+                               cols_per_block=cols, h_global=h, w_global=w,
+                               h_true=true_shape[0], w_true=true_shape[1],
+                               halo=halo, col_halo=col_halo, align=align)
+    out_idx = (lambda i: (0, i, 0)) if not col_halo else \
+        (lambda i, j: (0, i, j))
     return pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
-                         idx1, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_Element(win), _Element(w)), idx0,
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(cw)),
+                         idx(1), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(win), _Element(cw)), idx(0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((2, rows_per_block, w), lambda i: (0, i, 0),
+        out_specs=pl.BlockSpec((2, rows, cols), out_idx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
         cost_estimate=pl.CostEstimate(
@@ -239,12 +313,8 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
     _, h, w = velocity.shape
     if true_shape is None:
         true_shape = (h, w)
-    rows_per_block = _pick_block_rows(h, w, velocity.dtype.itemsize)
-    if rows_per_block == 0:
-        raise ValueError(f"unsupported shape {velocity.shape}")
-    halo = _halo(velocity.dtype.itemsize)
-    align = row_align(velocity.dtype.itemsize)
-    n_blocks = h // rows_per_block
+    (rows, cols, halo, col_halo, align, win, cw, grid, idx) = _tile_geometry(
+        h, w, velocity.dtype.itemsize)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
 
     with_splats = splat_gy is not None
@@ -254,36 +324,43 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
         splat_gx = jnp.zeros((s, w), velocity.dtype)
         splat_amt = jnp.zeros((s, 2), jnp.float32)
 
-    win = rows_per_block + 2 * halo
-    idx = make_window_index_map(rows_per_block, halo, h, lead_dims=1,
-                                align=align)
     if true_bounds is None:
         true_bounds = (0, true_shape[0] - 1, 0, true_shape[1] - 1)
     bounds = jnp.stack([jnp.asarray(b, jnp.int32) for b in true_bounds])
     kernel = functools.partial(_kernel, curl_strength=float(curl_strength),
-                               rows_per_block=rows_per_block, h_global=h,
-                               with_splats=with_splats, halo=halo, align=align)
+                               rows_per_block=rows, cols_per_block=cols,
+                               h_global=h, w_global=w,
+                               with_splats=with_splats, halo=halo,
+                               col_halo=col_halo, align=align)
+
+    def gy_idx(i, j=0):
+        return (window_start(i, rows, halo, h, align), 0)
+
+    def gx_idx(i, j=0):
+        cs = window_start(j, cols, col_halo, w, LANE) if col_halo else 0
+        return (0, cs)
+
+    out_v_idx = (lambda i: (0, i, 0)) if not col_halo else \
+        (lambda i, j: (0, i, j))
+    out_d_idx = (lambda i: (i, 0)) if not col_halo else (lambda i, j: (i, j))
     out_vel, out_div = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # true-wall bounds (4,)
-            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(w)),
-                         idx, memory_space=pltpu.VMEM),
-            # gy windowed like the velocity rows (same index map geometry)
+            pl.BlockSpec((_Element(2, (0, 0)), _Element(win), _Element(cw)),
+                         idx(1), memory_space=pltpu.VMEM),
+            # gy windowed like the velocity rows; gx windowed on columns
             pl.BlockSpec((_Element(win), _Element(splat_gy.shape[1])),
-                         make_window_index_map(rows_per_block, halo, h,
-                                               align=align),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # gx (S, W) whole
+                         gy_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_Element(splat_gx.shape[0]), _Element(cw)),
+                         gx_idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # amt (S, 2) whole
         ],
         out_specs=(
-            pl.BlockSpec((2, rows_per_block, w), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_block, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, rows, cols), out_v_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, cols), out_d_idx, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((2, h, w), velocity.dtype),
