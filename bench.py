@@ -205,6 +205,14 @@ def main() -> None:
         "unit": "steps/sec" if args.config != 2 else "frames/sec",
         "vs_baseline": round(value / 60.0, 2),
     }
+    if args.sharded and args.config != 2:
+        # Static overhead decomposition (VERDICT: make a future real-slice
+        # run predictable): per-phase overcompute + collective send bytes.
+        from tpufluid.parallel.mesh import make_mesh as _mm
+        from tpufluid.parallel.sharded_step import overhead_report
+
+        m = _mm()
+        out["sharded_overhead"] = overhead_report(cfg, m.devices.shape)
     if args.config != 2:
         # Roofline-utilization fields: the modeled algorithmic HBM floor per
         # step vs this device's measured streaming bandwidth. Utilization

@@ -83,6 +83,16 @@ def _round_mult(x: float, m: int) -> int:
     return max(m, -(-int(math.ceil(x)) // m) * m)
 
 
+def _jacobi_ghost(h_loc: int, w_pad: int, itemsize: int) -> int:
+    """Mirror-ghost rows for the Jacobi exchange. Fixed at _G_JACOBI=32:
+    an adaptive 32-vs-64 chooser (modeled kernel-tile overcompute) picked
+    64 at 16K block heights and hit Mosaic's scoped-VMEM ceiling INSIDE the
+    scan-inside-shard_map program (the identical window compiles
+    standalone — the scan context shrinks scoped headroom; out/jobs/b16).
+    32 is exact (> 20 sweeps) and proven at every measured geometry."""
+    return _G_JACOBI
+
+
 def dye_halo_width(config: FluidConfig) -> int:
     """Ghost rows for dye advection: the sim-grid displacement bound scaled
     by the dye/sim resolution ratio, plus the bilinear corner."""
@@ -159,6 +169,59 @@ def _sample_2d(tex, row_coords, col_coords):
     return a + (b - a) * fy
 
 
+def overhead_report(config: FluidConfig, mesh_shape) -> dict:
+    """Static decomposition of the sharded step's per-device overhead, so a
+    real-slice run is predictable from the 1-device-mesh measurements
+    (everything here is geometry — no device needed).
+
+    Per phase: ghost rows/cols, overcompute fraction (padded block area /
+    true block area - 1), and the bytes each device SENDS over the mesh per
+    step for that phase's halo exchange (rows + columns; multi-hop
+    exchanges forward whole strips, counted once per hop)."""
+    ny, nx = mesh_shape
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    B = jnp.dtype(config.dtype).itemsize
+    h, w = sh // ny, sw // nx
+    hd, wd = dh // ny, dw // nx
+    gc = 0 if nx == 1 else _GC
+    gj = _jacobi_ghost(h, _round_mult(w + 2 * gc, 128), B)
+    gd = dye_halo_width(config)
+    gdc = 0 if nx == 1 else dye_halo_width_cols(config)
+    same_grid = (sw, sh) == (dw, dh)
+    n_jacobi_ex = -(-config.PRESSURE_ITERATIONS // _JACOBI_SWEEPS_PER_EXCHANGE)
+
+    def phase(name, gr, gcc, bh, bw, ch, repeats=1):
+        # multi-hop exchanges forward whole strips: each hop sends an
+        # up-to-block-height strip both directions per axis
+        hops_r = -(-gr // bh) if ny > 1 else 0
+        hops_c = -(-gcc // bw) if nx > 1 else 0
+        send = 2 * ch * B * (min(gr, bh) * (bw + 2 * gcc) * hops_r
+                             + min(gcc, bw) * bh * hops_c)
+        over = ((bh + 2 * gr) * (bw + 2 * gcc)) / (bh * bw) - 1.0
+        return {"phase": name, "ghost_rows": gr, "ghost_cols": gcc,
+                "overcompute_frac": round(over, 4),
+                "send_bytes_per_step": send * repeats}
+
+    phases = [
+        phase("splat+curl+vort+div", _G_STENCIL, gc, h, w, 2),
+        phase("jacobi", gj, gc, h, w, 2, repeats=max(n_jacobi_ex, 1)),
+        phase("gradient_subtract", _G_STENCIL, gc, h, w, 3),
+        phase("vel_self_advect", _G_VEL, gc, h, w, 2),
+        phase("dye_advect", gd, gdc, hd, wd,
+              3 + (2 if same_grid else 0)),
+    ]
+    if not same_grid:
+        phases.append(phase("vel_resample", vel_resample_pad(config),
+                            vel_resample_pad(config) if nx > 1 else 0,
+                            h, w, 2))
+    total = sum(p["send_bytes_per_step"] for p in phases)
+    return {"mesh": [ny, nx], "phases": phases,
+            "total_send_bytes_per_step": total,
+            "mean_overcompute_frac": round(
+                sum(p["overcompute_frac"] for p in phases) / len(phases), 4)}
+
+
 def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """The shard_map body: halo exchanges around the shared dispatch ops."""
     dt = jnp.minimum(jnp.asarray(dt, jnp.float32), MAX_DT)  # calcDeltaTime clamp
@@ -214,10 +277,12 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     # ---- pressure: warm start + Jacobi, 20 sweeps per mirror-ghost halo ----
     p = state.pressure
     iters = config.PRESSURE_ITERATIONS
+    gj = _jacobi_ghost(h_loc, _round_mult(w_loc + 2 * gc, 128),
+                       jnp.dtype(config.dtype).itemsize)  # == _G_JACOBI
 
     def jacobi_pad(x):
-        x = exch2d(x, _G_JACOBI, gc)
-        x = _mirror_wall_ghosts(x, _G_JACOBI, ridx, h_loc, sh_g, -2)
+        x = exch2d(x, gj, gc)
+        x = _mirror_wall_ghosts(x, gj, ridx, h_loc, sh_g, -2)
         if gc:
             x = _mirror_wall_ghosts(x, gc, cidx, w_loc, sw, -1)
         return x
@@ -231,7 +296,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
             k = min(_JACOBI_SWEEPS_PER_EXCHANGE, iters - done)
             p_pad = K.jacobi_pressure(jacobi_pad(p), div_pad, k,
                                       prescale=config.PRESSURE if done == 0 else 1.0)
-            p = p_pad[_G_JACOBI:-_G_JACOBI, gc:gc + w_loc]
+            p = p_pad[gj:-gj, gc:gc + w_loc]
             done += k
 
     # ---- projection, then velocity self-advection (the same split the
