@@ -1,6 +1,8 @@
 """Benchmark matrix — one BASELINE.md config per run, one JSON line out.
 
-  python bench.py             # headline (config 3): 1024^2, 20 Jacobi, f32
+  python bench.py             # headline (config 3): 1024^2, 20 Jacobi,
+                              #   bfloat16 (the reference stores half-float
+                              #   — the parity-faithful mode)
   python bench.py --config 1  # demo default: 128 sim / 1024-scale dye @ 1280x720
   python bench.py --config 2  # render: 1280x720 full display pipeline fps
   python bench.py --config 3  # headline (the driver's default)
@@ -150,6 +152,11 @@ def main() -> None:
                         "reference stores 16-bit half-float textures, "
                         "script.js:145-153; f32 EXCEEDS reference fidelity); "
                         "float16 is the exact IEEE-half storage mode")
+    p.add_argument("--jacobi-iters", type=int, default=None,
+                   help="override PRESSURE_ITERATIONS (default: each "
+                        "config's 20, matching the reference default and "
+                        "the north-star spec; BASELINE.json's config-3 text "
+                        "also names a 60-iter variant — run it with 60)")
     p.add_argument("--sharded", action="store_true",
                    help="run the shard_map step (2-D mesh over all visible "
                         "devices, halo-exchange collectives, the SAME Pallas "
@@ -160,12 +167,13 @@ def main() -> None:
     from tpufluid import FluidConfig
 
     dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5) else "float32")
+    it = args.jacobi_iters
     tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 
     if args.config == 1:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=3, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, {tag})"
@@ -178,21 +186,21 @@ def main() -> None:
     elif args.config == 3:
         cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=5, chunk=100, sharded=args.sharded)
-        metric = f"sim steps/sec, 1024^2 velocity+dye, 20 Jacobi iters, {tag}, trace replay"
+        metric = f"sim steps/sec, 1024^2 velocity+dye, {it or 20} Jacobi iters, {tag}, trace replay"
     elif args.config == 4:
         cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
                           CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
     else:
         cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
-                          PRESSURE_ITERATIONS=20, MAX_SPLATS=8,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
         value = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"

@@ -238,6 +238,23 @@ def test_checkpoint_carries_tracer_state(tmp_path):
     assert t2.drain_step(1 / 60) == tracer.drain_step(1 / 60)
 
 
+def test_bench_hbm_model():
+    """bench.py's roofline byte model: algorithmic floor, monotone in grid
+    size and dtype width; same-grid steps skip the resample traffic."""
+    import bench
+
+    mk = lambda sim, dye, d: FluidConfig(
+        SIM_RESOLUTION=sim, DYE_RESOLUTION=dye, CANVAS_WIDTH=dye,
+        CANVAS_HEIGHT=dye, DTYPE=d, MAX_SPLATS=4).validate()
+    same = bench.modeled_hbm_bytes_per_step(mk(256, 256, "float32"))
+    cross = bench.modeled_hbm_bytes_per_step(mk(128, 256, "float32"))
+    assert same > 0 and cross > 0
+    # f32 is exactly twice the bf16 bytes at the same geometry
+    assert same == 2 * bench.modeled_hbm_bytes_per_step(mk(256, 256, "bfloat16"))
+    big = bench.modeled_hbm_bytes_per_step(mk(512, 512, "float32"))
+    assert big > same
+
+
 def test_app_cli_smoke(tmp_path):
     from tpufluid.app import main
 

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpufluid.ops.pallas.common import Element as _Element
 
 from tpufluid.ops.pallas.common import (
-    LANE, SUBLANE, dot_f32_3x, row_align, window_start,
+    LANE, dot_f32_3x, row_align, window_start,
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024
