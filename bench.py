@@ -70,7 +70,8 @@ def modeled_hbm_bytes_per_step(config) -> int:
     B = np.dtype(config.DTYPE).itemsize
     sim, dye = sw * sh, dw * dh
     b = (2 + 2 + 1) * sim        # pre-pressure fused pass
-    b += 3 * sim                 # Jacobi (p + div in, p out)
+    # Jacobi (p + div in, p out), once per 20-sweep VMEM-resident chunk
+    b += 3 * sim * max(1, -(-config.PRESSURE_ITERATIONS // 20))
     b += (2 + 1 + 2) * sim       # gradient subtract
     b += 3 * 2 * sim             # velocity self-advect gather
     if (sw, sh) == (dw, dh):

@@ -246,6 +246,29 @@ def test_sharded_step_matches_single_device(steps):
         float(jnp.abs(s1.pressure).max()), 1e-3)
 
 
+def test_sharded_multi_chunk_jacobi_matches_single_device():
+    """PRESSURE_ITERATIONS > 20 crosses the 20-sweeps-per-exchange chunk
+    boundary in the sharded Jacobi loop (multiple mirror-ghost exchanges
+    per step) — must still match the single-device solve."""
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=64, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=4, USE_PALLAS=False,
+                      PRESSURE_ITERATIONS=45).validate()
+    trace = swirl_trace(cfg, 2, seed=5)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    mesh = make_mesh()
+    sharded = make_sharded_step(cfg, mesh)
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(2):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    for f in ("velocity", "dye", "pressure"):
+        x, y = jnp.asarray(getattr(s1, f)), jnp.asarray(getattr(s8, f))
+        scale = max(float(jnp.abs(x).max()), 1e-3)
+        assert float(jnp.abs(x - y).max()) < 2e-4 * scale, f
+
+
 def test_overhead_report_structure():
     """Static overhead decomposition (per-phase overcompute + collective
     bytes) — the predictability artifact for a future real-slice run."""
