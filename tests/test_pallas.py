@@ -380,6 +380,42 @@ def test_advect_hbm_bf16_matches_oracle(dtype16, rng):
     assert float(jnp.abs(got.astype(jnp.float32) - want).max()) < 0.02 * scale
 
 
+def test_advect_hbm_mixed_reach_tiles(rng):
+    """One field containing BOTH tile kinds the occupancy guard
+    distinguishes: gentle-swirl tiles (guard skips the outer gather
+    groups) and tiles with opposite near-clamp velocities whose reach
+    spans >2 lane groups (guard must fire). Added while measuring the
+    dynamic-base rework (round 5, rejected — see docs/BENCH.md); pins the
+    guard's correctness on exactly the geometry that distinguishes the
+    variants."""
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.advect import advect
+    from tpufluid.ops.sampling import resample_bilinear
+
+    hv, wv = 16, 128
+    H, W = 64, 512  # 128-col windows, span>1: dyn_base active
+    dt = jnp.float32(1 / 60)
+    # left half: gentle swirl (fast branch); right half: alternating
+    # +/-1000 columns (reach spans ~2*133 lanes > 256: slow branch)
+    u = np.zeros((hv, wv), np.float32)
+    u[:, : wv // 2] = 300.0 * np.sin(np.linspace(0, 3, wv // 2))[None, :]
+    u[:, wv // 2:] = np.where(np.arange(wv // 2) % 2 == 0, 1000.0, -1000.0)
+    v = 200.0 * np.cos(np.linspace(0, 2, hv))[:, None] * np.ones((hv, wv))
+    vel = jnp.asarray(np.stack([u, v]).astype(np.float32))
+    dye = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
+    vel_r = resample_bilinear(vel, (H, W))
+    vel_r = jnp.stack([vel_r[0] * (W / wv), vel_r[1] * (H / hv)])
+    disp = 1000 / 60 * W / wv
+    span = pa.group_span_for_displacement(disp)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel_r, dye, dt, 1.0, span=span,
+                                   max_disp_x=disp)
+    want = advect(vel, dye, dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_advect_hbm_matches_oracle(rng):
     """HBM-resident data-bounded-window advection == oracle (same-grid and
     cross-resolution with column tiling)."""
