@@ -74,6 +74,40 @@ def test_stencil_column_tiled_matches_oracle(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_stencil_fused_splat_bf16_rounds_to_storage(rng):
+    """The fused velocity splat rounds to 16-bit STORAGE before the
+    curl/confinement chain — matching the jnp fallback and the reference's
+    half-float splat texture (script.js:1443-1449). The f32-kept bump
+    diverged ~2% p999 through the confinement amplifier at 8192^2
+    (out/jobs/b27)."""
+    import tpufluid.ops.pallas.stencil as ps
+
+    h, w = 96, 256
+    bf = jnp.bfloat16
+    vel = jnp.asarray((rng.standard_normal((2, h, w)) * 200)).astype(bf)
+    dt = jnp.float32(1 / 60)
+    S = 4
+    gy = jnp.asarray(rng.random((h, S)).astype(np.float32))
+    gx = jnp.asarray(rng.random((S, w)).astype(np.float32))
+    amt = jnp.asarray((rng.standard_normal((S, 2)) * 400).astype(np.float32))
+    with _interp(ps):
+        got_v, got_d = ps.curl_vorticity_divergence(vel, 30.0, dt, gy, gx, amt)
+    bumped = (vel.astype(jnp.float32)
+              + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)).astype(bf)
+    bf32 = bumped.astype(jnp.float32)
+    c = stencil.curl(bf32)
+    want_v = stencil.vorticity_confinement(bf32, c, 30.0, dt)
+    want_d = stencil.divergence(want_v)
+    scale = float(jnp.abs(want_v).max())
+    # bump rounding matched: the dot_f32_3x vs einsum ~1e-6 difference can
+    # still flip ONE bf16 rounding boundary (one ULP = 2^-8 of the value);
+    # bound at 2 ULPs of scale (vs ~2e-2 p999 when the kernel kept the
+    # bump at f32)
+    tol = 2 * scale / 256.0
+    assert float(jnp.abs(got_v.astype(jnp.float32) - want_v).max()) < tol
+    assert float(jnp.abs(got_d.astype(jnp.float32) - want_d).max()) < tol
+
+
 def test_jacobi_column_tiled_matches_oracle(rng):
     """Grids too wide for full-width row blocks take 2-D (row x col)
     windows with 128-lane halos; must still equal the oracle exactly,

@@ -41,6 +41,17 @@ from tpufluid.ops.pallas.common import Element as _Element
 from tpufluid.ops.pallas.common import LANE, row_align, window_start
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Column-tiled windows carry extra live f32 temps (column iota, the output
+# column selects) the byte model undercounts, and Mosaic's 16MB scoped-vmem
+# ceiling shrinks further inside scan-inside-shard_map programs: 12288^2
+# bf16 picked a (256,1536) jacobi tile that compiled to 16.73M scoped and
+# OOM'd (out/jobs/b33); 442K-element windows OOM'd in scan contexts
+# (out/jobs/b16) while 410K squeaked by. Worst observed actual/model ratio
+# is 2.4x, so the column-candidate budget is ~6.6MB: it keeps 16384^2's
+# (256,1024) jacobi tile (model 6.55M — empirically compiles and runs in
+# the jit-scan bench, out/jobs/b12-b14) while rejecting the 7.3M+ tiles
+# that OOM'd; everything else stays well under the 16MB ceiling.
+_VMEM_BUDGET_COL = int(6.6 * 1024 * 1024)
 _COL_HALO = LANE  # lane windows are 128-aligned; 128 > 20-sweep staleness
 
 
@@ -56,16 +67,16 @@ def _pick_tile(h: int, w: int, halo: int,
     align = row_align(itemsize)
     bytes_per = 4 * itemsize + 8  # p+div loads (it) + f32 p + roll temp
 
-    def best_rows(cw: int) -> int:
+    def best_rows(cw: int, budget: int) -> int:
         best = 0
         for r in range(align, h + 1, align):
             if h % r or r + 2 * halo > h:
                 continue
-            if bytes_per * (r + 2 * halo) * cw <= _VMEM_BUDGET:
+            if bytes_per * (r + 2 * halo) * cw <= budget:
                 best = r
         return best
 
-    r = best_rows(w)
+    r = best_rows(w, _VMEM_BUDGET)
     if r:
         return r, w
     # Column windows: prefer the widest cols whose window fits with a
@@ -74,7 +85,7 @@ def _pick_tile(h: int, w: int, halo: int,
     cols = (w // LANE // 2) * LANE
     while cols >= LANE:
         if w % cols == 0 and cols + 2 * _COL_HALO <= w:
-            r = best_rows(cols + 2 * _COL_HALO)
+            r = best_rows(cols + 2 * _COL_HALO, _VMEM_BUDGET_COL)
             if r:
                 over = ((r + 2 * halo) / r) * ((cols + 2 * _COL_HALO) / cols)
                 if best is None or over < best[0]:

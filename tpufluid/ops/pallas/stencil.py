@@ -34,6 +34,17 @@ from tpufluid.ops.pallas.common import (
 )
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Column-tiled windows carry extra live f32 temps (column iota, the output
+# column selects) the byte model undercounts, and Mosaic's 16MB scoped-vmem
+# ceiling shrinks further inside scan-inside-shard_map programs: 12288^2
+# bf16 picked a (256,1536) jacobi tile that compiled to 16.73M scoped and
+# OOM'd (out/jobs/b33); 442K-element windows OOM'd in scan contexts
+# (out/jobs/b16) while 410K squeaked by. Worst observed actual/model ratio
+# is 2.4x, so the column-candidate budget is ~6.6MB: it keeps 16384^2's
+# (256,1024) jacobi tile (model 6.55M — empirically compiles and runs in
+# the jit-scan bench, out/jobs/b12-b14) while rejecting the 7.3M+ tiles
+# that OOM'd; everything else stays well under the 16MB ceiling.
+_VMEM_BUDGET_COL = int(6.6 * 1024 * 1024)
 _COL_HALO = LANE  # lane windows are 128-aligned; >> 3 layers of staleness
 
 
@@ -48,23 +59,23 @@ def _pick_tile(h: int, w: int, itemsize: int) -> Optional[Tuple[int, int]]:
     halo = _halo(itemsize)
     bytes_per = 8 * itemsize + 16
 
-    def best_rows(cw: int) -> int:
+    def best_rows(cw: int, budget: int) -> int:
         best = 0
         for r in range(align, h + 1, align):
             if h % r or r + 2 * halo > h:
                 continue
-            if bytes_per * (r + 2 * halo) * cw <= _VMEM_BUDGET:
+            if bytes_per * (r + 2 * halo) * cw <= budget:
                 best = r
         return best
 
-    r = best_rows(w)
+    r = best_rows(w, _VMEM_BUDGET)
     if r:
         return r, w
     best = None
     cols = (w // LANE // 2) * LANE
     while cols >= LANE:
         if w % cols == 0 and cols + 2 * _COL_HALO <= w:
-            r = best_rows(cols + 2 * _COL_HALO)
+            r = best_rows(cols + 2 * _COL_HALO, _VMEM_BUDGET_COL)
             if r:
                 over = ((r + 2 * halo) / r) * ((cols + 2 * _COL_HALO) / cols)
                 if best is None or over < best[0]:
@@ -142,6 +153,15 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
         dims = (((1,), (0,)), ((), ()))
         u = u + dot_f32_3x(gy * amt_u, gx, dims)
         v = v + dot_f32_3x(gy * amt_v, gx, dims)
+        if out_vel_ref.dtype != jnp.float32:
+            # Round the bumped velocity to STORAGE before the stencil
+            # chain: the reference's splat pass writes a half-float texture
+            # that curl then reads (script.js:1443-1449), and the jnp
+            # fallback rounds identically. Without this the f32-kept bump
+            # diverges from the oracle through the confinement amplifier
+            # (~2% p999 over the splat region at 8192^2, out/jobs/b27).
+            u = u.astype(out_vel_ref.dtype).astype(jnp.float32)
+            v = v.astype(out_vel_ref.dtype).astype(jnp.float32)
 
     # curl = 0.5 * (R.y - L.y - T.x + B.x)   (script.js:814-833)
     c = 0.5 * (shift_r(v) - shift_l(v) - shift_t(u) + shift_b(u))
