@@ -76,12 +76,15 @@ def _pick_tile(h: int, w: int, halo: int,
                 best = r
         return best
 
+    best = None
     r = best_rows(w, _VMEM_BUDGET)
     if r:
-        return r, w
-    # Column windows: prefer the widest cols whose window fits with a
-    # reasonable row block (overcompute = (win_r/r) * (cw/cols)).
-    best = None
+        # Full-width is NOT automatically best: at 8192-wide bf16 it just
+        # fits with a 16-row block (5x overcompute) while a (128,1024)
+        # column tile is 1.9x — compare modeled overcompute and keep
+        # full-width only when it is within 10% (fewer programs, no column
+        # selects) of the best column candidate (out/jobs/b38).
+        best = (((r + 2 * halo) / r) / 1.1, (r, w))
     cols = (w // LANE // 2) * LANE
     while cols >= LANE:
         if w % cols == 0 and cols + 2 * _COL_HALO <= w:

@@ -68,10 +68,12 @@ def _pick_tile(h: int, w: int, itemsize: int) -> Optional[Tuple[int, int]]:
                 best = r
         return best
 
+    best = None
     r = best_rows(w, _VMEM_BUDGET)
     if r:
-        return r, w
-    best = None
+        # see jacobi._pick_tile: full-width kept only when within 10% of
+        # the best column candidate's modeled overcompute
+        best = (((r + 2 * halo) / r) / 1.1, (r, w))
     cols = (w // LANE // 2) * LANE
     while cols >= LANE:
         if w % cols == 0 and cols + 2 * _COL_HALO <= w:
