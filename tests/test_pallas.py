@@ -681,3 +681,53 @@ def test_backtrace_col_bounds_conservative(rng):
             blk1 = x1[bi * 8:(bi + 1) * 8, bj * 128:(bj + 1) * 128]
             assert int(b0[bi, bj]) <= blk0.min()
             assert int(b1[bi, bj]) >= blk1.max()
+
+
+def test_tiling_invariance_interior_blocks(rng):
+    """Results must not depend on the tile decomposition — pinned at a
+    geometry with row- AND column-INTERIOR blocks (windows containing no
+    true wall), a class the default pickers rarely produce at test sizes
+    and which the rejected interior-fast-path experiment exposed as
+    untested (docs/BENCH.md round-6 rejected log), for f32 and bf16."""
+    import tpufluid.ops.pallas.stencil as ps
+
+    h, w = 256, 768
+    dt = jnp.float32(1 / 60)
+    for dt_ in (jnp.float32, jnp.bfloat16):
+        p = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)
+                        * 5).astype(dt_)
+        d = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32)
+                        ).astype(dt_)
+        halo = pj._halo(p.dtype.itemsize)
+        with _interp(pj):
+            # interior tiling: 4 row blocks x 3 col blocks (middle interior)
+            a = pj._jacobi_chunk(p, d, 20, halo, 64, 256, (h, w))
+            # boundary-only tiling: full-width, 2 row blocks
+            b = pj._jacobi_chunk(p, d, 20, halo, 128, w, (h, w))
+        assert jnp.array_equal(a, b), "jacobi tiling changed results"
+        want = stencil.jacobi_pressure(p.astype(jnp.float32),
+                                       d.astype(jnp.float32), 20)
+        tol = 3e-6 if dt_ == jnp.float32 else 0.15  # bf16: sweeps in f32
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(want), rtol=tol, atol=tol)
+
+        vel = jnp.asarray((rng.standard_normal((2, h, w)) * 200)
+                          ).astype(dt_)
+        outs = []
+        for tile in ((64, 256), (128, w)):
+            with _interp(ps), mock.patch.object(ps, "_pick_tile",
+                                                lambda *a, t=tile: t):
+                gv, gd = ps.curl_vorticity_divergence(vel, 30.0, dt)
+                gg = ps.gradient_subtract(vel, p)
+            outs.append((gv, gd, gg))
+        # gradient subtract: no FMA sites, bit-identical across chains.
+        assert jnp.array_equal(outs[0][2], outs[1][2])
+        # confinement chain: different window shapes are different
+        # compiled programs, and the compiler's FMA contraction at the
+        # chain's mul-add sites (fx*fx + fy*fy, u + fx*scale*dt) is
+        # program-dependent — within ~1 ulp-of-chain, not bitwise.
+        for x, y in zip(outs[0][:2], outs[1][:2]):
+            xf = np.asarray(x, np.float32)
+            yf = np.asarray(y, np.float32)
+            scale = max(np.abs(yf).max(), 1.0)
+            assert np.abs(xf - yf).max() / scale < 1e-6

@@ -37,6 +37,11 @@ def _make_diagnostics(config: FluidConfig):
         div = stencil.divergence(v)
         return {
             "max_speed": jnp.max(jnp.sqrt(v[0] ** 2 + v[1] ** 2)),
+            # Per-component max: the number the advection gather's halo
+            # contract actually bounds (ops/pallas/advect.HALO carries
+            # ~1440 texels/s per AXIS at dt=1/60; the magnitude above can
+            # exceed it by sqrt(2) without any violation).
+            "max_component_speed": jnp.max(jnp.abs(v)),
             "kinetic_energy": jnp.sum(v * v) * 0.5,
             "energy_per_cell": jnp.sum(v * v) * 0.5 / sim_cells,
             "dye_mass": jnp.sum(d),
