@@ -100,6 +100,21 @@ def test_diagnostics_detects_nonfinite():
     assert diagnostics(s, CFG)["nonfinite"] >= 1
 
 
+def test_halo_contract_speed_per_dtype():
+    """Per-axis velocity the advection gather halo covers at dt=1/60:
+    f32 halo 24 -> 1320 texels/s; bf16 halo 32 -> 1800; float16 stages
+    through f32 compute so it carries the f32 halo."""
+    from tpufluid.metrics import halo_contract_speed
+
+    mk = lambda d: FluidConfig(**{**CFG.__dict__, "DTYPE": d})
+    assert halo_contract_speed(mk("float32")) == (24 - 2) * 60.0
+    assert halo_contract_speed(mk("bfloat16")) == (32 - 2) * 60.0
+    assert halo_contract_speed(mk("float16")) == (24 - 2) * 60.0
+    rec = diagnostics(_some_state(), CFG)
+    assert rec["halo_contract_speed"] == halo_contract_speed(CFG)
+    assert rec["max_component_speed"] <= rec["max_speed"] + 1e-6
+
+
 def test_trace_roundtrip(tmp_path):
     tr = swirl_trace(CFG, 30, seed=2)
     p = str(tmp_path / "t.npz")

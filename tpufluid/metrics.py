@@ -22,6 +22,26 @@ from tpufluid.ops import stencil
 from tpufluid.state import FluidState
 
 
+def halo_contract_speed(config) -> float:
+    """Per-AXIS velocity (texels/s) the advection gather halo covers at the
+    dt<=1/60 clamp: displacement beyond it backtraces CLAMP silently
+    (ops/pallas/advect.HALO: the reference's own +/-1000 clamp is applied
+    pre-projection and the gradient kick is never re-clamped, so this is
+    the one observable contract edge — compare max_component_speed)."""
+    from tpufluid.ops.pallas.advect import HALO
+    from tpufluid.ops.pallas.common import round_up, row_align
+
+    # float16 stages each pass through f32 compute (dispatch._f16_staged),
+    # so its kernels carry the 4-byte halo.
+    itemsize = jnp.dtype(config.dtype).itemsize
+    if jnp.dtype(config.dtype) == jnp.float16:
+        itemsize = 4
+    halo = round_up(HALO, row_align(itemsize))
+    # halo_for_displacement: halo >= ceil(disp) + 2 (bilinear corner +
+    # roundoff margin) => covered displacement = halo - 2 texels/step.
+    return (halo - 2) * 60.0
+
+
 @lru_cache(maxsize=None)
 def _make_diagnostics(config: FluidConfig):
     # Grid-size normalizers so records are comparable across resolutions
@@ -30,6 +50,7 @@ def _make_diagnostics(config: FluidConfig):
     dw, dh = config.dye_size
     sim_cells = float(sw * sh)
     dye_cells = float(dw * dh)
+    contract = halo_contract_speed(config)
 
     def diag(state: FluidState):
         v = state.velocity.astype(jnp.float32)
@@ -42,6 +63,7 @@ def _make_diagnostics(config: FluidConfig):
             # ~1440 texels/s per AXIS at dt=1/60; the magnitude above can
             # exceed it by sqrt(2) without any violation).
             "max_component_speed": jnp.max(jnp.abs(v)),
+            "halo_contract_speed": jnp.float32(contract),
             "kinetic_energy": jnp.sum(v * v) * 0.5,
             "energy_per_cell": jnp.sum(v * v) * 0.5 / sim_cells,
             "dye_mass": jnp.sum(d),

@@ -76,6 +76,32 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def edge_shift(p: jnp.ndarray, shift: int, axis: int) -> jnp.ndarray:
+    """Neighbor values via an edge-clamped static shift: out[i] = p[i-shift]
+    with the vacated edge row/col holding the edge value (= self).
+
+    On UNPADDED grids this is the whole wall condition: clamped window starts
+    mean a true wall only ever sits at a window edge, so the per-cell
+    iota/compare/select boundary masks specialize away entirely (no Mosaic
+    select per sweep, no runtime cond — see ops/pallas/jacobi.py).
+
+    Implemented as a static concatenate of the edge slice with the shifted
+    body (Mosaic rejects both scatter and value-level dynamic_update_slice,
+    so a narrow edge overwrite is not expressible). Callers must ACCUMULATE
+    neighbor sums sequentially rather than holding all four shift results
+    live: four window-sized concat temps at once blew the 16M scoped-VMEM
+    ceiling at the bf16 headline Jacobi tile (out/jobs/b48)."""
+    sl = [slice(None)] * p.ndim
+    ed = [slice(None)] * p.ndim
+    if shift == 1:
+        sl[axis] = slice(None, -1)
+        ed[axis] = slice(None, 1)
+        return jnp.concatenate([p[tuple(ed)], p[tuple(sl)]], axis=axis)
+    sl[axis] = slice(1, None)
+    ed[axis] = slice(-1, None)
+    return jnp.concatenate([p[tuple(sl)], p[tuple(ed)]], axis=axis)
+
+
 def dot_f32_3x(a: jnp.ndarray, b: jnp.ndarray, dims) -> jnp.ndarray:
     """f32 matmul at bf16x3 accuracy (~5e-7 relative) from three
     DEFAULT-precision MXU passes.

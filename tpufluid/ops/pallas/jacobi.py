@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 # Element-indexed block dims allow overlapping (haloed) input windows.
 from tpufluid.ops.pallas.common import Element as _Element
 
-from tpufluid.ops.pallas.common import LANE, row_align, window_start
+from tpufluid.ops.pallas.common import LANE, edge_shift, row_align, window_start
 
 _VMEM_BUDGET = 10 * 1024 * 1024
 # Column-tiled windows carry extra live f32 temps (column iota, the output
@@ -60,6 +60,32 @@ def _halo(itemsize: int) -> int:
     return 24 if itemsize == 4 else 32
 
 
+# Mosaic's scoped-VMEM liveness for STANDALONE full-width sweep programs:
+# ~30 B/elem for BOTH the masked and the select-free chains ((576,1024)
+# windows compile to 17.39-17.50M scoped > the 16M ceiling, out/jobs/
+# b48/b51/b54 — yet the IDENTICAL kernel fits when compiled inside the
+# fused step program; Mosaic's stack liveness is context-dependent). The
+# tile picker caps full-width windows to this standalone model so
+# jacobi_pressure compiles at EVERY entry point, not just inside the step
+# (step-level cost of the smaller headline tile: -0.2%, noise —
+# out/jobs/b56). Column-tiled windows keep their own empirical budget
+# (_VMEM_BUDGET_COL, validated in-scan at 16384^2).
+_FULLW_BYTES_PER_ELEM = 30
+_SCOPED_CEILING = 15 * 1024 * 1024  # 1M margin under Mosaic's 16M limit
+
+
+def _exact_fits(true_shape, shape, col_halo: int) -> bool:
+    """Select-free (edge-clamped shift) sweeps engage on unpadded grids at
+    full-width windows: there a true wall only ever sits at a window edge,
+    and the picker's standalone-liveness cap already guarantees the concat
+    chain fits scoped VMEM (its ~30 B/elem matches the masked chain's).
+    Column-tiled windows stay masked — their concat liveness is unmeasured
+    and the masked col path is pinned by the b33/b16 OOM traps."""
+    if tuple(true_shape) != tuple(shape):
+        return False  # padded grids: true walls sit mid-window, masks act
+    return col_halo == 0
+
+
 def _pick_tile(h: int, w: int, halo: int,
                itemsize: int) -> Optional[Tuple[int, int]]:
     """(rows, cols) per block, or None. cols == w means no column windows
@@ -67,17 +93,20 @@ def _pick_tile(h: int, w: int, halo: int,
     align = row_align(itemsize)
     bytes_per = 4 * itemsize + 8  # p+div loads (it) + f32 p + roll temp
 
-    def best_rows(cw: int, budget: int) -> int:
+    def best_rows(cw: int, budget: int, elem_cap: int = 0) -> int:
         best = 0
         for r in range(align, h + 1, align):
             if h % r or r + 2 * halo > h:
+                continue
+            if elem_cap and (r + 2 * halo) * cw > elem_cap:
                 continue
             if bytes_per * (r + 2 * halo) * cw <= budget:
                 best = r
         return best
 
     best = None
-    r = best_rows(w, _VMEM_BUDGET)
+    r = best_rows(w, _VMEM_BUDGET,
+                  elem_cap=_SCOPED_CEILING // _FULLW_BYTES_PER_ELEM)
     if r:
         # Full-width is NOT automatically best: at 8192-wide bf16 it just
         # fits with a 16-row block (5x overcompute) while a (128,1024)
@@ -110,7 +139,7 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
                          col_halo: int, rows_per_block: int,
                          cols_per_block: int, h_global: int, w_global: int,
                          h_true: int, w_true: int, align: int,
-                         prescale: float):
+                         prescale: float, exact: bool):
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
     blk_w = p_ref.shape[1]
@@ -121,24 +150,46 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
     else:
         cstart = 0
 
-    rows = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0) + start
-    cols = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1) + cstart
-    first_row = rows == 0
-    last_row = rows == h_true - 1
-    first_col = cols == 0
-    last_col = cols == w_true - 1
-
     div = d_ref[:].astype(jnp.float32)
     # prescale fuses the reference's warm start (clearShader: p *= PRESSURE,
     # script.js:1253-1257) into the first sweep's load — no extra HBM pass.
     p = p_ref[:].astype(jnp.float32) * prescale
-    for _ in range(sweeps):
-        # pltpu.roll needs non-negative shift: roll by N-1 == shift -1.
-        left = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
-        right = jnp.where(last_col, p, pltpu.roll(p, blk_w - 1, axis=1))
-        below = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
-        above = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
-        p = (left + right + below + above - div) * 0.25
+    if exact:
+        # Unpadded grids (true extents == array extents): window starts are
+        # CLAMPED, so a true wall can only ever sit at a window EDGE — the
+        # neighbor-of-self wall condition IS edge clamping, and the whole
+        # program specializes statically: no iotas, no masks, no per-sweep
+        # selects (the round-6 runtime-cond experiments all lost,
+        # docs/BENCH.md rejected log items 4-5; this removes the selects at
+        # compile time instead). Window-edge rows/cols of wall-free windows
+        # get clamp garbage instead of the masked path's roll-wrap garbage —
+        # both sit outside every central cell's dependency cone (the
+        # wrongness front moves inward one cell per sweep and sweeps <=
+        # halo-1 < halo), so central outputs are BIT-identical to the
+        # masked path's (device-verified, out/jobs/b48).
+        for _ in range(sweeps):
+            # Sequential accumulation (not four live shift temps): keeps
+            # peak scoped VMEM at ~2 window temps — the sum order matches
+            # the masked branch's left-associative (((L+R)+B)+A) exactly.
+            acc = edge_shift(p, 1, axis=1)
+            acc = acc + edge_shift(p, -1, axis=1)
+            acc = acc + edge_shift(p, 1, axis=0)
+            acc = acc + edge_shift(p, -1, axis=0)
+            p = (acc - div) * 0.25
+    else:
+        rows = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0) + start
+        cols = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1) + cstart
+        first_row = rows == 0
+        last_row = rows == h_true - 1
+        first_col = cols == 0
+        last_col = cols == w_true - 1
+        for _ in range(sweeps):
+            # pltpu.roll needs non-negative shift: roll by N-1 == shift -1.
+            left = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
+            right = jnp.where(last_col, p, pltpu.roll(p, blk_w - 1, axis=1))
+            below = jnp.where(first_row, p, pltpu.roll(p, 1, axis=0))
+            above = jnp.where(last_row, p, pltpu.roll(p, blk_h - 1, axis=0))
+            p = (left + right + below + above - div) * 0.25
 
     # Central rows/cols sit at dynamic (aligned) offsets inside the window.
     off = i * rows_per_block - start
@@ -167,6 +218,7 @@ def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
         rows_per_block=rows_per_block, cols_per_block=cols_per_block,
         h_global=h, w_global=w, h_true=true_shape[0], w_true=true_shape[1],
         align=align, prescale=float(prescale),
+        exact=_exact_fits(true_shape, (h, w), col_halo),
     )
     win = rows_per_block + 2 * halo
     cw = cols_per_block + 2 * col_halo
