@@ -117,7 +117,7 @@ def _bench_steps(config, chunks: int, chunk: int, sharded: bool = False):
     checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
     elapsed = time.perf_counter() - t0
     assert np.isfinite(checksum), "velocity went non-finite during bench"
-    return chunks * chunk / elapsed
+    return chunks * chunk / elapsed, state
 
 
 def _bench_render(config, frames: int = 200):
@@ -176,7 +176,7 @@ def main() -> None:
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=3, chunk=100, sharded=args.sharded)
+        value, state = _bench_steps(cfg, chunks=3, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, {tag})"
     elif args.config == 2:
         cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
@@ -189,21 +189,21 @@ def main() -> None:
                           CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=5, chunk=100, sharded=args.sharded)
+        value, state = _bench_steps(cfg, chunks=5, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, 1024^2 velocity+dye, {it or 20} Jacobi iters, {tag}, trace replay"
     elif args.config == 4:
         cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
                           CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
+        value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
     else:
         cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype).validate()
-        value = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
+        value, state = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"
 
     if args.sharded and args.config != 2:
@@ -236,6 +236,23 @@ def main() -> None:
             "device_bw_gbps": round(bw, 1),
             "hbm_utilization": round(achieved / bw, 3),
         })
+        # Per-kernel evidence table (the step is gather-issue bound, not
+        # HBM bound, so hbm_utilization alone cannot certify "at the
+        # floor"): profiled in-step kernel times, achieved rates vs
+        # reduced-structure reference rates, and the stencil HBM floor
+        # (tpufluid/ops/pallas/floors.py). Headline config only — the
+        # profile + microbench compiles add ~3 min to a fresh process.
+        if not args.sharded and args.config == 3:
+            try:
+                import jax
+
+                if jax.default_backend() == "tpu":
+                    from tpufluid.ops.pallas.floors import floor_report
+
+                    out["floors"] = floor_report(cfg, state, 1.0 / 60.0,
+                                                 bw, value)
+            except Exception as e:  # floors must never sink the headline
+                out["floors_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

@@ -28,6 +28,26 @@ def test_jacobi_matches_oracle(shape, iters, rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-6, atol=2e-6)
 
 
+@pytest.mark.parametrize("shape", [(64, 128), (256, 256)])
+def test_jacobi_exact_equals_masked(shape, rng):
+    """The select-free (edge-clamped shift) sweep path equals the masked
+    chain on unpadded grids — window-edge garbage differs (clamp vs
+    roll-wrap) but sits outside every central cell's dependency cone.
+    Device runs are BIT-equal (out/jobs/b53/b55); XLA:CPU contracts the
+    two graphs' FMAs differently (single 1-ULP stragglers), so this CPU
+    guard pins near-equality."""
+    p = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    d = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    assert pj._exact_fits(shape, shape, 0)  # default path IS exact here
+    with _interp(pj):
+        got_exact = pj.jacobi_pressure(p, d, 20, prescale=0.8)
+        with mock.patch.object(pj, "_exact_fits", lambda *a: False):
+            got_masked = pj.jacobi_pressure(p, d, 20, prescale=0.8)
+    np.testing.assert_allclose(np.asarray(got_exact),
+                               np.asarray(got_masked),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_jacobi_supported_gate():
     assert pj.supported((1024, 1024))
     assert pj.supported((128, 128))
