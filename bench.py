@@ -145,7 +145,8 @@ def _bench_render(config, frames: int = 200):
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--config", type=int, default=3, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--config", type=int, default=3,
+                   choices=[1, 2, 3, 4, 5, 6])
     p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
                    default=None,
                    help="state dtype override: configs 1-2 default to float32, "
@@ -167,7 +168,8 @@ def main() -> None:
 
     from tpufluid import FluidConfig
 
-    dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5) else "float32")
+    dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5, 6)
+                           else "float32")
     it = args.jacobi_iters
     tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 
@@ -198,6 +200,13 @@ def main() -> None:
                           DTYPE=dtype).validate()
         value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
+    elif args.config == 6:
+        cfg = FluidConfig(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
+                          CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
+                          DTYPE=dtype).validate()
+        value, state = _bench_steps(cfg, chunks=2, chunk=20, sharded=args.sharded)
+        metric = f"sim steps/sec, 8192^2 {tag}, 20 Jacobi iters, trace replay"
     else:
         cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,

@@ -43,6 +43,38 @@ def test_step_pallas_matches_jnp_on_device(warm_tunnel):
     assert float(jnp.abs(a.dye - b.dye).max()) < 1e-3
 
 
+def test_jacobi_select_free_bit_exact_on_device(warm_tunnel):
+    """The select-free sweep path (unpadded grids) must stay BIT-equal to
+    the masked chain on compiled Mosaic, for a full-width tile and a
+    column-tiled one (out/jobs/b53/b55/b65 pinned this; regression guard).
+    """
+    from unittest import mock
+
+    import tpufluid.ops.pallas.jacobi as pj
+
+    orig = pj._jacobi_chunk_kernel
+
+    def masked(*a, **k):
+        k["exact"] = False
+        return orig(*a, **k)
+
+    key = jax.random.PRNGKey(5)
+    for n, dtp in ((1024, jnp.bfloat16), (4096, jnp.bfloat16),
+                   (1024, jnp.float32)):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, n))
+        p = (5.0 * jax.random.normal(k1, (n, n))).astype(dtp)
+        d = jax.random.normal(k2, (n, n)).astype(dtp)
+        got = np.asarray(jax.jit(
+            lambda p, d: pj.jacobi_pressure(p, d, 20, prescale=0.8))(p, d),
+            np.float32)
+        with mock.patch.object(pj, "_jacobi_chunk_kernel", masked):
+            want = np.asarray(jax.jit(
+                lambda p, d: pj.jacobi_pressure(p, d, 20,
+                                                prescale=0.8))(p, d),
+                np.float32)
+        assert (got != want).sum() == 0, (n, dtp)
+
+
 def test_ragged_demo_config_on_device(warm_tunnel):
     from tpufluid import FluidConfig, init_state
     from tpufluid.step import fluid_step

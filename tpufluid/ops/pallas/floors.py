@@ -12,9 +12,13 @@ to the headline JSON as ``floors``) with three kinds of measurement:
    out/jobs/b02 vs b04; standalone scanned re-dispatch overstates kernel
    cost ~1.4x, b57.) ``step_coverage`` ~1 shows the step IS these kernels.
 
-2. **True floors where one exists**: the fused pre-pressure stencil is
-   HBM-streaming (5 planes) — its floor is modeled bytes over the measured
-   device bandwidth, and measured utilization sits ~1 (b59).
+2. **HBM companion numbers**: the fused pre-pressure stencil is pure
+   HBM streaming (5 planes) — its modeled stream time is reported next to
+   its occupancy. NOTE the xplane durations measure compute OCCUPANCY;
+   each kernel's DMA traffic overlaps its neighbors' compute, so a
+   streaming kernel's occupancy legitimately sits below its own stream
+   time (f32: 41us occupancy vs 114us of traffic riding under the
+   gathers).
 
 3. **Reduced-structure reference rates** for the bound kernels: Pallas
    microbenches issuing strictly less work per unit than the real kernels
@@ -371,13 +375,17 @@ def floor_report(config, state, dt, device_bw_gbps: float,
         "advantage": round(achieved * 1e9 / sweep_rate, 2)
         if achieved else None,
     }
-    # Fused pre-pressure stencil at the HBM roofline (read vel 2 + write
-    # vel 2 + div 1 planes) — the one kernel with a true independent floor.
+    # Fused pre-pressure stencil: pure HBM streaming (read vel 2 + write
+    # vel 2 + div 1 planes). Its HBM time is reported as a companion, not
+    # a bound on the occupancy number: the xplane duration measures
+    # compute occupancy while the kernel's DMA traffic overlaps the
+    # NEIGHBORING kernels' compute, so measured occupancy can sit below
+    # the modeled stream time (f32 measures 41us vs 114us of traffic —
+    # i.e. ~2/3 of its HBM streaming rides under the gathers for free).
     m = measured.get("stencil", 0.0)
     f = 5 * sim * itemsize / (device_bw_gbps * 1e3)
-    out["stencil"] = {"measured_us": round(m, 1),
-                      "hbm_floor_us": round(f, 1),
-                      "utilization": round(f / m, 3) if m else None}
+    out["stencil"] = {"occupancy_us": round(m, 1),
+                      "hbm_stream_us": round(f, 1)}
 
     step_us = 1e6 / measured_steps_per_s
     tot_m = sum(measured.values())
