@@ -39,8 +39,10 @@ def test_gather_rows_zero_velocity_bf16():
     """Hand count at the headline geometry: zero velocity => every tile's
     backtrace row-offset range is {0}, so trips = ceil(2/unroll) = 1 per
     tile. Tiles are (64, 128) => 128 tiles; bf16 velocity packs 2 channels
-    into 1 uint32 plane, dye packs 3 into 2; the tight lane plan spans 2
-    groups; each trip serves unroll=4 offsets x 2 corners x 64 rows."""
+    into 1 uint32 plane (2 corner gathers), dye packs ch0+ch1 into one
+    plane (2 corner gathers) and column-pairs ch2 (ONE gather serves both
+    corners) => 3 gathers/offset; the tight lane plan spans 2 groups; each
+    trip serves unroll=4 offsets x 64 rows."""
     cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
                       CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
                       DTYPE="bfloat16").validate()
@@ -52,8 +54,8 @@ def test_gather_rows_zero_velocity_bf16():
     n_tiles = (1024 // 64) * (1024 // 128)
     assert vel_planes == 1 and dye_planes == 2
     assert vel_trips == n_tiles and dye_trips == n_tiles
-    assert vel_rows == n_tiles * 1 * 4 * 2 * 2 * 1 * 64
-    assert dye_rows == n_tiles * 1 * 4 * 2 * 2 * 2 * 64
+    assert vel_rows == n_tiles * 1 * 4 * 2 * 2 * 64
+    assert dye_rows == n_tiles * 1 * 4 * 2 * 3 * 64
 
 
 def test_gather_rows_scale_with_velocity_range():

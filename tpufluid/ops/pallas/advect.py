@@ -228,6 +228,18 @@ def _pack_bf16(lo, hi):
     return b_lo | b_hi
 
 
+def _pack_bf16_xpair(v):
+    """Pack the COLUMN pair (v[x], v[x+1]) into one uint32 plane (v[x] in
+    bits 0..15); the last lane pairs with itself — exactly the reference's
+    CLAMP_TO_EDGE x1 = min(x0+1, edge) corner. One gather of this plane
+    yields BOTH bilinear x-corners of the channel: the odd channel of a
+    packed source would otherwise waste its plane's upper half on zeros
+    AND pay a second (x1) gather per trip."""
+    b = lax.bitcast_convert_type(v.astype(jnp.float32), jnp.uint32) >> 16
+    nxt = jnp.concatenate([b[..., 1:], b[..., -1:]], axis=-1)
+    return b | (nxt << 16)
+
+
 def _unpack_bf16(planes, channels: int):
     """(CP, ...) uint32 -> (channels, ...) f32 (inverse of _pack_bf16)."""
     outs = []
@@ -316,9 +328,13 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
         raw = src_ref[:]
         if with_splats:
             raw = bumped(raw, 0, win).astype(jnp.bfloat16)
+        # Full channel pairs share a plane (both channels at one corner per
+        # gather); an odd trailing channel packs its own COLUMN pair
+        # instead (both corners in one gather — it skips the x1 gather
+        # entirely, cutting the 3-channel dye's gathers 4 -> 3 per trip).
         pk = jnp.stack([
-            _pack_bf16(raw[2 * k],
-                       raw[2 * k + 1] if 2 * k + 1 < channels else None)
+            _pack_bf16(raw[2 * k], raw[2 * k + 1])
+            if 2 * k + 1 < channels else _pack_bf16_xpair(raw[2 * k])
             for k in range(cp)])
         if col_halo:
             pk = pltpu.roll(pk, jnp.mod(lane_off - coff, cbw), axis=2)
@@ -402,12 +418,12 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
     n_groups_out = cb // LANE
     n_groups_win = cbw // LANE
 
-    def gather_at(idx, rows_op):
+    def gather_at(idx, rows_op, n_planes):
         out = []
         for g_out in range(n_groups_out):
             sl = slice(g_out * LANE, (g_out + 1) * LANE)
             idx_g = idx[:, sl]
-            acc = jnp.zeros((rows_op.shape[0], r, LANE), dtype=rows_op.dtype)
+            acc = jnp.zeros((n_planes, r, LANE), dtype=rows_op.dtype)
             for s in range(s_range[0], s_range[1] + 1):
                 gg = g_out + s
                 if gg < 0 or gg >= n_groups_win:
@@ -417,7 +433,7 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
                 local_c = jnp.clip(local, 0, LANE - 1)
                 op = rows_op[:, :, gg * LANE:(gg + 1) * LANE]
                 vals = [jnp.take_along_axis(op[ch], local_c, axis=1)
-                        for ch in range(rows_op.shape[0])]
+                        for ch in range(n_planes)]
                 v = jnp.stack(vals)
                 acc = acc + jnp.where(valid[None], v, jnp.zeros((), v.dtype))
             out.append(acc)
@@ -427,11 +443,31 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
     nrk = r + unroll * align
 
     def sub_body(oy, rows_op, acc):
-        g0 = gather_at(x0i, rows_op)
-        g1 = gather_at(x1i, rows_op)
+        cp = rows_op.shape[0]
+        odd = packed and c % 2 == 1  # trailing channel is column-paired
+        g0 = gather_at(x0i, rows_op, cp)
+        g1 = gather_at(x1i, rows_op, cp - 1 if odd else cp)
         if packed:
-            g0 = _unpack_bf16(g0, c)
-            g1 = _unpack_bf16(g1, c)
+            ch0, ch1 = [], []
+            hi_mask = jnp.uint32(0xFFFF0000)
+            for k in range(cp):
+                lo0 = lax.bitcast_convert_type(g0[k] << 16, jnp.float32)
+                hi0 = lax.bitcast_convert_type(g0[k] & hi_mask, jnp.float32)
+                if odd and k == cp - 1:
+                    # x-pair plane: lo = ch[x0], hi = ch[x0+1] == x1 corner
+                    # (edge-clamped at packing == min(x0+1, edge)).
+                    ch0.append(lo0)
+                    ch1.append(hi0)
+                else:
+                    ch0.append(lo0)
+                    ch1.append(lax.bitcast_convert_type(g1[k] << 16,
+                                                        jnp.float32))
+                    if 2 * k + 1 < c:
+                        ch0.append(hi0)
+                        ch1.append(lax.bitcast_convert_type(
+                            g1[k] & hi_mask, jnp.float32))
+            g0 = jnp.stack(ch0)
+            g1 = jnp.stack(ch1)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
         wgt = (jnp.where(y0_rel == oy, 1.0 - fy, 0.0)
                + jnp.where(y0_rel == oy - 1, fy, 0.0))

@@ -209,10 +209,18 @@ def _advect_geometry(h: int, w: int, c: int, itemsize: int):
     cbw = cols + 2 * col_halo
     _, s_lo, s_hi = _adv.lane_window_plan(1000.0 / 60.0, 1, cols, cbw)
     packed = itemsize == 2 and c > 1
-    planes = (c + 1) // 2 if packed else c
+    if packed:
+        # Full channel pairs gather twice (x0 + x1 corners); an odd
+        # trailing channel is column-paired — ONE gather serves both
+        # corners (advect._pack_bf16_xpair).
+        taas = 2 * (c // 2) + c % 2
+        planes = (c + 1) // 2
+    else:
+        taas = 2 * c
+        planes = c
     win = rows + 2 * halo
     unroll = _adv._trip_unroll(win, rows, align)
-    return rows, cols, unroll, s_hi - s_lo + 1, planes
+    return rows, cols, unroll, s_hi - s_lo + 1, taas, planes
 
 
 def _state_itemsize(config) -> int:
@@ -237,7 +245,7 @@ def gather_rows_per_step(config, velocity, dt) -> list:
         geo = _advect_geometry(h, w, c, itemsize)
         if geo is None:
             continue
-        rows, cols, unroll, n_s, planes = geo
+        rows, cols, unroll, n_s, taas, planes = geo
         v = vel_v
         if v.shape != (h, w):
             continue  # cross-resolution dye (demo) uses the HBM kernel
@@ -253,7 +261,7 @@ def gather_rows_per_step(config, velocity, dt) -> list:
         oy_max = st.max(axis=(1, 3))
         trips = int(jnp.sum((oy_max + 2 - oy_min + unroll - 1) // unroll))
         col_halo = LANE if cols != w else 0
-        out.append((trips * unroll * 2 * n_s * planes * rows, trips,
+        out.append((trips * unroll * n_s * taas * rows, trips,
                     planes, unroll, rows + unroll * align,
                     cols + 2 * col_halo))
     return out
