@@ -240,15 +240,28 @@ def _pack_bf16_xpair(v):
     return b | (nxt << 16)
 
 
-def _unpack_bf16(planes, channels: int):
-    """(CP, ...) uint32 -> (channels, ...) f32 (inverse of _pack_bf16)."""
-    outs = []
-    for k in range(planes.shape[0]):
-        outs.append(lax.bitcast_convert_type(planes[k] << 16, jnp.float32))
-        if 2 * k + 1 < channels:
-            outs.append(lax.bitcast_convert_type(
-                planes[k] & jnp.uint32(0xFFFF0000), jnp.float32))
-    return jnp.stack(outs)
+def _corners_from_packed(g0, g1, c: int):
+    """(x0, x1) f32 channel stacks from packed gather results. Full planes
+    carry TWO CHANNELS at one corner (g0/g1 are the x0/x1 corner gathers);
+    an odd trailing plane is COLUMN-paired (_pack_bf16_xpair) — its x1
+    corner is its own upper half, so g1 omits that plane entirely."""
+    cp = (c + 1) // 2
+    odd = c % 2 == 1
+    hi_mask = jnp.uint32(0xFFFF0000)
+    ch0, ch1 = [], []
+    for k in range(cp):
+        lo0 = lax.bitcast_convert_type(g0[k] << 16, jnp.float32)
+        hi0 = lax.bitcast_convert_type(g0[k] & hi_mask, jnp.float32)
+        if odd and k == cp - 1:
+            ch0.append(lo0)
+            ch1.append(hi0)
+        else:
+            ch0.append(lo0)
+            ch1.append(lax.bitcast_convert_type(g1[k] << 16, jnp.float32))
+            ch0.append(hi0)
+            ch1.append(lax.bitcast_convert_type(g1[k] & hi_mask,
+                                                jnp.float32))
+    return jnp.stack(ch0), jnp.stack(ch1)
 
 
 def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
@@ -448,26 +461,7 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
         g0 = gather_at(x0i, rows_op, cp)
         g1 = gather_at(x1i, rows_op, cp - 1 if odd else cp)
         if packed:
-            ch0, ch1 = [], []
-            hi_mask = jnp.uint32(0xFFFF0000)
-            for k in range(cp):
-                lo0 = lax.bitcast_convert_type(g0[k] << 16, jnp.float32)
-                hi0 = lax.bitcast_convert_type(g0[k] & hi_mask, jnp.float32)
-                if odd and k == cp - 1:
-                    # x-pair plane: lo = ch[x0], hi = ch[x0+1] == x1 corner
-                    # (edge-clamped at packing == min(x0+1, edge)).
-                    ch0.append(lo0)
-                    ch1.append(hi0)
-                else:
-                    ch0.append(lo0)
-                    ch1.append(lax.bitcast_convert_type(g1[k] << 16,
-                                                        jnp.float32))
-                    if 2 * k + 1 < c:
-                        ch0.append(hi0)
-                        ch1.append(lax.bitcast_convert_type(
-                            g1[k] & hi_mask, jnp.float32))
-            g0 = jnp.stack(ch0)
-            g1 = jnp.stack(ch1)
+            g0, g1 = _corners_from_packed(g0, g1, c)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
         wgt = (jnp.where(y0_rel == oy, 1.0 - fy, 0.0)
                + jnp.where(y0_rel == oy - 1, fy, 0.0))

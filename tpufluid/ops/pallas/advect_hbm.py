@@ -37,8 +37,10 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpufluid.ops.pallas.advect import (_clamped_start, _pack_bf16,
-                                        _unpack_bf16, backtrace_col_bounds,
+from tpufluid.ops.pallas.advect import (_clamped_start,
+                                        _corners_from_packed, _pack_bf16,
+                                        _pack_bf16_xpair,
+                                        backtrace_col_bounds,
                                         backtrace_row_bounds,
                                         lane_window_plan)
 from tpufluid.ops.pallas.common import Element as _Element, ANY_SPACE
@@ -233,12 +235,12 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
         s_inner = tuple(s_all)
         s_outer = []
 
-    def gather_groups(idx, rows_op, subset):
+    def gather_groups(idx, rows_op, subset, n_planes):
         out = []
         for g_out in range(n_groups_out):
             sl = slice(g_out * LANE, (g_out + 1) * LANE)
             idx_g = idx[:, sl]
-            acc = jnp.zeros((rows_op.shape[0], idx.shape[0], LANE),
+            acc = jnp.zeros((n_planes, idx.shape[0], LANE),
                             dtype=rows_op.dtype)
             for s in subset:
                 gg = g_out + s
@@ -249,7 +251,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
                 local_c = jnp.clip(local, 0, LANE - 1)
                 op = rows_op[:, :, gg * LANE:(gg + 1) * LANE]
                 vals = [jnp.take_along_axis(op[ch], local_c, axis=1)
-                        for ch in range(rows_op.shape[0])]
+                        for ch in range(n_planes)]
                 v = jnp.stack(vals)
                 acc = acc + jnp.where(valid[None], v, jnp.zeros((), v.dtype))
             out.append(acc)
@@ -267,15 +269,19 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
                       | (lmax_t > inner_hi + (n_groups_out - 1) * LANE))
 
     def gather_pair(idx0, idx1, rows_op):
-        g0 = gather_groups(idx0, rows_op, s_inner)
-        g1 = gather_groups(idx1, rows_op, s_inner)
+        cp = rows_op.shape[0]
+        # Odd trailing channel is column-paired: its single gather carries
+        # both x-corners, so the x1 gather skips that plane entirely.
+        cp1 = cp - 1 if packed and channels % 2 == 1 else cp
+        g0 = gather_groups(idx0, rows_op, s_inner, cp)
+        g1 = gather_groups(idx1, rows_op, s_inner, cp1)
         if not s_outer:
             return g0, g1
 
         def with_outer(pair):
             a, b = pair
-            return (a + gather_groups(idx0, rows_op, s_outer),
-                    b + gather_groups(idx1, rows_op, s_outer))
+            return (a + gather_groups(idx0, rows_op, s_outer, cp),
+                    b + gather_groups(idx1, rows_op, s_outer, cp1))
 
         return lax.cond(need_outer, with_outer, lambda p: p, (g0, g1))
 
@@ -321,8 +327,9 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
                     + full[ch * win2:(ch + 1) * win2]
                     for ch in range(channels)]).astype(jnp.bfloat16)
             pk_ref[:] = jnp.stack([
-                _pack_bf16(raw[2 * kk],
-                           raw[2 * kk + 1] if 2 * kk + 1 < channels else None)
+                _pack_bf16(raw[2 * kk], raw[2 * kk + 1])
+                if 2 * kk + 1 < channels
+                else _pack_bf16_xpair(raw[2 * kk])
                 for kk in range((channels + 1) // 2)])
         elif with_splats:
             # f32 path: bump the WHOLE segment once into the staging scratch
@@ -352,8 +359,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
                 rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
             g0, g1 = gather_pair(x0i, x1i, rows_op)
             if packed:
-                g0 = _unpack_bf16(g0, channels)
-                g1 = _unpack_bf16(g1, channels)
+                g0, g1 = _corners_from_packed(g0, g1, channels)
             gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
             wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
                    + jnp.where(s_rel == oy - 1, fy, 0.0)) * gate
