@@ -562,6 +562,32 @@ def test_advect_tight_plan_matches_oracle(dtype, rng):
                                rtol=0, atol=tol)
 
 
+@pytest.mark.parametrize("u", [1000.0, -1000.0, 150.0])
+def test_advect_xpair_corner_semantics(u, rng):
+    """Sharp guard for the column-paired odd channel (bf16, c=3): uniform
+    velocities put EVERY backtrace either at a true-edge clamp (fx=0, the
+    pair's upper half multiplies zero weight) or at a known fractional
+    offset crossing lane-group boundaries (u=150: dt*u=2.5 lanes, fx=0.5
+    mixing each pair's halves). Values must match the bf16-rounded oracle
+    within ONE bf16 ULP — a wrong corner would show up at ~0.5 scale; no
+    16-bit noise-chain tolerance to hide behind."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 128, 512  # bf16 row halo is 32: H must fit rows + 64
+    dt = jnp.float32(1 / 60)
+    vel = jnp.stack([jnp.full((H, W), u), jnp.zeros((H, W))]
+                    ).astype(jnp.bfloat16)
+    src = jnp.asarray(rng.random((3, H, W))).astype(jnp.bfloat16)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 0.0, max_disp_x=1000 / 60)
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 0.0)
+    want = want.astype(jnp.bfloat16)  # the kernel's output storage rounding
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=2.0 ** -8)
+
+
 def test_advect_hbm_tight_plan_matches_oracle(rng):
     """HBM-segment kernel with the tight gather plan (cross-resolution dye,
     span>1) == oracle."""
