@@ -115,6 +115,37 @@ def test_halo_contract_speed_per_dtype():
     assert rec["max_component_speed"] <= rec["max_speed"] + 1e-6
 
 
+def test_backtrace_speed_is_kick_inclusive():
+    """`backtrace_speed` measures the velocity the NEXT step's gather actually
+    consumes: clamp±1000(v + confinement·dt) − un-halved ∇p (the reference
+    never re-clamps the kick, script.js:892-913). It must equal re-running
+    the jnp pre-advection chain, and on a divergent state it must EXCEED the
+    stored-field proxy max_component_speed (the kick is real)."""
+    from tpufluid.ops import stencil
+
+    s = _some_state()
+    # The kick dominates when a large low-frequency warm-start pressure meets
+    # a small velocity: 20 averaging sweeps barely decay the lowest mode, and
+    # the un-halved (R-L) gradient of 500*sin(2*pi*x/w) far exceeds the ~40
+    # texels/s splat velocity in _some_state.
+    h, w = s.pressure.shape[-2:]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    s.pressure = jnp.broadcast_to(500.0 * jnp.sin(2 * jnp.pi * xx / w),
+                                  (h, w)).astype(s.pressure.dtype)
+    rec = diagnostics(s, CFG)
+
+    v = s.velocity.astype(jnp.float32)
+    vb = stencil.vorticity_confinement(v, stencil.curl(v), CFG.CURL,
+                                       jnp.float32(1.0 / 60.0))
+    pb = stencil.jacobi_pressure(s.pressure.astype(jnp.float32) * CFG.PRESSURE,
+                                 stencil.divergence(vb),
+                                 CFG.PRESSURE_ITERATIONS)
+    vb = stencil.gradient_subtract(vb, pb)
+    expect = float(jnp.max(jnp.abs(vb)))
+    assert abs(rec["backtrace_speed"] - expect) <= 1e-3 * max(expect, 1.0)
+    assert rec["backtrace_speed"] > rec["max_component_speed"]
+
+
 def test_trace_roundtrip(tmp_path):
     tr = swirl_trace(CFG, 30, seed=2)
     p = str(tmp_path / "t.npz")

@@ -143,13 +143,16 @@ def main(argv: Optional[list] = None) -> None:
             rec = logger.log(t + 1, state, config)
             print(f"step {t + 1}: max|v|={rec['max_speed']:.1f} "
                   f"E={rec['kinetic_energy']:.3g} dye={rec['dye_mass']:.3g}")
-            if rec["max_component_speed"] > rec["halo_contract_speed"]:
+            if rec["backtrace_speed"] > rec["halo_contract_speed"]:
                 # Out-of-contract backtraces clamp silently (bounded-sampler
-                # semantics); surface it rather than hide it.
-                print(f"  WARNING: |v| component {rec['max_component_speed']:.0f}"
+                # semantics); surface it rather than hide it. backtrace_speed
+                # is the kick-inclusive quantity the gather actually consumes
+                # (metrics re-runs the pre-advection chain), not the stored-
+                # field proxy max_component_speed.
+                print(f"  WARNING: backtrace speed {rec['backtrace_speed']:.0f}"
                       f" texels/s exceeds the gather-halo contract "
                       f"({rec['halo_contract_speed']:.0f}); backtraces beyond"
-                      " it clamp (docs/BENCH.md displacement contract)")
+                      " it clamp (docs/ARCHITECTURE.md displacement contract)")
         if args.ckpt_every and (t + 1) % args.ckpt_every == 0:
             save_state(os.path.join(args.out, f"ckpt_{t + 1:06d}.npz"),
                        state, config, step=t + 1)

@@ -56,6 +56,21 @@ def _make_diagnostics(config: FluidConfig):
         v = state.velocity.astype(jnp.float32)
         d = state.dye.astype(jnp.float32)
         div = stencil.divergence(v)
+        # TRUE contract quantity: the NEXT step's advection gathers backtrace
+        # with clamp±1000(v + confinement·dt) − ∇̃p, and the un-halved gradient
+        # kick is never re-clamped by the reference (script.js:892-913) — so
+        # max|v| on the stored field only bounds the pre-kick part. Re-run the
+        # pre-advection chain at the dt=1/60 clamp (worst case; splats are
+        # omitted — vorticity re-clamps them to ±1000 before divergence, so
+        # they only enter through the same clamp) and measure the kicked field
+        # the gather will actually consume. See docs/ARCHITECTURE.md
+        # "The displacement contract" for why no a-priori kick bound exists.
+        vb = stencil.vorticity_confinement(v, stencil.curl(v), config.CURL,
+                                           jnp.float32(1.0 / 60.0))
+        pb = stencil.jacobi_pressure(
+            state.pressure.astype(jnp.float32) * config.PRESSURE,
+            stencil.divergence(vb), config.PRESSURE_ITERATIONS)
+        vb = stencil.gradient_subtract(vb, pb)
         return {
             "max_speed": jnp.max(jnp.sqrt(v[0] ** 2 + v[1] ** 2)),
             # Per-component max: the number the advection gather's halo
@@ -63,6 +78,7 @@ def _make_diagnostics(config: FluidConfig):
             # ~1440 texels/s per AXIS at dt=1/60; the magnitude above can
             # exceed it by sqrt(2) without any violation).
             "max_component_speed": jnp.max(jnp.abs(v)),
+            "backtrace_speed": jnp.max(jnp.abs(vb)),
             "halo_contract_speed": jnp.float32(contract),
             "kinetic_energy": jnp.sum(v * v) * 0.5,
             "energy_per_cell": jnp.sum(v * v) * 0.5 / sim_cells,
