@@ -159,6 +159,10 @@ def main() -> None:
                         "config's 20, matching the reference default and "
                         "the north-star spec; BASELINE.json's config-3 text "
                         "also names a 60-iter variant — run it with 60)")
+    p.add_argument("--rgb9e5", action="store_true",
+                   help="bfloat16 configs: pack the 3-channel dye into one "
+                        "uint32 per texel for the gather (shared-exponent "
+                        "RGB9E5, ops/quant.py) — 2 gathers/trip instead of 3")
     p.add_argument("--sharded", action="store_true",
                    help="run the shard_map step (2-D mesh over all visible "
                         "devices, halo-exchange collectives, the SAME Pallas "
@@ -170,51 +174,56 @@ def main() -> None:
 
     dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5, 6)
                            else "float32")
+
+    def mkcfg(**kw):
+        return FluidConfig(DYE_RGB9E5=args.rgb9e5, **kw).validate()
     it = args.jacobi_iters
     tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 
     if args.config == 1:
-        cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+        cfg = mkcfg(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
-                          DTYPE=dtype).validate()
+                          DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=3, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, demo default (128 sim / 1024-scale dye @1280x720, 20 Jacobi, {tag})"
     elif args.config == 2:
-        cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
+        cfg = mkcfg(SIM_RESOLUTION=128, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1280, CANVAS_HEIGHT=720,
-                          MAX_SPLATS=8, DTYPE=dtype).validate()
+                          MAX_SPLATS=8, DTYPE=dtype)
         value = _bench_render(cfg)
         metric = "render frames/sec, 1280x720 full display pipeline (bloom mips + sunrays + shading + dither)"
     elif args.config == 3:
-        cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
+        cfg = mkcfg(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
                           CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
-                          DTYPE=dtype).validate()
+                          DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=5, chunk=100, sharded=args.sharded)
         metric = f"sim steps/sec, 1024^2 velocity+dye, {it or 20} Jacobi iters, {tag}, trace replay"
     elif args.config == 4:
-        cfg = FluidConfig(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
+        cfg = mkcfg(SIM_RESOLUTION=4096, DYE_RESOLUTION=4096,
                           CANVAS_WIDTH=4096, CANVAS_HEIGHT=4096,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
-                          DTYPE=dtype).validate()
+                          DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
     elif args.config == 6:
-        cfg = FluidConfig(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
+        cfg = mkcfg(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
                           CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
-                          DTYPE=dtype).validate()
+                          DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=2, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 8192^2 {tag}, 20 Jacobi iters, trace replay"
     else:
-        cfg = FluidConfig(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
+        cfg = mkcfg(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
-                          DTYPE=dtype).validate()
+                          DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"
 
+    if args.rgb9e5:
+        metric += ", rgb9e5-packed dye"
     if args.sharded and args.config != 2:
         metric += ", sharded (shard_map mesh over visible devices)"
     out = {

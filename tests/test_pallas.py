@@ -588,6 +588,104 @@ def test_advect_xpair_corner_semantics(u, rng):
                                rtol=0, atol=2.0 ** -8)
 
 
+def test_rgb9e5_format_properties(rng):
+    """ops/quant.py shared-exponent packing: error bound vs the texel max
+    (<= 2^-9, the same worst case as bf16's 8-bit mantissa), unsigned clamp,
+    value-idempotent roundtrip, zero/max handling."""
+    from tpufluid.ops.quant import (MAX_RGB9E5, rgb9e5_pack, rgb9e5_roundtrip,
+                                    rgb9e5_unpack)
+
+    x = jnp.asarray(np.exp(rng.uniform(-10, 8, (3, 64, 128))).astype(np.float32))
+    q = rgb9e5_roundtrip(x)
+    rel = np.abs(np.asarray(q - x)) / np.asarray(x).max(axis=0, keepdims=True)
+    assert rel.max() <= 2.0 ** -9 * 1.001
+    # Roundtrip is value-idempotent: unpacked values are exactly
+    # representable, so a second trip changes nothing.
+    np.testing.assert_array_equal(np.asarray(rgb9e5_roundtrip(q)),
+                                  np.asarray(q))
+    # Unsigned: negatives clamp to zero without disturbing other channels.
+    xn = x.at[1].multiply(-1.0)
+    qn = rgb9e5_roundtrip(xn)
+    assert float(jnp.abs(qn[1]).max()) == 0.0
+    # Zero packs to zero; values clamp at the format max.
+    assert int(rgb9e5_pack(jnp.zeros((3, 8, 128)))[0, 0]) == 0
+    assert float(rgb9e5_roundtrip(jnp.full((3, 8, 128), 1e9)).max()) == MAX_RGB9E5
+
+
+@pytest.mark.parametrize("with_splat", [False, True])
+def test_advect_rgb9e5_matches_oracle(with_splat, rng):
+    """quant="rgb9e5" packs all 3 dye channels into ONE uint32 plane
+    (ops/quant.py): 2 corner gathers per trip instead of 3. Both kernels
+    (windowed and HBM-segment) must match the jnp oracle running the SAME
+    quantization (advect(..., quant="rgb9e5")) to fp-order tolerance."""
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.advect import advect
+
+    dt = jnp.float32(1 / 60)
+
+    def case(H, W):
+        vel = jnp.clip(jnp.asarray(rng.standard_normal((2, H, W)) * 400),
+                       -1000, 1000).astype(jnp.bfloat16)
+        src = jnp.asarray(rng.random((3, H, W)) * 2).astype(jnp.bfloat16)
+        splat = None
+        if with_splat:
+            S = 4
+            splat = (jnp.asarray(rng.random((H, S)).astype(np.float32)),
+                     jnp.asarray(rng.random((S, W)).astype(np.float32)),
+                     jnp.asarray(rng.random((S, 3)).astype(np.float32)))
+            gy, gx, amt = splat
+            srcb = (src.astype(jnp.float32)
+                    + jnp.einsum("hs,sc,sw->chw", gy, amt, gx)
+                    ).astype(jnp.bfloat16)
+        else:
+            srcb = src
+        want = advect(vel.astype(jnp.float32), srcb.astype(jnp.float32),
+                      dt, 1.0, quant="rgb9e5")
+        return vel, src, splat, np.asarray(want)
+
+    vel, src, splat, want = case(96, 128)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 1.0, splat=splat, quant="rgb9e5")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0, atol=2.0 ** -7)
+
+    vel, src, splat, want = case(64, 128)
+    with _interp(ah):
+        got = ah.advect_pallas_hbm(vel, src, dt, 1.0, splat=splat,
+                                   quant="rgb9e5")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               rtol=0, atol=2.0 ** -7)
+
+
+@pytest.mark.parametrize("u", [1000.0, -1000.0, 150.0])
+def test_advect_rgb9e5_corner_semantics(u, rng):
+    """Sharp corner guard for the rgb9e5-packed gather (same construction as
+    test_advect_xpair_corner_semantics): uniform velocities pin every
+    backtrace at an edge clamp or a known lane-group-crossing fractional
+    offset; a wrong corner would show at ~0.5 scale, far above the
+    quantization floor."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 128, 512
+    dt = jnp.float32(1 / 60)
+    vel = jnp.stack([jnp.full((H, W), u), jnp.zeros((H, W))]
+                    ).astype(jnp.bfloat16)
+    src = jnp.asarray(rng.random((3, H, W))).astype(jnp.bfloat16)
+    with _interp(pa):
+        got = pa.advect_pallas(vel, src, dt, 0.0, max_disp_x=1000 / 60,
+                               quant="rgb9e5")
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 0.0,
+                  quant="rgb9e5")
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want.astype(jnp.bfloat16),
+                                          np.float32),
+                               rtol=0, atol=2.0 ** -7)
+
+
 def test_advect_hbm_tight_plan_matches_oracle(rng):
     """HBM-segment kernel with the tight gather plan (cross-resolution dye,
     span>1) == oracle."""

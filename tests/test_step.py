@@ -131,6 +131,41 @@ def test_16bit_state_runs(dtype16):
     assert np.isfinite(np.asarray(s.dye, dtype=np.float32)).all()
 
 
+def test_dye_rgb9e5_step():
+    """config.DYE_RGB9E5 (bf16-only packed-dye gather storage, ops/quant.py):
+    the step runs, stays finite, keeps the dye dtype, and its dye error
+    against the float32 truth stays in the SAME noise class as plain bf16
+    (it is usually lower: the quant path samples with f32 coordinates, and
+    the 9-bit shared-exponent mantissas beat bf16's 8 bits for in-range
+    channels). NOTE the two bf16 variants are NOT directly comparable to
+    each other — the plain jnp bf16 path casts sampling coordinates to
+    bf16 (~0.25-texel position noise), the quant path keeps them f32."""
+    def mk(d, q=False):
+        return FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, DTYPE=d,
+                           MAX_SPLATS=4, USE_PALLAS=False,
+                           DYE_RGB9E5=q).validate()
+
+    trace = swirl_trace(mk("float32"), 2)
+
+    def run(cfg):
+        s = init_state(cfg)
+        step = make_step(cfg)
+        for t in range(2):
+            s = step(s, DT, jnp.asarray(trace.batches[t]))
+        return s
+
+    d32 = np.asarray(run(mk("float32")).dye, np.float32)
+    scale = max(float(d32.max()), 1e-6)
+    sq = run(mk("bfloat16", True))
+    assert sq.dye.dtype == jnp.bfloat16
+    dq = np.asarray(sq.dye, np.float32)
+    assert np.isfinite(dq).all()
+    dp = np.asarray(run(mk("bfloat16")).dye, np.float32)
+    eq = float(np.abs(dq - d32).mean()) / scale
+    ep = float(np.abs(dp - d32).mean()) / scale
+    assert 0 < eq < 1.5 * ep + 2.0 ** -9, (eq, ep)
+
+
 def test_float16_more_faithful_than_bfloat16():
     """The fidelity ordering that justifies offering BOTH 16-bit modes:
     IEEE float16 (11 mantissa bits — the reference's actual RGBA16F storage)

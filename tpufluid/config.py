@@ -75,6 +75,12 @@ class FluidConfig:
     MAX_SPLATS: int = 16
     # Use fused Pallas kernels for the hot stencils where available.
     USE_PALLAS: bool = True
+    # bfloat16-mode dye gather: pack all 3 dye channels into ONE uint32 with
+    # a shared 5-bit exponent (the WebGL RGB9E5 texture format — 9 mantissa
+    # bits per channel vs bf16's 8) so the gather issues 2 loads per trip
+    # instead of 3 (ops/quant.py). Quantization is re-derived from bf16
+    # storage every step (non-accumulating); negative dye clamps to 0.
+    DYE_RGB9E5: bool = False
 
     # ---- derived helpers ----
 

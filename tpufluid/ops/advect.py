@@ -20,14 +20,26 @@ import jax.numpy as jnp
 from tpufluid.ops.sampling import sample_bilinear, uv_grid
 
 
-def advect(velocity: jnp.ndarray, source: jnp.ndarray, dt, dissipation: float) -> jnp.ndarray:
+def advect(velocity: jnp.ndarray, source: jnp.ndarray, dt, dissipation: float,
+           quant=None) -> jnp.ndarray:
     """Advect ``source`` (..., H, W) through ``velocity`` (2, Hs, Ws).
 
     The target grid is the source grid. When the grids differ (dye advection)
     the velocity is sampled bilinearly at the target's texel centers — the
     hardware-LINEAR path of the reference (script.js:776-777); when they match
     (velocity self-advection) the texel-center sample is the texel itself.
+
+    quant="rgb9e5" emulates shared-exponent RGB9E5 source storage (the
+    packed-dye gather mode, ops/quant.py): the source quantizes through the
+    format before sampling and the lerp runs in float32 — exactly the Pallas
+    kernel's procedure (it packs the staged window and unpacks gathered
+    corners with the same functions).
     """
+    out_dtype = source.dtype
+    if quant == "rgb9e5":
+        from tpufluid.ops.quant import rgb9e5_roundtrip
+
+        source = rgb9e5_roundtrip(source.astype(jnp.float32))
     h, w = source.shape[-2], source.shape[-1]
     sh, sw = velocity.shape[-2], velocity.shape[-1]
     compute_dtype = source.dtype
@@ -45,4 +57,4 @@ def advect(velocity: jnp.ndarray, source: jnp.ndarray, dt, dissipation: float) -
     coord_v = v - dt * vel_v.astype(jnp.float32) / sh
     result = sample_bilinear(source, coord_u.astype(compute_dtype), coord_v.astype(compute_dtype))
     decay = 1.0 + dissipation * dt
-    return (result / decay).astype(source.dtype)
+    return (result / decay).astype(out_dtype)

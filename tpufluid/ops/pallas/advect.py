@@ -240,6 +240,16 @@ def _pack_bf16_xpair(v):
     return b | (nxt << 16)
 
 
+def _corners_from_rgb9e5(g0, g1):
+    """(x0, x1) f32 3-channel stacks from ONE rgb9e5-packed plane's two
+    corner gathers (ops/quant.py: all three dye channels share a uint32 via
+    a 5-bit shared exponent — 2 gathers per trip instead of the 16-bit
+    information floor's 3)."""
+    from tpufluid.ops.quant import rgb9e5_unpack
+
+    return rgb9e5_unpack(g0[0]), rgb9e5_unpack(g1[0])
+
+
 def _corners_from_packed(g0, g1, c: int):
     """(x0, x1) f32 channel stacks from packed gather results. Full planes
     carry TWO CHANNELS at one corner (g0/g1 are the x0/x1 corner gathers);
@@ -336,19 +346,27 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
         # bump rounds to bf16 STORAGE before packing — exactly the jnp
         # fallback (and the reference, whose splat pass writes half-float dye
         # that the advection pass then reads, script.js:1287-1293).
-        cp = (channels + 1) // 2
         win_ref = scratch[0]
         raw = src_ref[:]
         if with_splats:
             raw = bumped(raw, 0, win).astype(jnp.bfloat16)
-        # Full channel pairs share a plane (both channels at one corner per
-        # gather); an odd trailing channel packs its own COLUMN pair
-        # instead (both corners in one gather — it skips the x1 gather
-        # entirely, cutting the 3-channel dye's gathers 4 -> 3 per trip).
-        pk = jnp.stack([
-            _pack_bf16(raw[2 * k], raw[2 * k + 1])
-            if 2 * k + 1 < channels else _pack_bf16_xpair(raw[2 * k])
-            for k in range(cp)])
+        if packed == "rgb9e5":
+            # All three channels share ONE uint32 plane (shared-exponent
+            # RGB9E5, ops/quant.py): 2 corner gathers per trip instead of 3,
+            # and the staged window + per-trip roll shrink to one plane.
+            from tpufluid.ops.quant import rgb9e5_pack
+
+            pk = rgb9e5_pack(raw.astype(jnp.float32))[None]
+        else:
+            # Full channel pairs share a plane (both channels at one corner
+            # per gather); an odd trailing channel packs its own COLUMN pair
+            # instead (both corners in one gather — it skips the x1 gather
+            # entirely, cutting the 3-channel dye's gathers 4 -> 3 per trip).
+            cp = (channels + 1) // 2
+            pk = jnp.stack([
+                _pack_bf16(raw[2 * k], raw[2 * k + 1])
+                if 2 * k + 1 < channels else _pack_bf16_xpair(raw[2 * k])
+                for k in range(cp)])
         if col_halo:
             pk = pltpu.roll(pk, jnp.mod(lane_off - coff, cbw), axis=2)
         win_ref[:] = pk
@@ -457,10 +475,12 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
 
     def sub_body(oy, rows_op, acc):
         cp = rows_op.shape[0]
-        odd = packed and c % 2 == 1  # trailing channel is column-paired
+        odd = packed == "pairs" and c % 2 == 1  # trailing channel col-paired
         g0 = gather_at(x0i, rows_op, cp)
         g1 = gather_at(x1i, rows_op, cp - 1 if odd else cp)
-        if packed:
+        if packed == "rgb9e5":
+            g0, g1 = _corners_from_rgb9e5(g0, g1)
+        elif packed:
             g0, g1 = _corners_from_packed(g0, g1, c)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
         wgt = (jnp.where(y0_rel == oy, 1.0 - fy, 0.0)
@@ -491,7 +511,7 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                   dissipation: float, rows_per_block: int = 0,
                   true_shape=None, halo: int = HALO, span: int = 1,
-                  splat=None, max_disp_x=None) -> jnp.ndarray:
+                  splat=None, max_disp_x=None, quant=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
     texels/second*; source (C,H,W) or (H,W) on the SAME grid.
 
@@ -538,9 +558,14 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
 
     with_splats = splat is not None
     # Channel-packed gathers: bf16 sources gather ceil(C/2) uint32 planes
-    # instead of C; fused splat bumps round to bf16 storage at staging
-    # (matching the jnp fallback's (src + bump).astype(dtype)).
-    packed = src.dtype == jnp.bfloat16 and c > 1
+    # instead of C ("pairs"), or ONE shared-exponent RGB9E5 plane for the
+    # 3-channel dye when quant requests it ("rgb9e5", ops/quant.py); fused
+    # splat bumps round to bf16 storage at staging (matching the jnp
+    # fallback's (src + bump).astype(dtype)).
+    packed = False
+    if src.dtype == jnp.bfloat16 and c > 1:
+        packed = "rgb9e5" if (quant == "rgb9e5" and c == 3) else "pairs"
+    n_planes = 1 if packed == "rgb9e5" else (c + 1) // 2
     lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
     kernel = functools.partial(
         _advect_kernel, dissipation=float(dissipation),
@@ -573,7 +598,7 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         # 32-bit-only in this Mosaic): channel-packed uint32 planes for
         # splat-free bf16, f32 otherwise.
         scratch_shapes=(
-            [pltpu.VMEM(((c + 1) // 2, win, cbw), jnp.uint32)] if packed
+            [pltpu.VMEM((n_planes, win, cbw), jnp.uint32)] if packed
             else [pltpu.VMEM((c, win, cbw), jnp.float32)] if col_halo
             else []),
         cost_estimate=pl.CostEstimate(

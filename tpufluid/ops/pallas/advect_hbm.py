@@ -38,7 +38,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.advect import (_clamped_start,
-                                        _corners_from_packed, _pack_bf16,
+                                        _corners_from_packed,
+                                        _corners_from_rgb9e5, _pack_bf16,
                                         _pack_bf16_xpair,
                                         backtrace_col_bounds,
                                         backtrace_row_bounds,
@@ -272,7 +273,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
         cp = rows_op.shape[0]
         # Odd trailing channel is column-paired: its single gather carries
         # both x-corners, so the x1 gather skips that plane entirely.
-        cp1 = cp - 1 if packed and channels % 2 == 1 else cp
+        cp1 = cp - 1 if packed == "pairs" and channels % 2 == 1 else cp
         g0 = gather_groups(idx0, rows_op, s_inner, cp)
         g1 = gather_groups(idx1, rows_op, s_inner, cp1)
         if not s_outer:
@@ -326,11 +327,19 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
                     raw[ch].astype(jnp.float32)
                     + full[ch * win2:(ch + 1) * win2]
                     for ch in range(channels)]).astype(jnp.bfloat16)
-            pk_ref[:] = jnp.stack([
-                _pack_bf16(raw[2 * kk], raw[2 * kk + 1])
-                if 2 * kk + 1 < channels
-                else _pack_bf16_xpair(raw[2 * kk])
-                for kk in range((channels + 1) // 2)])
+            if packed == "rgb9e5":
+                # All three channels share ONE uint32 plane (shared-exponent
+                # RGB9E5, ops/quant.py): 2 corner gathers per trip instead
+                # of 3, and every trip slices/rolls a single plane.
+                from tpufluid.ops.quant import rgb9e5_pack
+
+                pk_ref[:] = rgb9e5_pack(raw.astype(jnp.float32))[None]
+            else:
+                pk_ref[:] = jnp.stack([
+                    _pack_bf16(raw[2 * kk], raw[2 * kk + 1])
+                    if 2 * kk + 1 < channels
+                    else _pack_bf16_xpair(raw[2 * kk])
+                    for kk in range((channels + 1) // 2)])
         elif with_splats:
             # f32 path: bump the WHOLE segment once into the staging scratch
             # — per-trip-slice bumps serialized 3 MXU passes against every
@@ -358,7 +367,9 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             if col_halo:
                 rows_op = pltpu.roll(rows_op, lane_shift, axis=2)
             g0, g1 = gather_pair(x0i, x1i, rows_op)
-            if packed:
+            if packed == "rgb9e5":
+                g0, g1 = _corners_from_rgb9e5(g0, g1)
+            elif packed:
                 g0, g1 = _corners_from_packed(g0, g1, channels)
             gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
             wgt = (jnp.where(s_rel == oy, 1.0 - fy, 0.0)
@@ -395,7 +406,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
 def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                       dissipation: float, true_shape=None,
                       span: int = 1, splat=None,
-                      max_disp_x=None) -> jnp.ndarray:
+                      max_disp_x=None, quant=None) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection, velocity in source-texels/second.
 
     No worst-case row halo: segments are DMA'd on demand, so this is the
@@ -436,9 +447,14 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
 
     with_splats = splat is not None
     # Channel-packed gathers (see ops/pallas/advect.py): bf16 sources gather
-    # ceil(C/2) uint32 planes; splat bumps round to bf16 storage at segment
-    # packing (matching the jnp fallback's (src + bump).astype(dtype)).
-    packed = src.dtype == jnp.bfloat16 and c > 1
+    # ceil(C/2) uint32 planes ("pairs"), or ONE shared-exponent RGB9E5 plane
+    # for the 3-channel dye when quant requests it; splat bumps round to bf16
+    # storage at segment packing (matching the jnp fallback's
+    # (src + bump).astype(dtype)).
+    packed = False
+    if src.dtype == jnp.bfloat16 and c > 1:
+        packed = "rgb9e5" if (quant == "rgb9e5" and c == 3) else "pairs"
+    n_planes = 1 if packed == "rgb9e5" else (c + 1) // 2
     lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
     kernel = functools.partial(
         _kernel, dissipation=float(dissipation), rows=rows, cols=cols,
@@ -471,7 +487,7 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
         scratch_shapes=(
             [pltpu.VMEM((2, c, win2, cbw), src.dtype)]
-            + ([pltpu.VMEM(((c + 1) // 2, win2, cbw), jnp.uint32)]
+            + ([pltpu.VMEM((n_planes, win2, cbw), jnp.uint32)]
                if packed else
                [pltpu.VMEM((c, win2, cbw), jnp.float32)] if with_splats
                else [])

@@ -266,7 +266,7 @@ def display_full(dye_rgb, out_hw, shading: bool, bloom_tex, sunrays_tex,
     return None
 
 
-def advect(velocity, source, dt, dissipation, splat_factors=None):
+def advect(velocity, source, dt, dissipation, splat_factors=None, quant=None):
     """Semi-Lagrangian advection; velocity (2,Hs,Ws), source (...,H,W).
 
     splat_factors: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat
@@ -294,11 +294,11 @@ def advect(velocity, source, dt, dissipation, splat_factors=None):
     return advect_same_grid(vel, source, dt, dissipation,
                             _MAX_DISP_SIM_TEXELS * h / hv,
                             _MAX_DISP_SIM_TEXELS * w / wv,
-                            splat_factors=splat_factors)
+                            splat_factors=splat_factors, quant=quant)
 
 
 def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
-                     max_disp_x, splat_factors=None):
+                     max_disp_x, splat_factors=None, quant=None):
     """Advection with the velocity ALREADY on the source grid in
     source-texels/second; max_disp_* bound the backtrace displacement in
     source texels (they size the gather halo/span — the shapes alone cannot,
@@ -310,6 +310,13 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                                max_disp_y, max_disp_x,
                                splat_factors=splat_factors)
         return out.astype(jnp.float16)
+    # quant="rgb9e5" applies to 3-channel bfloat16 sources only; paths that
+    # cannot honor it (per-channel kernel launches) ignore it — the knob is
+    # a storage-format request, and un-quantized results are a strict
+    # fidelity superset (always within the bf16-mode tolerance).
+    if not (source.dtype == jnp.bfloat16 and source.ndim == 3
+            and source.shape[0] == 3):
+        quant = None
     h, w = source.shape[-2], source.shape[-1]
     it = source.dtype.itemsize
     if _on_tpu() and _kernel_dtype(source.dtype):
@@ -339,7 +346,7 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                                              pad_to(source, *pad),
                                              dt, dissipation, true_shape=(h, w),
                                              span=span, splat=padded_splat(pad),
-                                             max_disp_x=max_disp_x)
+                                             max_disp_x=max_disp_x, quant=quant)
                 return out[..., :h, :w]
 
         pad = _padded_shape(h, w, "advect", it,
@@ -355,7 +362,7 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
                                             true_shape=(h, w), halo=halo,
                                             span=span, splat=sp,
-                                            max_disp_x=max_disp_x)
+                                            max_disp_x=max_disp_x, quant=quant)
                 elif source.ndim == 3:
                     # Large-halo windows don't fit VMEM with all channels live:
                     # one kernel launch per channel.
@@ -371,7 +378,7 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                     out = _pl.advect_pallas(vel_p, src_p, dt, dissipation,
                                             true_shape=(h, w), halo=halo,
                                             span=span, splat=sp,
-                                            max_disp_x=max_disp_x)
+                                            max_disp_x=max_disp_x, quant=quant)
                 return out[..., :h, :w]
     if splat_factors is not None:
         gy, gx, amt = splat_factors
@@ -381,4 +388,4 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
         if source.ndim == 2:
             bump = bump[0]
         source = (source.astype(jnp.float32) + bump).astype(source.dtype)
-    return _jnp_advect_fn(velocity, source, dt, dissipation)
+    return _jnp_advect_fn(velocity, source, dt, dissipation, quant=quant)

@@ -42,6 +42,12 @@ def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState
     # script.js:1188-1194); the Pallas advection kernels also size their
     # halo windows from this bound.
     dt = jnp.minimum(jnp.asarray(dt, jnp.float32), 1.0 / 60.0)
+    # Opt-in packed-dye gather storage (config.DYE_RGB9E5, bf16 only): the
+    # dye source quantizes through shared-exponent RGB9E5 at the sampling
+    # boundary (ops/quant.py) — 2 gathers/trip instead of 3 in the kernels,
+    # identical quantization in the jnp path.
+    dye_quant = ("rgb9e5" if config.DYE_RGB9E5 and config.dtype == jnp.bfloat16
+                 else None)
 
     if config.USE_PALLAS:
         from tpufluid.ops.pallas import dispatch as K
@@ -67,7 +73,7 @@ def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState
                                      prescale=config.PRESSURE)
         vel = K.project_and_self_advect(vel, pressure, dt, config.VELOCITY_DISSIPATION)
         dye = K.advect(vel, state.dye, dt, config.DENSITY_DISSIPATION,
-                       splat_factors=(gy_d, gx_d, amt_d))
+                       splat_factors=(gy_d, gx_d, amt_d), quant=dye_quant)
     else:
         state = apply_splats(state, splats, config)
         vel = state.velocity
@@ -78,7 +84,8 @@ def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState
         pressure = stencil.jacobi_pressure(pressure, div, config.PRESSURE_ITERATIONS)
         vel = stencil.gradient_subtract(vel, pressure)
         vel = advect(vel, vel, dt, config.VELOCITY_DISSIPATION)
-        dye = advect(vel, state.dye, dt, config.DENSITY_DISSIPATION)
+        dye = advect(vel, state.dye, dt, config.DENSITY_DISSIPATION,
+                     quant=dye_quant)
 
     return FluidState(velocity=vel, dye=dye, pressure=pressure)
 
