@@ -340,6 +340,35 @@ def test_diagnostics_on_sharded_state():
     assert abs(d["kinetic_energy"] - d1["kinetic_energy"]) < 1e-3 * max(d1["kinetic_energy"], 1)
 
 
+def test_sharded_dye_rgb9e5():
+    """config.DYE_RGB9E5 threads into the sharded dye gather: velocity is
+    BIT-identical to the unquantized sharded run (the packing touches dye
+    only), and the dye stays within the quantization noise class (the
+    pointwise pack on halo-padded blocks equals the quantized global field
+    restricted to the window — see sharded_step's dye_quant comment)."""
+    outs = {}
+    for q in (False, True):
+        cfg = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=128,
+                          CANVAS_WIDTH=256, CANVAS_HEIGHT=256, MAX_SPLATS=4,
+                          USE_PALLAS=False, DTYPE="bfloat16",
+                          DYE_RGB9E5=q).validate()
+        trace = swirl_trace(cfg, 3, seed=17)
+        mesh = make_mesh(shape=(4, 2))
+        sharded = make_sharded_step(cfg, mesh)
+        s8 = shard_state(init_state(cfg), mesh)
+        for t in range(3):
+            s8 = sharded(s8, DT, jnp.asarray(trace.batches[t]))
+        outs[q] = s8
+    np.testing.assert_array_equal(
+        np.asarray(outs[True].velocity, np.float32),
+        np.asarray(outs[False].velocity, np.float32))
+    d = np.abs(np.asarray(outs[True].dye, np.float32)
+               - np.asarray(outs[False].dye, np.float32))
+    scale = max(float(np.abs(np.asarray(outs[False].dye, np.float32)).max()),
+                1e-6)
+    assert 0 < d.max() / scale < 0.02, d.max() / scale
+
+
 def test_sharded_multi_step_matches_stepwise():
     """Scan-inside-shard_map (one dispatch for T steps) must equal T
     per-call sharded steps exactly — same per-shard code, same collectives,

@@ -42,7 +42,6 @@ def advect(velocity: jnp.ndarray, source: jnp.ndarray, dt, dissipation: float,
         source = rgb9e5_roundtrip(source.astype(jnp.float32))
     h, w = source.shape[-2], source.shape[-1]
     sh, sw = velocity.shape[-2], velocity.shape[-1]
-    compute_dtype = source.dtype
     u, v = uv_grid(h, w, dtype=jnp.float32)
 
     if (sh, sw) == (h, w):
@@ -53,8 +52,13 @@ def advect(velocity: jnp.ndarray, source: jnp.ndarray, dt, dissipation: float,
         vel_v = sample_bilinear(velocity[1], u, v)
 
     # Backtraced uv; sample clamps (CLAMP_TO_EDGE), no explicit coord clamp.
+    # Coordinates stay float32 for EVERY storage dtype: the reference
+    # computes them in highp shader precision regardless of the half-float
+    # texture format (script.js:773-777), and the Pallas kernels do the
+    # same — casting them to a 16-bit storage dtype would add ~0.25-texel
+    # position noise that the reference does not have.
     coord_u = u - dt * vel_u.astype(jnp.float32) / sw
     coord_v = v - dt * vel_v.astype(jnp.float32) / sh
-    result = sample_bilinear(source, coord_u.astype(compute_dtype), coord_v.astype(compute_dtype))
+    result = sample_bilinear(source, coord_u, coord_v)
     decay = 1.0 + dissipation * dt
     return (result / decay).astype(out_dtype)

@@ -342,9 +342,17 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
                                 slice(SPLAT_R, SPLAT_B + 1),
                                 ridx * hd_loc - gd, cidx * wd_loc - gdc,
                                 dh_g, dw)
+    # DYE_RGB9E5 carries straight into the per-shard gather: the packing is
+    # POINTWISE (ops/quant.py), and halo ghosts hold the neighbor blocks'
+    # true values, so the quantized padded block equals the quantized global
+    # field restricted to the window — sharded-vs-single equality holds
+    # exactly as for the unquantized path.
+    dye_quant = ("rgb9e5" if config.DYE_RGB9E5
+                 and config.dtype == jnp.bfloat16 else None)
     dye = K.advect_same_grid(vel_d, dye_pad, dt, config.DENSITY_DISSIPATION,
                              max_disp * dh_g / sh_g, max_disp * dw / sw,
-                             splat_factors=(gy_d, gx_d, amt_d)
+                             splat_factors=(gy_d, gx_d, amt_d),
+                             quant=dye_quant
                              )[:, gd:-gd, gdc:gdc + wd_loc]
 
     return FluidState(velocity=vel, dye=dye, pressure=p)
