@@ -171,7 +171,8 @@ def test_float16_more_faithful_than_bfloat16():
     IEEE float16 (11 mantissa bits — the reference's actual RGBA16F storage)
     lands measurably closer to the f32 truth than bfloat16 (8 bits) on a
     single step, before chaotic amplification swamps rounding. (Measured
-    here: ~1.3% vs ~6.7% single-step velocity error.)"""
+    here with f32 sampling coordinates: ~0.24% vs ~2.1% single-step
+    velocity error.)"""
     mk = lambda d: FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64,
                                DTYPE=d, MAX_SPLATS=4,
                                USE_PALLAS=False).validate()
