@@ -112,6 +112,45 @@ def test_bf16_step_on_device(warm_tunnel):
     assert float(jnp.abs(a.dye.astype(jnp.float32) - b.dye).max()) < 0.02
 
 
+def test_rgb9e5_dye_on_device(warm_tunnel):
+    """config.DYE_RGB9E5 on the real chip: (a) the packed-gather kernel
+    matches the quantized jnp oracle (same pack/unpack procedure,
+    ops/quant.py) at fp-order tolerance; (b) the full bf16 step with the
+    knob on stays within the established bf16-vs-f32 step tolerance — the
+    quantization adds 9-bit shared-exponent noise, a strict subset of the
+    bf16 noise class."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.ops.advect import advect
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    rng = np.random.default_rng(5)
+    H, W = 256, 512
+    dt = jnp.float32(1 / 60)
+    vel = jnp.clip(jnp.asarray(rng.standard_normal((2, H, W)) * 400),
+                   -1000, 1000).astype(jnp.bfloat16)
+    src = jnp.asarray(rng.random((3, H, W)) * 2).astype(jnp.bfloat16)
+    got = jax.jit(lambda v, s: pa.advect_pallas(v, s, dt, 1.0,
+                                                quant="rgb9e5"))(vel, src)
+    want = advect(vel.astype(jnp.float32), src.astype(jnp.float32), dt, 1.0,
+                  quant="rgb9e5")
+    err = np.abs(np.asarray(got, np.float32) - np.asarray(want))
+    assert err.max() < 2.0 ** -7, err.max()
+
+    cfg = FluidConfig(SIM_RESOLUTION=256, DYE_RESOLUTION=256,
+                      CANVAS_WIDTH=256, CANVAS_HEIGHT=256, MAX_SPLATS=8,
+                      DTYPE="bfloat16", DYE_RGB9E5=True).validate()
+    cfg_f = FluidConfig(**{**cfg.__dict__, "DTYPE": "float32",
+                           "DYE_RGB9E5": False})
+    tr = swirl_trace(cfg, 1, seed=42)
+    sp = jnp.asarray(tr.batches[0])
+    a = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg))(init_state(cfg), dt, sp)
+    b = jax.jit(lambda s, d, b: fluid_step(s, d, b, cfg_f))(init_state(cfg_f), dt, sp)
+    assert a.dye.dtype == jnp.bfloat16
+    assert float(jnp.abs(a.dye.astype(jnp.float32) - b.dye).max()) < 0.02
+
+
 def test_sharded_step_kernels_on_device(warm_tunnel):
     """The shard_map body runs the Pallas kernel suite on the real chip
     (1-device mesh) and matches the fused single-device step."""
