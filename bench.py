@@ -26,6 +26,30 @@ import time
 import numpy as np
 
 
+def probe_backend(retries: int = 3, backoff_s: float = 30.0) -> str:
+    """First device touch with a bounded retry, BEFORE any benchmark work.
+
+    The axon tunnel can be transiently down (round 2 lost its entire perf
+    record to an unretried `RuntimeError: Unable to initialize backend`).
+    A tiny transfer forces backend init + the first device->host hop; on
+    persistent failure the last error propagates to main()'s structured
+    JSON error line so the driver artifact parses either way."""
+    import jax
+    import jax.numpy as jnp
+
+    last: Exception | None = None
+    for attempt in range(retries):
+        try:
+            float(jnp.zeros((), jnp.float32) + 1.0)
+            return jax.default_backend()
+        except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError
+            last = e
+            if attempt < retries - 1:
+                time.sleep(backoff_s)
+    assert last is not None
+    raise last
+
+
 def measure_hbm_bandwidth_gbps() -> float:
     """Achieved HBM bandwidth on THIS device (the roofline denominator):
     a lax.scan of elementwise adds over a 256 MB carry — every iteration
@@ -144,6 +168,30 @@ def _bench_render(config, frames: int = 200):
 
 
 def main() -> None:
+    """Parse args, run the selected config, and ALWAYS print exactly one
+    JSON line: the benchmark result, or a structured error record
+    ({"error": ..., "value": null}) when the TPU backend is unreachable —
+    never a bare traceback (the driver parses this line into BENCH_r*)."""
+    args = _parse_args()
+    try:
+        out = _run(args)
+    except Exception as e:  # noqa: BLE001 — one parseable line, always
+        s = f"{type(e).__name__}: {e}"
+        unavailable = ("Unable to initialize backend" in s
+                       or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
+        out = {
+            "error": ("tpu backend unavailable" if unavailable
+                      else "bench failed"),
+            "detail": s[:500],
+            "metric": f"config {args.config} ({args.dtype or 'default'})",
+            "value": None,
+            "unit": "steps/sec" if args.config != 2 else "frames/sec",
+            "vs_baseline": None,
+        }
+    print(json.dumps(out))
+
+
+def _parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=int, default=3,
                    choices=[1, 2, 3, 4, 5, 6])
@@ -168,7 +216,11 @@ def main() -> None:
                         "devices, halo-exchange collectives, the SAME Pallas "
                         "kernel suite) instead of the single-device step; "
                         "sim configs only")
-    args = p.parse_args()
+    return p.parse_args()
+
+
+def _run(args: argparse.Namespace) -> dict:
+    probe_backend()
 
     from tpufluid import FluidConfig
 
@@ -206,21 +258,21 @@ def main() -> None:
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
-        metric = f"sim steps/sec, 4096^2 {tag}, 20 Jacobi iters, trace replay"
+        metric = f"sim steps/sec, 4096^2 {tag}, {it or 20} Jacobi iters, trace replay"
     elif args.config == 6:
         cfg = mkcfg(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
                           CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=2, chunk=20, sharded=args.sharded)
-        metric = f"sim steps/sec, 8192^2 {tag}, 20 Jacobi iters, trace replay"
+        metric = f"sim steps/sec, 8192^2 {tag}, {it or 20} Jacobi iters, trace replay"
     else:
         cfg = mkcfg(SIM_RESOLUTION=16384, DYE_RESOLUTION=16384,
                           CANVAS_WIDTH=16384, CANVAS_HEIGHT=16384,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
-        metric = f"sim steps/sec, 16384^2 {tag} single chip, 20 Jacobi iters"
+        metric = f"sim steps/sec, 16384^2 {tag} single chip, {it or 20} Jacobi iters"
 
     if args.rgb9e5:
         metric += ", rgb9e5-packed dye"
@@ -271,7 +323,7 @@ def main() -> None:
                                                  bw, value)
             except Exception as e:  # floors must never sink the headline
                 out["floors_error"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":

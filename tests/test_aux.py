@@ -301,6 +301,66 @@ def test_bench_hbm_model():
     assert big > same
 
 
+def test_bench_error_line_is_json(monkeypatch, capsys):
+    """bench.py must ALWAYS emit one parseable JSON line — a backend outage
+    (round 2 lost its whole perf record to a bare traceback) produces a
+    structured error record, not a stack trace."""
+    import json as _json
+    import sys
+
+    import bench
+
+    def boom(*a, **kw):
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error (Unavailable).")
+
+    monkeypatch.setattr(bench, "probe_backend", boom)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--config", "3"])
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = _json.loads(line)
+    assert rec["error"] == "tpu backend unavailable"
+    assert rec["value"] is None and rec["unit"] == "steps/sec"
+    assert "UNAVAILABLE" in rec["detail"]
+
+
+def test_bench_probe_backend_retries(monkeypatch):
+    """probe_backend retries the first device touch with backoff and
+    re-raises the LAST error after the bounded attempts."""
+    import bench
+
+    calls = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: calls.append(s))
+
+    real_zeros = jnp.zeros
+
+    class FlakyZeros:
+        def __init__(self, fail_times):
+            self.left = fail_times
+
+        def __call__(self, *a, **kw):
+            if self.left > 0:
+                self.left -= 1
+                raise RuntimeError("UNAVAILABLE: transient")
+            return real_zeros(*a, **kw)
+
+    # probe_backend imports jax.numpy locally — same module object as here.
+    monkeypatch.setattr(jnp, "zeros", FlakyZeros(2))
+    assert isinstance(bench.probe_backend(retries=3, backoff_s=0.01), str)
+    assert len(calls) == 2
+
+    monkeypatch.setattr(jnp, "zeros", FlakyZeros(99))
+    try:
+        bench.probe_backend(retries=2, backoff_s=0.01)
+        raised = False
+    except RuntimeError:
+        raised = True
+    finally:
+        monkeypatch.setattr(jnp, "zeros", real_zeros)
+    assert raised
+
+
 def test_app_cli_smoke(tmp_path):
     from tpufluid.app import main
 

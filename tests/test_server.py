@@ -257,6 +257,88 @@ def test_session_checkpoint_resume(tmp_path):
     assert resumed.frame_bytes is not None  # resumed loop really runs
 
 
+def test_mobile_ua_downgrade():
+    """A mobile client's page load auto-applies the reference's startup
+    downgrade (isMobile() -> DYE_RESOLUTION 512, script.js:106-108,283-285):
+    once per session, downward only, desktop UAs untouched."""
+    cfg = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=1024, CANVAS_WIDTH=96,
+                      CANVAS_HEIGHT=64, BLOOM=False, SUNRAYS=False,
+                      SHADING=False, MAX_SPLATS=4, USE_PALLAS=False).validate()
+    s = FluidServer(cfg, seed=0)
+    assert not s.maybe_mobile_downgrade(
+        "Mozilla/5.0 (X11; Linux x86_64) Gecko/20100101 Firefox/126.0")
+    assert s.config.DYE_RESOLUTION == 1024
+    assert s.maybe_mobile_downgrade(
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7) Mobile Safari/537.36")
+    assert s.config.DYE_RESOLUTION == 512
+    # applied once per session, like the reference's startup check
+    assert not s.maybe_mobile_downgrade("Android")
+
+    # already-low settings are never raised
+    s2 = FluidServer(CFG, seed=0)
+    assert s2.maybe_mobile_downgrade("iPhone Mobi")
+    assert s2.config.DYE_RESOLUTION == CFG.DYE_RESOLUTION
+
+
+def test_mobile_ua_http_page(server_url):
+    """The page GET passes the User-Agent through the downgrade hook (the
+    shared fixture's dye res is already <= 512, so config is untouched)."""
+    req = urllib.request.Request(server_url + "/", headers={
+        "User-Agent": "Mozilla/5.0 (Linux; Android 13) Mobile"})
+    page = urllib.request.urlopen(req, timeout=10).read()
+    assert b"tpufluid" in page
+    cfg = json.loads(urllib.request.urlopen(server_url + "/config",
+                                            timeout=5).read())
+    assert cfg["DYE_RESOLUTION"] == CFG.DYE_RESOLUTION
+
+
+def test_panel_storage_knobs(server_url):
+    """The control panel exposes the TPU storage knobs (dtype, rgb9e5)."""
+    page = urllib.request.urlopen(server_url + "/", timeout=10).read()
+    assert b"DTYPE" in page and b"DYE_RGB9E5" in page
+
+
+def test_live_dtype_switch():
+    """POST /config {"DTYPE": "bfloat16"} live-switches the storage dtype:
+    resize_state casts the running fields, the step re-specializes, frames
+    keep flowing."""
+    from http.server import ThreadingHTTPServer
+
+    server = FluidServer(CFG, seed=0)
+    sim = threading.Thread(target=server.run, daemon=True)
+    sim.start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    try:
+        for _ in range(600):
+            try:
+                urllib.request.urlopen(url + "/frame", timeout=1).read()
+                break
+            except Exception:
+                time.sleep(0.1)
+        body = json.dumps({"DTYPE": "bfloat16"}).encode()
+        req = urllib.request.Request(url + "/config", data=body, method="POST")
+        resp = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert resp["DTYPE"] == "bfloat16"
+        stats0 = json.loads(urllib.request.urlopen(url + "/stats", timeout=10).read())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            stats1 = json.loads(urllib.request.urlopen(url + "/stats", timeout=10).read())
+            if stats1["steps"] > stats0["steps"]:
+                break
+            time.sleep(0.2)
+        assert stats1["steps"] > stats0["steps"]
+        import jax.numpy as jnp
+
+        with server.lock:
+            assert server.state.dye.dtype == jnp.bfloat16
+    finally:
+        server.stop()
+        httpd.shutdown()
+
+
 def test_live_config_change(server_url):
     """POST /config — the dat.GUI live-tuning analog: a knob change rebuilds
     the step/render (updateKeywords) and resizes fields (initFramebuffers)."""

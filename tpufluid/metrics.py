@@ -74,9 +74,10 @@ def _make_diagnostics(config: FluidConfig):
         return {
             "max_speed": jnp.max(jnp.sqrt(v[0] ** 2 + v[1] ** 2)),
             # Per-component max: the number the advection gather's halo
-            # contract actually bounds (ops/pallas/advect.HALO carries
-            # ~1440 texels/s per AXIS at dt=1/60; the magnitude above can
-            # exceed it by sqrt(2) without any violation).
+            # contract actually bounds (halo-dependent — (halo-2)*60
+            # texels/s per AXIS at dt=1/60: 1320 for the f32 24-row halo,
+            # 1800 for bf16's 32-row halo; the magnitude above can exceed
+            # it by sqrt(2) without any violation).
             "max_component_speed": jnp.max(jnp.abs(v)),
             "backtrace_speed": jnp.max(jnp.abs(vb)),
             "halo_contract_speed": jnp.float32(contract),

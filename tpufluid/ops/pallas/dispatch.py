@@ -74,6 +74,23 @@ def _padded_shape(h: int, w: int, kind: str, itemsize: int = 4,
     return hp, wp
 
 
+def _apply_bump_rounded(field, splat_factors):
+    """Pre-apply a separable splat bump WITH storage rounding (the reference
+    writes the splat to the half-float FBO before the next pass reads it,
+    script.js:145-153,1219-1232). Used by the f16-staged wrappers: fusing the
+    bump into an f32-staged kernel would skip the float16 rounding that both
+    the jnp oracle and the reference apply at the splat write — measured ~2%
+    p999 through the confinement amplifier for the analogous bf16 case
+    (out/jobs/b27)."""
+    gy, gx, amt = splat_factors
+    bump = jnp.einsum("sc,hs,sw->chw", amt, gy.astype(jnp.float32),
+                      gx.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
+    if field.ndim == 2:
+        bump = bump[0]
+    return (field.astype(jnp.float32) + bump).astype(field.dtype)
+
+
 def _clamp_bounds(x, bounds):
     """Replace rows/cols outside the true-wall bounds with the wall row/col
     (array-coordinate clamp): single-layer oracle ops on the result behave
@@ -96,8 +113,10 @@ def pre_pressure(velocity, curl_strength, dt, splat_factors=None,
     the grid's TRUE walls for halo-padded shards (traced OK) — the clamp and
     -C reflection act there instead of at the array extents."""
     if _f16_staged(velocity.dtype):
+        if splat_factors is not None:
+            velocity = _apply_bump_rounded(velocity, splat_factors)
         v, d = pre_pressure(velocity.astype(jnp.float32), curl_strength, dt,
-                            splat_factors=splat_factors, true_bounds=true_bounds)
+                            true_bounds=true_bounds)
         return v.astype(jnp.float16), d.astype(jnp.float16)
     h, w = velocity.shape[-2:]
     if _on_tpu() and _kernel_dtype(velocity.dtype):
@@ -305,15 +324,16 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
     e.g. a shard's pre-resampled dye velocity). Used directly by the sharded
     step, which resamples per shard with global coordinates."""
     if _f16_staged(source.dtype):
+        if splat_factors is not None:
+            source = _apply_bump_rounded(source, splat_factors)
         out = advect_same_grid(velocity.astype(jnp.float32),
                                source.astype(jnp.float32), dt, dissipation,
-                               max_disp_y, max_disp_x,
-                               splat_factors=splat_factors)
+                               max_disp_y, max_disp_x)
         return out.astype(jnp.float16)
-    # quant="rgb9e5" applies to 3-channel bfloat16 sources only; paths that
-    # cannot honor it (per-channel kernel launches) ignore it — the knob is
-    # a storage-format request, and un-quantized results are a strict
-    # fidelity superset (always within the bf16-mode tolerance).
+    # quant="rgb9e5" applies to 3-channel bfloat16 sources only. Every path
+    # that runs with quant set honors it (kernels pack/unpack, the jnp
+    # fallback quantizes before sampling); the per-channel kernel branch,
+    # which cannot, is skipped in favor of the fallback when quant is set.
     if not (source.dtype == jnp.bfloat16 and source.ndim == 3
             and source.shape[0] == 3):
         quant = None
@@ -354,6 +374,13 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
         if pad is not None:
             all_ch = _pl.supported((c,) + pad, it, halo)
             per_ch = all_ch or _pl.supported((1,) + pad, it, halo)
+            # The rgb9e5 pack spans channels, so per-channel launches cannot
+            # honor quant — route that (rare: opt-in quant x VMEM-overflow
+            # halo) combination to the jnp fallback below, which runs the
+            # IDENTICAL quantize-before-sample procedure, instead of letting
+            # the quantization silently flip with grid geometry.
+            if not all_ch and quant is not None:
+                per_ch = False
             if per_ch:
                 vel_p = pad_to(velocity, *pad)
                 src_p = pad_to(source, *pad)

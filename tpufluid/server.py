@@ -114,11 +114,11 @@ function toggle(box, label, key, value, fn) {
   inp.onchange = () => fn ? fn(inp.checked) : setCfg(key, inp.checked);
   box.appendChild(l);
 }
-function dropdown(box, label, key, options, value) {
+function dropdown(box, label, key, options, value, str) {
   const l = document.createElement('label');
   l.innerHTML = label + ' <select>' + options.map(o =>
     '<option value="'+o[1]+'"'+(o[1]===value?' selected':'')+'>'+o[0]+'</option>').join('') + '</select>';
-  l.querySelector('select').onchange = e => setCfg(key, parseInt(e.target.value));
+  l.querySelector('select').onchange = e => setCfg(key, str ? e.target.value : parseInt(e.target.value));
   box.appendChild(l);
 }
 function button(box, label, fn) {
@@ -147,6 +147,12 @@ fetch('/config').then(r => r.json()).then(cfg => {
   const rays = folder('Sunrays');
   toggle(rays, 'enabled', 'SUNRAYS', cfg.SUNRAYS);
   slider(rays, 'weight', 'SUNRAYS_WEIGHT', 0.3, 1, 0.01, cfg.SUNRAYS_WEIGHT);
+  // TPU storage knobs (no dat.GUI counterpart: the reference's half-float
+  // format is fixed at startup; here dtype + packed-dye are live-switchable).
+  const st = folder('Storage', false);
+  dropdown(st, 'dtype', 'DTYPE',
+    [['float32','float32'],['bfloat16','bfloat16'],['float16','float16']], cfg.DTYPE, true);
+  toggle(st, 'rgb9e5 dye (bf16)', 'DYE_RGB9E5', cfg.DYE_RGB9E5);
   const cap = folder('Capture');
   const l = document.createElement('label');
   l.innerHTML = 'background <input type="color" value="#000000">';
@@ -240,7 +246,25 @@ class FluidServer:
         self.recorded = []
         self.recorded_dts = []
         self.max_recorded = 36000
+        self._mobile_applied = False
         self._stop = threading.Event()
+
+    def maybe_mobile_downgrade(self, user_agent: Optional[str]) -> bool:
+        """Auto-apply the mobile preset when a mobile client loads the page —
+        the reference detects mobile at startup and drops DYE_RESOLUTION to
+        512 (isMobile() /Mobi|Android/i, script.js:283-285, applied
+        script.js:106-108). Applied at most once per server session (the
+        reference applies it once, before any dat.GUI interaction) and only
+        downward, so a desktop user's deliberate setting is never raised."""
+        import re
+
+        if self._mobile_applied or not re.search(r"Mobi|Android",
+                                                 user_agent or "", re.I):
+            return False
+        self._mobile_applied = True
+        if self.config.DYE_RESOLUTION > 512:
+            self.reconfigure({"DYE_RESOLUTION": 512})
+        return True
 
     def reconfigure(self, updates: dict) -> dict:
         """Live config change — the dat.GUI behavior (script.js:208-281):
@@ -406,7 +430,12 @@ def make_handler(server: FluidServer):
             self._send(data, ctype, extra)
 
         def do_GET(self):
-            if self.path.startswith("/frame"):
+            if self.path in ("/", "") or self.path.startswith("/?"):
+                # Page load: apply the reference's mobile startup downgrade
+                # before the panel fetches /config (script.js:106-108).
+                server.maybe_mobile_downgrade(self.headers.get("User-Agent"))
+                self._send(_PAGE.encode(), "text/html")
+            elif self.path.startswith("/frame"):
                 with server.lock:
                     data = server.frame_bytes
                 self._send_or_503(data, "image/jpeg")
