@@ -301,6 +301,42 @@ def test_bench_hbm_model():
     assert big > same
 
 
+def test_contract_warning_fires_past_the_edge():
+    """Drive a state PAST the gather-halo displacement contract and assert
+    the observable chain works end to end: diagnostics' kick-inclusive
+    backtrace_speed exceeds halo_contract_speed, contract_warning returns
+    the warning the app prints, and a full step on that state degrades
+    gracefully (finite — the kernel-side window clamp is pinned separately
+    by tests/test_pallas.py's windowed-oracle test).
+
+    The state: a LINEAR warm-start pressure ramp of slope A. Linear fields
+    are discrete-harmonic, so 20 Jacobi sweeps preserve the 0.8x-scaled ramp,
+    and the reference's un-halved gradient kick (script.js:892-913) is then
+    exactly 0.8 * 2A — no a-priori bound caps it (docs/ARCHITECTURE.md),
+    which is why the contract is an observable, not an invariant."""
+    from tpufluid.metrics import contract_warning
+    from tpufluid.step import fluid_step
+
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=64, CANVAS_WIDTH=64,
+                      CANVAS_HEIGHT=64, MAX_SPLATS=4, USE_PALLAS=False).validate()
+    s = init_state(cfg)
+    h, w = s.pressure.shape
+    ramp = 1000.0 * (np.arange(w, dtype=np.float32) - w / 2)
+    s.pressure = jnp.asarray(np.broadcast_to(ramp, (h, w)).copy())
+    rec = diagnostics(s, cfg)
+    # 0.8 warm start * 2A un-halved kick = 1600 > the f32 contract's 1320
+    assert rec["backtrace_speed"] > rec["halo_contract_speed"]
+    assert abs(rec["backtrace_speed"] - 1600.0) < 1.0
+    warn = contract_warning(rec)
+    assert warn is not None and "contract" in warn
+    assert contract_warning({**rec, "backtrace_speed": 0.0}) is None
+    # graceful degradation: the full step stays finite and bounded
+    s2 = fluid_step(s, jnp.float32(1 / 60),
+                    jnp.zeros((cfg.MAX_SPLATS, 8), jnp.float32), cfg)
+    for f in (s2.velocity, s2.dye, s2.pressure):
+        assert np.isfinite(np.asarray(f)).all()
+
+
 def test_bench_error_line_is_json(monkeypatch, capsys):
     """bench.py must ALWAYS emit one parseable JSON line — a backend outage
     (round 2 lost its whole perf record to a bare traceback) produces a

@@ -517,6 +517,56 @@ def test_advect_extreme_velocity_clamped_displacement(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_advect_out_of_contract_clamps_at_window_edge(rng):
+    """Drive a backtrace PAST the gather-halo contract and pin the documented
+    degradation (docs/ARCHITECTURE.md "The displacement contract"): the row
+    backtrace clamps at each block's WINDOW edge — finite, bounded by the
+    source range, and exactly the windowed oracle — while the unbounded
+    CLAMP_TO_EDGE jnp advect disagrees (proving the edge is really crossed).
+    The reference's own sampler accepts arbitrary backtraces
+    (script.js:746-784); this is the one deliberate deviation, previously
+    analyzed and warned about but never exercised."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect as jnp_advect
+
+    h = w = 256
+    rows = 64
+    halo = pa.HALO  # f32: align 8 -> stays 24; window = 64 + 2*24 = 112 rows
+    src = jnp.asarray(rng.random((h, w)).astype(np.float32))
+    # 3000 texels/s: a 50-texel backtrace >> the (halo-2)=22-texel contract
+    # (the reference clamp would cap at 1000, but the un-clamped gradient
+    # kick can exceed it — metrics.backtrace_speed measures exactly this).
+    # Zero x velocity keeps the column path exact.
+    vy = 3000.0
+    vel = jnp.stack([jnp.zeros((h, w), jnp.float32),
+                     jnp.full((h, w), vy, jnp.float32)])
+    dt = jnp.float32(1 / 60)
+    with _interp(pa):
+        got = np.asarray(pa.advect_pallas(vel, src, dt, 0.0,
+                                          rows_per_block=rows))
+
+    # 1. graceful: finite, bounded by the source range (bilinear is convex)
+    s = np.asarray(src)
+    assert np.isfinite(got).all()
+    assert got.min() >= s.min() - 1e-6 and got.max() <= s.max() + 1e-6
+
+    # 2. exact: the windowed oracle — backtrace clamped at each block's
+    # window [rstart, rstart + win - 1] instead of the grid edge
+    win = rows + 2 * halo
+    y = np.arange(h)
+    rstart = np.clip((y // rows) * rows - halo, 0, h - win)
+    yg = np.clip(y - float(dt) * vy, rstart, np.minimum(rstart + win - 1, h - 1))
+    y0 = np.floor(yg).astype(int)
+    fy = (yg - y0)[:, None]
+    want = s[y0] * (1 - fy) + s[np.minimum(y0 + 1, h - 1)] * fy
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # 3. the contract edge is genuinely crossed: blocks whose window starts
+    # above the grid edge clamp differently from the free oracle
+    free = np.asarray(jnp_advect(vel, src, dt, 0.0))
+    assert np.abs(free - got).max() > 1e-2
+
+
 def test_lane_window_plan():
     """Static column-gather plans: legacy default == span-halo plan; a tight
     same-grid displacement bound fits every output group's reach in TWO

@@ -82,7 +82,7 @@ def main(argv: Optional[list] = None) -> None:
     from tpufluid import FluidConfig, init_state, make_render, make_step
     from tpufluid.checkpoint import load_state, save_state
     from tpufluid.io import save_png
-    from tpufluid.metrics import MetricsLogger
+    from tpufluid.metrics import MetricsLogger, contract_warning
     from tpufluid.trace import Trace, swirl_trace
 
     cw, ch = (int(x) for x in args.canvas.split("x"))
@@ -143,16 +143,9 @@ def main(argv: Optional[list] = None) -> None:
             rec = logger.log(t + 1, state, config)
             print(f"step {t + 1}: max|v|={rec['max_speed']:.1f} "
                   f"E={rec['kinetic_energy']:.3g} dye={rec['dye_mass']:.3g}")
-            if rec["backtrace_speed"] > rec["halo_contract_speed"]:
-                # Out-of-contract backtraces clamp silently (bounded-sampler
-                # semantics); surface it rather than hide it. backtrace_speed
-                # is the kick-inclusive quantity the gather actually consumes
-                # (metrics re-runs the pre-advection chain), not the stored-
-                # field proxy max_component_speed.
-                print(f"  WARNING: backtrace speed {rec['backtrace_speed']:.0f}"
-                      f" texels/s exceeds the gather-halo contract "
-                      f"({rec['halo_contract_speed']:.0f}); backtraces beyond"
-                      " it clamp (docs/ARCHITECTURE.md displacement contract)")
+            warn = contract_warning(rec)
+            if warn is not None:
+                print(f"  WARNING: {warn}")
         if args.ckpt_every and (t + 1) % args.ckpt_every == 0:
             save_state(os.path.join(args.out, f"ckpt_{t + 1:06d}.npz"),
                        state, config, step=t + 1)

@@ -101,6 +101,24 @@ def diagnostics(state: FluidState, config: FluidConfig) -> dict:
     return {k: float(v) for k, v in out.items()}
 
 
+def contract_warning(rec: dict) -> Optional[str]:
+    """Warning text when a diagnostics record shows the kick-inclusive
+    backtrace speed exceeding the gather-halo contract, else None.
+    Out-of-contract backtraces clamp at the kernel's window edge (bounded-
+    sampler semantics, pinned by tests/test_pallas.py's windowed-oracle
+    test); surface the exceedance rather than hide it. backtrace_speed is
+    the quantity the gather actually consumes (the pre-advection chain
+    re-run, including the un-clamped gradient kick), not the stored-field
+    proxy max_component_speed."""
+    if rec["backtrace_speed"] > rec["halo_contract_speed"]:
+        return (f"backtrace speed {rec['backtrace_speed']:.0f} texels/s "
+                f"exceeds the gather-halo contract "
+                f"({rec['halo_contract_speed']:.0f}); backtraces beyond it "
+                "clamp at the gather window edge (docs/ARCHITECTURE.md "
+                "displacement contract)")
+    return None
+
+
 class MetricsLogger:
     """JSONL metrics stream. Each record: step index, wall time, diagnostics."""
 
