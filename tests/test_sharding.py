@@ -188,6 +188,70 @@ def test_sharded_step_same_grid_matches_single_device(shape):
         assert float(jnp.abs(x - y).max()) < tol * scale, f
 
 
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_overlap_halo_matches_monolithic_and_single(shape):
+    """OVERLAP_HALO=True splits every row-halo phase into an interior band
+    (no collective dependency — overlappable with the ppermutes on a real
+    slice) + boundary strips (parallel/sharded_step._overlap_rows). The
+    physics must be unchanged: equal to BOTH the monolithic sharded step
+    and the single-device step within the usual fp-order noise (interior
+    bands evaluate on different array extents, so XLA contracts FMAs
+    differently and gather coords pick up 1-ulp noise at floor()
+    discontinuities; pressure after one step is bit-exact).
+
+    768^2 same-grid: 96-row shards are exactly 3x the widest ghost (32),
+    so ALL phases take the split path on the rows mesh."""
+    kw = dict(SIM_RESOLUTION=768, DYE_RESOLUTION=768, CANVAS_WIDTH=768,
+              CANVAS_HEIGHT=768, MAX_SPLATS=4, USE_PALLAS=False)
+    base = FluidConfig(**kw).validate()
+    over = FluidConfig(OVERLAP_HALO=True, **kw).validate()
+    trace = swirl_trace(base, 3, seed=1)
+    mesh = make_mesh(shape=shape)
+    mono = make_sharded_step(base, mesh)
+    split = make_sharded_step(over, mesh)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, base))
+    s1 = init_state(base)
+    sm = shard_state(init_state(base), mesh)
+    so = shard_state(init_state(over), mesh)
+    for t in range(3):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        sm = mono(sm, DT, sp)
+        so = split(so, DT, sp)
+    for f, tol in (("velocity", 5e-4), ("dye", 5e-4), ("pressure", 1e-3)):
+        x = np.asarray(getattr(sm, f), np.float32)
+        y = np.asarray(getattr(so, f), np.float32)
+        z = np.asarray(getattr(s1, f), np.float32)
+        scale = max(float(np.abs(x).max()), 1e-3)
+        assert float(np.abs(x - y).max()) < tol * scale, f"{f}: vs monolithic"
+        # vs single carries the ordinary sharded-vs-single noise on top
+        # (same 3-step class as test_sharded_step_same_grid's 4-step 1e-3)
+        assert float(np.abs(z - y).max()) < 2 * 1e-3 * scale, f"{f}: vs single"
+
+
+def test_overlap_halo_small_shards_fall_back():
+    """Shards thinner than 3x the ghost width cannot host an interior band;
+    the flag must silently fall back to the monolithic path (here 8-row sim
+    shards) and still match the single-device step."""
+    cfg = FluidConfig(SIM_RESOLUTION=64, DYE_RESOLUTION=128, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, MAX_SPLATS=4, USE_PALLAS=False,
+                      OVERLAP_HALO=True).validate()
+    trace = swirl_trace(cfg, 2, seed=5)
+    mesh = make_mesh(shape=(8, 1))
+    sharded = make_sharded_step(cfg, mesh)
+    single = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    s1 = init_state(cfg)
+    s8 = shard_state(init_state(cfg), mesh)
+    for t in range(2):
+        sp = jnp.asarray(trace.batches[t])
+        s1 = single(s1, DT, sp)
+        s8 = sharded(s8, DT, sp)
+    for f in ("velocity", "dye", "pressure"):
+        x, y = np.asarray(getattr(s1, f)), np.asarray(getattr(s8, f))
+        scale = max(float(np.abs(x).max()), 1e-3)
+        assert float(np.abs(x - y).max()) < 5e-4 * scale, f
+
+
 @pytest.mark.parametrize("canvas,shape", [
     ((256, 512), (8, 1)),   # portrait, rows mesh
     ((256, 512), (4, 2)),   # portrait, 2-D mesh

@@ -81,6 +81,14 @@ class FluidConfig:
     # instead of 3 (ops/quant.py). Quantization is re-derived from bf16
     # storage every step (non-accumulating); negative dye clamps to 0.
     DYE_RGB9E5: bool = False
+    # Sharded step only: split each row-halo phase into an INTERIOR band
+    # (no data dependency on the halo ppermutes — XLA's latency-hiding
+    # scheduler can run it while the collectives fly) plus two thin
+    # boundary strips computed from the arrived ghosts
+    # (parallel/sharded_step._overlap_rows). Exact-equality-tested vs the
+    # monolithic path on the virtual 8-device mesh; the latency win itself
+    # is only measurable on a real multi-chip slice.
+    OVERLAP_HALO: bool = False
 
     # ---- derived helpers ----
 

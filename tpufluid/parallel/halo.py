@@ -17,27 +17,27 @@ from jax import lax
 from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
 
 
-def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
-                  axis: int) -> jnp.ndarray:
-    """Pad a local block with ``width`` ghost slices per side along ``axis``
-    (a positional array axis), exchanged over mesh axis ``axis_name``.
+def ghost_strips(block: jnp.ndarray, width: int, axis_name: str):
+    """The two ghost strips of a row-axis (-2) halo exchange, WITHOUT
+    concatenating them onto the block: ``(ghost_below, ghost_above)``,
+    each ``width`` rows.
 
-    Device k receives its upper ghost (slices just above its block) from
-    device k+1's first slices and its lower ghost from device k-1's last
-    slices. The first/last devices replicate their own edge slice (global
-    clamp-to-edge).
+    ``ghost_below`` holds the rows just ABOVE the block in global order
+    (from device idx-1; the global top edge replicates the block's first
+    row) and ``ghost_above`` the rows just below (from idx+1; bottom edge
+    replicates the last row). Exposed separately so the split-phase
+    (interior/boundary overlap) step can compute interior tiles with no
+    data dependency on the ppermutes and so callers can assemble thin
+    boundary strips instead of materializing a full padded copy of the
+    field. ``exchange_halo`` is ``concat([below, block, above])`` of these.
 
     ``width`` may exceed the local block extent (e.g. the flagship config's
-    dye advection needs a 136-row halo over 128-row shards): the exchange then
-    runs ceil(width / extent) neighbor hops, chaining full blocks so device k
-    sees devices k±1..k±hops. Once a chain crosses the global boundary it
-    carries the edge-replicated block, which is exactly CLAMP_TO_EDGE
-    semantics.
+    dye advection needs a 136-row halo over 128-row shards): the exchange
+    then runs ceil(width / extent) neighbor hops, chaining full blocks so
+    device k sees devices k±1..k±hops. Once a chain crosses the global
+    boundary it carries the edge-replicated block, which is exactly
+    CLAMP_TO_EDGE semantics.
     """
-    if axis != -2:
-        moved = jnp.moveaxis(block, axis, -2)
-        out = exchange_halo(moved, width, axis_name, -2)
-        return jnp.moveaxis(out, -2, axis)
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     h_loc = block.shape[-2]
@@ -59,7 +59,7 @@ def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
         edge_bottom = jnp.broadcast_to(block[..., :1, :], bottom_rows.shape)
         ghost_above = jnp.where(idx == n - 1, edge_top, ghost_above)
         ghost_below = jnp.where(idx == 0, edge_bottom, ghost_below)
-        return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
+        return ghost_below, ghost_above
 
     # Multi-hop: pass whole blocks along the ring. After hop j, `below` holds
     # device idx-1-j's block and `above` device idx+1+j's. The global-edge
@@ -82,6 +82,24 @@ def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
 
     ghost_below = jnp.concatenate(below_blocks[::-1], axis=-2)[..., -width:, :]
     ghost_above = jnp.concatenate(above_blocks, axis=-2)[..., :width, :]
+    return ghost_below, ghost_above
+
+
+def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
+                  axis: int) -> jnp.ndarray:
+    """Pad a local block with ``width`` ghost slices per side along ``axis``
+    (a positional array axis), exchanged over mesh axis ``axis_name``.
+
+    Device k receives its upper ghost (slices just above its block) from
+    device k+1's first slices and its lower ghost from device k-1's last
+    slices. The first/last devices replicate their own edge slice (global
+    clamp-to-edge). See ghost_strips for the multi-hop chaining semantics.
+    """
+    if axis != -2:
+        moved = jnp.moveaxis(block, axis, -2)
+        out = exchange_halo(moved, width, axis_name, -2)
+        return jnp.moveaxis(out, -2, axis)
+    ghost_below, ghost_above = ghost_strips(block, width, axis_name)
     return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
 
 

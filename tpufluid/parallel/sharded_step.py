@@ -54,7 +54,7 @@ from jax.sharding import PartitionSpec as P
 from tpufluid.config import FluidConfig
 from tpufluid.ops.pallas import dispatch as K
 from tpufluid.ops.splat import SPLAT_B, SPLAT_DX, SPLAT_DY, SPLAT_R, splat_factors
-from tpufluid.parallel.halo import exchange_halo
+from tpufluid.parallel.halo import exchange_halo, ghost_strips
 from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS, make_mesh, state_specs
 from tpufluid.state import FluidState
 
@@ -222,6 +222,63 @@ def overhead_report(config: FluidConfig, mesh_shape) -> dict:
                 sum(p["overcompute_frac"] for p in phases) / len(phases), 4)}
 
 
+def _overlap_rows(g: int, operands, op):
+    """Split-phase (interior/boundary-overlap) row application of a
+    halo-padded phase: compute ``op`` on an INTERIOR band that depends only
+    on local data — XLA's latency-hiding scheduler is then free to run it
+    while the halo ppermutes fly — plus two thin boundary strips assembled
+    from the arrived ghosts, and concatenate the three bands.
+
+    operands: list of ``(block, ghost_below, ghost_above)`` (from
+    halo.ghost_strips), all sharing the local row extent ``h_loc``.
+    op(envs, r0) -> result pytree with the envs' row extent, where ``r0``
+    is the env's first row in g-padded coordinates [0, h_loc + 2g) —
+    callers use it to slice row-indexed splat factors and shift true-wall
+    bounds. Returns the result cropped to the h_loc center rows.
+
+    EXACTNESS (the reason this equals the monolithic padded call, pinned by
+    tests/test_sharding.py):
+      * every dispatch op clamps reads at its array edges (CLAMP_TO_EDGE /
+        edge-clamped shifts), so a wrong edge contaminates at most its
+        dependency reach d rows inward — and every phase's reach satisfies
+        d <= g by the same sizing that chose its ghost width (stencil
+        chains d<=3, gathers d<=ceil(disp)+1, k-sweep Jacobi d=k<20<32);
+      * the interior band keeps padded rows [2g, h), >= g >= d rows from
+        the local block's (wrong for ridx>0) edges;
+      * each boundary strip env spans g ghost rows + 2g local rows; its
+        kept g rows sit >= g from both env edges, and the env's outer edge
+        IS the padded array's edge, where the monolithic kernel applies the
+        identical clamp.
+    Requires h_loc >= 3g (callers gate and fall back to the monolithic
+    path otherwise)."""
+    h_loc = operands[0][0].shape[-2]
+    lo = 2 * g
+    interior = op([x for x, _, _ in operands], g)
+    top = op([jnp.concatenate([gb, x[..., :lo, :]], axis=-2)
+              for x, gb, _ in operands], 0)
+    bot = op([jnp.concatenate([x[..., -lo:, :], ga], axis=-2)
+              for x, _, ga in operands], g + h_loc - lo)
+    parts = [
+        jax.tree.map(lambda a: a[..., g:2 * g, :], top),
+        jax.tree.map(lambda a: a[..., g:h_loc - g, :], interior),
+        jax.tree.map(lambda a: a[..., lo - g:lo, :], bot),
+    ]
+    return jax.tree.map(lambda *bs: jnp.concatenate(bs, axis=-2), *parts)
+
+
+def _mirror_row_strips(x, gb, ga, width: int, axis_name: str):
+    """Rewrite row ghost STRIPS that fall outside the global grid with the
+    local mirror (ghost at global index -k := index k-1; bottom symmetric) —
+    the strip analog of _mirror_wall_ghosts, used by the split-phase Jacobi.
+    At a wall the mirrored source rows are the shard's own first/last
+    ``width`` rows, so no collective is involved."""
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    gb = jnp.where(idx == 0, jnp.flip(x[..., :width, :], axis=-2), gb)
+    ga = jnp.where(idx == n - 1, jnp.flip(x[..., -width:, :], axis=-2), ga)
+    return gb, ga
+
+
 def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """The shard_map body: halo exchanges around the shared dispatch ops."""
     dt = jnp.minimum(jnp.asarray(dt, jnp.float32), MAX_DT)  # calcDeltaTime clamp
@@ -260,19 +317,45 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
                              col0=col0, w_total=w_total)
 
     gc = 0 if nx == 1 else _GC
+    overlap = config.OVERLAP_HALO
+
+    def colpad(x, wc):
+        """Column halo exchange only (the row axis is what the split-phase
+        path overlaps; columns — absent on rows-only meshes — are exchanged
+        up front)."""
+        return exchange_halo(x, wc, COL_AXIS, -1) if wc else x
 
     # ---- splat + curl + vorticity + divergence (one fused pass, wall
     #      positions passed as traced bounds) ----
     g = _G_STENCIL
-    vel_pad = exch2d(vel, g, gc)
     gy_v, gx_v, amt_v = factors(h_loc + 2 * g, w_loc + 2 * gc,
                                 slice(SPLAT_DX, SPLAT_DY + 1),
                                 ridx * h_loc - g, cidx * w_loc - gc, sh_g, sw)
-    velp, div = K.pre_pressure(vel_pad, config.CURL, dt,
-                               splat_factors=(gy_v, gx_v, amt_v),
-                               true_bounds=wall_bounds(g, gc, h_loc, w_loc))
-    vel = velp[:, g:-g, gc:gc + w_loc]
-    div = div[g:-g, gc:gc + w_loc]
+    if overlap and h_loc >= 3 * g:
+        vc = colpad(vel, gc)
+        vgb, vga = ghost_strips(vc, g, ROW_AXIS)
+
+        def op_pre(envs, r0):
+            (venv,) = envs
+            eh = venv.shape[-2]
+            tb = (jnp.where(ridx == 0, g - r0, -_BIG),
+                  jnp.where(ridx == ny - 1, g - r0 + h_loc - 1, _BIG),
+                  jnp.where(cidx == 0, gc, -_BIG),
+                  jnp.where(cidx == nx - 1, gc + w_loc - 1, _BIG))
+            return K.pre_pressure(venv, config.CURL, dt,
+                                  splat_factors=(gy_v[r0:r0 + eh], gx_v, amt_v),
+                                  true_bounds=tb)
+
+        velp, div = _overlap_rows(g, [(vc, vgb, vga)], op_pre)
+        vel = velp[:, :, gc:gc + w_loc]
+        div = div[:, gc:gc + w_loc]
+    else:
+        vel_pad = exch2d(vel, g, gc)
+        velp, div = K.pre_pressure(vel_pad, config.CURL, dt,
+                                   splat_factors=(gy_v, gx_v, amt_v),
+                                   true_bounds=wall_bounds(g, gc, h_loc, w_loc))
+        vel = velp[:, g:-g, gc:gc + w_loc]
+        div = div[g:-g, gc:gc + w_loc]
 
     # ---- pressure: warm start + Jacobi, 20 sweeps per mirror-ghost halo ----
     p = state.pressure
@@ -289,6 +372,30 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
 
     if iters == 0:
         p = (p.astype(jnp.float32) * config.PRESSURE).astype(p.dtype)
+    elif overlap and h_loc >= 3 * gj:
+        def colpad_mirror(x):
+            if not gc:
+                return x
+            return _mirror_wall_ghosts(exchange_halo(x, gc, COL_AXIS, -1),
+                                       gc, cidx, w_loc, sw, -1)
+
+        divc = colpad_mirror(div)
+        dgb, dga = _mirror_row_strips(divc, *ghost_strips(divc, gj, ROW_AXIS),
+                                      width=gj, axis_name=ROW_AXIS)
+        done = 0
+        while done < iters:
+            k = min(_JACOBI_SWEEPS_PER_EXCHANGE, iters - done)
+            prescale = config.PRESSURE if done == 0 else 1.0
+            pc = colpad_mirror(p)
+            pgb, pga = _mirror_row_strips(pc, *ghost_strips(pc, gj, ROW_AXIS),
+                                          width=gj, axis_name=ROW_AXIS)
+
+            def op_jac(envs, r0, k=k, prescale=prescale):
+                return K.jacobi_pressure(envs[0], envs[1], k, prescale=prescale)
+
+            p = _overlap_rows(gj, [(pc, pgb, pga), (divc, dgb, dga)],
+                              op_jac)[:, gc:gc + w_loc]
+            done += k
     else:
         div_pad = jacobi_pad(div)
         done = 0
@@ -302,12 +409,36 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     # ---- projection, then velocity self-advection (the same split the
     #      single-device dispatch uses; single-layer clamp == replicas) ----
     gs = _G_STENCIL
-    vel = K.gradient_subtract(exch2d(vel, gs, gc),
-                              exch2d(p, gs, gc))[:, gs:-gs, gc:gc + w_loc]
+    if overlap and h_loc >= 3 * gs:
+        vc = colpad(vel, gc)
+        pcs = colpad(p, gc)
+        vgb, vga = ghost_strips(vc, gs, ROW_AXIS)
+        pgb, pga = ghost_strips(pcs, gs, ROW_AXIS)
+
+        def op_grad(envs, r0):
+            return K.gradient_subtract(envs[0], envs[1])
+
+        vel = _overlap_rows(gs, [(vc, vgb, vga), (pcs, pgb, pga)],
+                            op_grad)[:, :, gc:gc + w_loc]
+    else:
+        vel = K.gradient_subtract(exch2d(vel, gs, gc),
+                                  exch2d(p, gs, gc))[:, gs:-gs, gc:gc + w_loc]
     gv = _G_VEL
-    vel_pad = exch2d(vel, gv, gc)
-    vel = K.advect_same_grid(vel_pad, vel_pad, dt, config.VELOCITY_DISSIPATION,
-                             max_disp, max_disp)[:, gv:-gv, gc:gc + w_loc]
+    if overlap and h_loc >= 3 * gv:
+        vc = colpad(vel, gc)
+        vgb, vga = ghost_strips(vc, gv, ROW_AXIS)
+
+        def op_vadv(envs, r0):
+            return K.advect_same_grid(envs[0], envs[0], dt,
+                                      config.VELOCITY_DISSIPATION,
+                                      max_disp, max_disp)
+
+        vel = _overlap_rows(gv, [(vc, vgb, vga)], op_vadv)[:, :, gc:gc + w_loc]
+    else:
+        vel_pad = exch2d(vel, gv, gc)
+        vel = K.advect_same_grid(vel_pad, vel_pad, dt,
+                                 config.VELOCITY_DISSIPATION,
+                                 max_disp, max_disp)[:, gv:-gv, gc:gc + w_loc]
 
     # ---- dye advection at dye resolution, splat fused ----
     # Velocity resampled PER SHARD at the padded dye block's global texel
@@ -315,8 +446,42 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     # script.js:773-777), rescaled to dye-texels/s.
     gd = dye_halo_width(config)
     gdc = 0 if nx == 1 else dye_halo_width_cols(config)
+    same_grid = (sw, sh_g) == (dw, dh_g)
+    gy_d, gx_d, amt_d = factors(hd_loc + 2 * gd, wd_loc + 2 * gdc,
+                                slice(SPLAT_R, SPLAT_B + 1),
+                                ridx * hd_loc - gd, cidx * wd_loc - gdc,
+                                dh_g, dw)
+    # DYE_RGB9E5 carries straight into the per-shard gather: the packing is
+    # POINTWISE (ops/quant.py), and halo ghosts hold the neighbor blocks'
+    # true values, so the quantized padded block equals the quantized global
+    # field restricted to the window — sharded-vs-single equality holds
+    # exactly as for the unquantized path.
+    dye_quant = ("rgb9e5" if config.DYE_RGB9E5
+                 and config.dtype == jnp.bfloat16 else None)
+    if same_grid and overlap and hd_loc >= 3 * gd:
+        # Split-phase dye advection (same-grid layouts only — the
+        # cross-resolution resample's shard-global coordinates stay on the
+        # monolithic path).
+        dc = colpad(dye, gdc)
+        vc = colpad(vel, gdc)
+        dgb, dga = ghost_strips(dc, gd, ROW_AXIS)
+        vgb, vga = ghost_strips(vc, gd, ROW_AXIS)
+
+        def op_dye(envs, r0):
+            venv, denv = envs
+            eh = denv.shape[-2]
+            return K.advect_same_grid(
+                venv, denv, dt, config.DENSITY_DISSIPATION,
+                max_disp * dh_g / sh_g, max_disp * dw / sw,
+                splat_factors=(gy_d[r0:r0 + eh], gx_d, amt_d),
+                quant=dye_quant)
+
+        dye = _overlap_rows(gd, [(vc, vgb, vga), (dc, dgb, dga)],
+                            op_dye)[:, :, gdc:gdc + wd_loc]
+        return FluidState(velocity=vel, dye=dye, pressure=p)
+
     dye_pad = exch2d(dye, gd, gdc)
-    if (sw, sh_g) == (dw, dh_g):
+    if same_grid:
         # Same-grid dye (headline / 16K configs): the dye-texel-center
         # velocity IS the velocity field — skip the resample entirely. The
         # exchanged ghosts replicate the edge row/column at walls, exactly
@@ -338,17 +503,6 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
         vel_d = _sample_2d(vel_pad1.astype(jnp.float32), row_coords, col_coords)
         vel_d = jnp.stack([vel_d[0] * (dw / sw), vel_d[1] * (dh_g / sh_g)])
 
-    gy_d, gx_d, amt_d = factors(hd_loc + 2 * gd, wd_loc + 2 * gdc,
-                                slice(SPLAT_R, SPLAT_B + 1),
-                                ridx * hd_loc - gd, cidx * wd_loc - gdc,
-                                dh_g, dw)
-    # DYE_RGB9E5 carries straight into the per-shard gather: the packing is
-    # POINTWISE (ops/quant.py), and halo ghosts hold the neighbor blocks'
-    # true values, so the quantized padded block equals the quantized global
-    # field restricted to the window — sharded-vs-single equality holds
-    # exactly as for the unquantized path.
-    dye_quant = ("rgb9e5" if config.DYE_RGB9E5
-                 and config.dtype == jnp.bfloat16 else None)
     dye = K.advect_same_grid(vel_d, dye_pad, dt, config.DENSITY_DISSIPATION,
                              max_disp * dh_g / sh_g, max_disp * dw / sw,
                              splat_factors=(gy_d, gx_d, amt_d),
