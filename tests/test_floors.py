@@ -94,3 +94,33 @@ def test_jacobi_cell_sweeps_multi_chunk():
                       CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
                       PRESSURE_ITERATIONS=20, DTYPE="bfloat16").validate()
     assert fl.jacobi_cell_sweeps(cfg) * 20 == fl.jacobi_cell_sweeps(one) * 45
+
+
+def test_north_star_projection_round6_numbers():
+    """The issue-rate north-star derivation pinned at the committed round-6
+    measurements (docs/BENCH.md per-kernel table, out/jobs/b59): the
+    projection must reproduce the documented predicted headline — ~4.8k on
+    a full v5e, >= 10k on a v5p under the conservative x2-TensorCore VPU
+    scaling — and the rgb9e5 variant must only help."""
+    cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
+                      CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
+                      DTYPE="bfloat16", MAX_SPLATS=8).validate()
+    floors = {
+        "velocity_gather": {"measured_us": 340.0, "taa_rows": 100000},
+        "dye_gather": {"measured_us": 542.0, "taa_rows": 200000},
+        "jacobi": {"measured_us": 105.8},
+        "kernel_total_us": 1026.0, "step_us": 1083.0,
+    }
+    p = fl.north_star_projection(floors, 245.0, 36.0, cfg)
+    assert abs(p["slice_compute_fraction_of_v5e"] - 36.0 / 197.0) < 1e-3
+    assert 4000 < p["predicted_v5e_steps_per_s"] < 6000
+    cons = p["predicted_v5p_steps_per_s_conservative"]
+    opt = p["predicted_v5p_steps_per_s_optimistic"]
+    assert 9000 < cons < opt < 14000
+    assert p["predicted_v5p_steps_per_s_conservative_rgb9e5"] > cons
+    assert p["north_star_10k_reachable"] is True
+    assert p["gather_taa_rows_per_step"] == 300000
+    # monotonicity: a slower slice (bigger fraction of the chip already
+    # used) predicts a SMALLER speedup headroom
+    p2 = fl.north_star_projection(floors, 245.0, 72.0, cfg)
+    assert p2["predicted_v5e_steps_per_s"] < p["predicted_v5e_steps_per_s"]

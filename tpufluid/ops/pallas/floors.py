@@ -343,6 +343,107 @@ def profile_step_kernels(config, state, dt, steps: int = 30) -> dict:
     return out
 
 
+# Public per-chip specs (jax-ml.github.io/scaling-book hardware tables).
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+V5E_TENSORCORES = 1
+V5P_BF16_TFLOPS = 459.0
+V5P_HBM_GBPS = 2765.0
+V5P_TENSORCORES = 2
+
+
+def measure_bf16_tflops(n: int = 4096, reps: int = 8) -> float:
+    """Achieved bf16 matmul TFLOP/s on THIS slice — the compute-fraction
+    numerator for the issue-rate north-star projection (the slice is a
+    fractional partition of a v5e chip, so MXU/VPU/clock scale together
+    and matmul throughput measures the fraction). A scan-chained
+    (n,n)@(n,n) bf16 matmul with f32 accumulation; the per-iteration
+    renormalize keeps values finite and costs O(n^2) << the O(n^3) matmul."""
+    x = (jnp.eye(n, dtype=jnp.float32) * 1.0001).astype(jnp.bfloat16)
+
+    @jax.jit
+    def run(c):
+        def body(c, _):
+            acc = jax.lax.dot(c, c, preferred_element_type=jnp.float32)
+            return (acc / jnp.maximum(jnp.max(jnp.abs(acc)), 1.0)
+                    ).astype(jnp.bfloat16), None
+        return lax.scan(body, c, None, length=reps)[0]
+
+    float(jnp.sum(run(x).astype(jnp.float32)))  # compile + sync
+    t0 = time.perf_counter()
+    float(jnp.sum(run(x).astype(jnp.float32)))
+    sec = time.perf_counter() - t0
+    return reps * 2 * n ** 3 / sec / 1e12
+
+
+def north_star_projection(floors: dict, device_bw_gbps: float,
+                          slice_tflops: float, config) -> dict:
+    """Projected 1024^2/20-Jacobi headline on a full v5e and a v5p chip,
+    derived from THIS slice's measured per-kernel times on the ISSUE-RATE
+    axis (the round-2 verdict: the step is NOT HBM-bound — hbm_utilization
+    ~0.2, gathers ~83%% of the step at the dynamic_gather issue rate — so
+    the old HBM-ratio extrapolation was the wrong axis).
+
+    Stated assumptions, each checkable:
+      * slice -> full v5e: every compute unit scales by the measured
+        compute fraction slice_tflops / 197 (a fractional slice partitions
+        whole cores; measure_bf16_tflops pins the numerator per round);
+      * v5e -> v5p VPU/gather issue: the CONSERVATIVE basis is x2
+        TensorCores (dynamic_gather runs on the VPU, one per core); the
+        OPTIMISTIC basis is the x2.33 bf16 TFLOP ratio (part of which is
+        MXU width the gathers cannot use). Both are reported;
+      * the streaming stencil and the XLA glue (step - kernels) scale with
+        the HBM bandwidth ratio;
+      * kernel structure unchanged; the rgb9e5 packed-dye lever (dye
+        gather x2/3 trip work) is reported as a separate variant.
+    """
+    vel = floors["velocity_gather"]["measured_us"]
+    dye = floors["dye_gather"]["measured_us"]
+    jac = floors["jacobi"]["measured_us"]
+    stencil_bytes = (5 * config.sim_size[0] * config.sim_size[1]
+                     * _state_itemsize(config))
+    glue = max(floors["step_us"] - floors["kernel_total_us"], 0.0)
+
+    def project(issue_scale: float, hbm_gbps: float) -> float:
+        t = ((vel + dye + jac) * issue_scale
+             + stencil_bytes / (hbm_gbps * 1e3)
+             + glue * device_bw_gbps / hbm_gbps)
+        return round(1e6 / t, 0)
+
+    frac = slice_tflops / V5E_BF16_TFLOPS
+    v5p_cons = frac / (V5P_TENSORCORES / V5E_TENSORCORES)
+    v5p_opt = frac / (V5P_BF16_TFLOPS / V5E_BF16_TFLOPS)
+    out = {
+        "slice_tflops_bf16": round(slice_tflops, 1),
+        "slice_compute_fraction_of_v5e": round(frac, 3),
+        "gather_taa_rows_per_step": (floors["velocity_gather"]["taa_rows"]
+                                     + floors["dye_gather"]["taa_rows"]),
+        "predicted_v5e_steps_per_s": project(frac, V5E_HBM_GBPS),
+        "predicted_v5p_steps_per_s_conservative": project(v5p_cons,
+                                                          V5P_HBM_GBPS),
+        "predicted_v5p_steps_per_s_optimistic": project(v5p_opt,
+                                                        V5P_HBM_GBPS),
+    }
+    # rgb9e5 variant: the packed dye drops 3 -> 2 gathers/trip, i.e. the
+    # dye gather's trip work falls to ~2/3 (the staging/roll overhead it
+    # keeps makes this a lower bound on its time, so the projection is a
+    # mild overestimate — flagged as such).
+    dye23 = dye * (2.0 / 3.0)
+
+    def project_rgb(issue_scale, hbm_gbps):
+        t = ((vel + dye23 + jac) * issue_scale
+             + stencil_bytes / (hbm_gbps * 1e3)
+             + glue * device_bw_gbps / hbm_gbps)
+        return round(1e6 / t, 0)
+
+    out["predicted_v5p_steps_per_s_conservative_rgb9e5"] = project_rgb(
+        v5p_cons, V5P_HBM_GBPS)
+    out["north_star_10k_reachable"] = bool(
+        out["predicted_v5p_steps_per_s_conservative"] >= 10000.0
+        or out["predicted_v5p_steps_per_s_conservative_rgb9e5"] >= 10000.0)
+    return out
+
+
 def floor_report(config, state, dt, device_bw_gbps: float,
                  measured_steps_per_s: float) -> dict:
     """Per-kernel evidence table for one step (see module docstring):
@@ -402,4 +503,12 @@ def floor_report(config, state, dt, device_bw_gbps: float,
         "step_us": round(step_us, 1),
         "step_coverage": round(tot_m / step_us, 3),
     })
+    # Issue-rate north-star projection (VERDICT r2 #3): a checkable
+    # predicted full-v5e / v5p headline with stated assumptions, replacing
+    # "the rest is hardware".
+    try:
+        out["north_star"] = north_star_projection(
+            out, device_bw_gbps, measure_bf16_tflops(), config)
+    except Exception as e:  # the projection must never sink the report
+        out["north_star_error"] = f"{type(e).__name__}: {e}"
     return out
