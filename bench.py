@@ -211,6 +211,12 @@ def _parse_args() -> argparse.Namespace:
                    help="bfloat16 configs: pack the 3-channel dye into one "
                         "uint32 per texel for the gather (shared-exponent "
                         "RGB9E5, ops/quant.py) — 2 gathers/trip instead of 3")
+    p.add_argument("--overlap", action="store_true",
+                   help="with --sharded: split-phase interior/boundary step "
+                        "(config.OVERLAP_HALO) — interior bands carry no "
+                        "collective dependency AND run on unpadded "
+                        "power-of-two block heights (better kernel tiles "
+                        "at 16K than the monolithic padded blocks)")
     p.add_argument("--sharded", action="store_true",
                    help="run the shard_map step (2-D mesh over all visible "
                         "devices, halo-exchange collectives, the SAME Pallas "
@@ -228,7 +234,8 @@ def _run(args: argparse.Namespace) -> dict:
                            else "float32")
 
     def mkcfg(**kw):
-        return FluidConfig(DYE_RGB9E5=args.rgb9e5, **kw).validate()
+        return FluidConfig(DYE_RGB9E5=args.rgb9e5,
+                           OVERLAP_HALO=args.overlap, **kw).validate()
     it = args.jacobi_iters
     tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 
@@ -278,6 +285,8 @@ def _run(args: argparse.Namespace) -> dict:
         metric += ", rgb9e5-packed dye"
     if args.sharded and args.config != 2:
         metric += ", sharded (shard_map mesh over visible devices)"
+        if args.overlap:
+            metric += ", split-phase overlap"
     out = {
         "metric": metric,
         "value": round(value, 2),

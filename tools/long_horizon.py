@@ -1,0 +1,141 @@
+"""BASELINE config #4 long-horizon stability / energy-decay artifact.
+
+Runs the full fluid step for --steps steps (splat input for the first
+--splat-steps, then free decay), logging diagnostics every --chunk steps
+(scan-chunked: per-step dispatch would dominate on both the CPU and the
+tunneled TPU), and writes:
+
+  <out>/metrics.jsonl   one diagnostics record per chunk
+  <out>/summary.json    the stability claims, checked:
+      nonfinite == 0 throughout; backtrace_speed inside
+      halo_contract_speed (no silent gather clamping, ever); kinetic
+      energy decaying strongly post-input with bounded transient upticks
+      (vorticity confinement is an anti-dissipation term by design, so
+      strict monotonicity is NOT the physics — the 512^2 CPU artifact
+      measured <= 3.2% upticks per 50-step window inside a 256x overall
+      decay); div_rms bounded. max_component_speed is REPORTED, not
+      asserted at 1000: the reference's +/-1000 clamp applies
+      pre-projection and the un-halved gradient kick is never re-clamped
+      (script.js:863,892-913), so the stored field can transiently exceed
+      it (measured peak 1016 = +1.6%) — faithful behavior, and the
+      contract check above is the one that guards the gather.
+
+  python tools/long_horizon.py --res 512 --dtype float32 --out out/lh512
+  python tools/long_horizon.py --res 4096 --dtype bfloat16 \
+      --out out/long_horizon_4096   # the BASELINE #4 device artifact
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--res", type=int, default=512)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--steps", type=int, default=5000)
+    p.add_argument("--splat-steps", type=int, default=500)
+    p.add_argument("--chunk", type=int, default=50)
+    p.add_argument("--jacobi-iters", type=int, default=20)
+    p.add_argument("--out", default="out/long_horizon")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (jax.config; the env var is "
+                        "overridden by the axon sitecustomize)")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.metrics import MetricsLogger, contract_warning
+    from tpufluid.step import make_multi_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=args.res, DYE_RESOLUTION=args.res,
+                      CANVAS_WIDTH=args.res, CANVAS_HEIGHT=args.res,
+                      PRESSURE_ITERATIONS=args.jacobi_iters,
+                      DTYPE=args.dtype, MAX_SPLATS=8).validate()
+    os.makedirs(args.out, exist_ok=True)
+    trace = swirl_trace(cfg, args.splat_steps, seed=11)
+    batches = np.asarray(trace.batches, np.float32)
+    none_batch = np.zeros_like(batches[:args.chunk])
+    multi = make_multi_step(cfg)
+    state = init_state(cfg)
+    dt = jnp.float32(1.0 / 60.0)
+
+    logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+    records = []
+    t0 = time.time()
+    step = 0
+    warned = 0
+    while step < args.steps:
+        n = min(args.chunk, args.steps - step)
+        if step < args.splat_steps:
+            chunk = batches[step:step + n]
+            if len(chunk) < n:  # input tail shorter than the chunk
+                chunk = np.concatenate([chunk, none_batch[:n - len(chunk)]])
+        else:
+            chunk = none_batch[:n]
+        state = multi(state, dt, jnp.asarray(chunk))
+        step += n
+        rec = logger.log(step, state, cfg)
+        records.append(rec)
+        if contract_warning(rec):
+            warned += 1
+        if step % (args.chunk * 10) == 0 or step == args.steps:
+            print(f"step {step}/{args.steps}: max|v|={rec['max_speed']:.1f} "
+                  f"E={rec['kinetic_energy']:.4g} div_rms={rec['div_rms']:.3g} "
+                  f"nonfinite={rec['nonfinite']:.0f}", flush=True)
+    elapsed = time.time() - t0
+    logger.close()
+
+    # ---- the stability claims ----
+    post = [r for r in records if r["step"] > args.splat_steps]
+    energies = [r["kinetic_energy"] for r in post]
+    upticks = [max(0.0, b - a) / max(a, 1e-9)
+               for a, b in zip(energies, energies[1:])]
+    summary = {
+        "config": {"res": args.res, "dtype": args.dtype, "steps": args.steps,
+                   "splat_steps": args.splat_steps,
+                   "jacobi_iters": args.jacobi_iters},
+        "steps_per_s": round(args.steps / elapsed, 2),
+        "nonfinite_total": sum(r["nonfinite"] for r in records),
+        "max_component_speed_peak": max(r["max_component_speed"]
+                                        for r in records),
+        "backtrace_speed_peak": max(r["backtrace_speed"] for r in records),
+        "halo_contract_speed": records[-1]["halo_contract_speed"],
+        "contract_warnings": warned,
+        "energy_at_input_stop": energies[0] if energies else None,
+        "energy_final": energies[-1] if energies else None,
+        "energy_decay_ratio": (energies[-1] / energies[0]
+                               if energies and energies[0] else None),
+        "energy_max_uptick_frac": max(upticks) if upticks else 0.0,
+        "div_rms_final": records[-1]["div_rms"],
+        "div_rms_peak": max(r["div_rms"] for r in records),
+        "dye_max_final": records[-1]["dye_max"],
+    }
+    summary["ok"] = bool(
+        summary["nonfinite_total"] == 0
+        and summary["backtrace_speed_peak"]
+        <= summary["halo_contract_speed"]
+        and summary["energy_final"] < 0.25 * summary["energy_at_input_stop"]
+        and summary["energy_max_uptick_frac"] < 0.10)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

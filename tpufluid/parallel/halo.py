@@ -17,10 +17,12 @@ from jax import lax
 from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
 
 
-def ghost_strips(block: jnp.ndarray, width: int, axis_name: str):
-    """The two ghost strips of a row-axis (-2) halo exchange, WITHOUT
+def ghost_strips(block: jnp.ndarray, width: int, axis_name: str,
+                 axis: int = -2):
+    """The two ghost strips of a halo exchange along ``axis`` (-2 rows or
+    -1 columns, both sliced natively — no transposes), WITHOUT
     concatenating them onto the block: ``(ghost_below, ghost_above)``,
-    each ``width`` rows.
+    each ``width`` slices.
 
     ``ghost_below`` holds the rows just ABOVE the block in global order
     (from device idx-1; the global top edge replicates the block's first
@@ -38,25 +40,33 @@ def ghost_strips(block: jnp.ndarray, width: int, axis_name: str):
     boundary it carries the edge-replicated block, which is exactly
     CLAMP_TO_EDGE semantics.
     """
+    assert axis in (-1, -2)
+
+    def first(x, k):
+        return x[..., :k, :] if axis == -2 else x[..., :k]
+
+    def last(x, k):
+        return x[..., -k:, :] if axis == -2 else x[..., -k:]
+
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
-    h_loc = block.shape[-2]
+    h_loc = block.shape[axis]
     hops = -(-width // h_loc)
 
     up_perm = [(i, i + 1) for i in range(n - 1)]   # block flows to higher idx
     dn_perm = [(i + 1, i) for i in range(n - 1)]   # block flows to lower idx
 
     if hops == 1:
-        top_rows = block[..., -width:, :]     # -> neighbor above's lower ghost
-        bottom_rows = block[..., :width, :]   # -> neighbor below's upper ghost
+        top_rows = last(block, width)     # -> neighbor above's lower ghost
+        bottom_rows = first(block, width)  # -> neighbor below's upper ghost
         if n > 1:
             ghost_above = lax.ppermute(bottom_rows, axis_name, dn_perm)
             ghost_below = lax.ppermute(top_rows, axis_name, up_perm)
         else:
             ghost_above = jnp.zeros_like(bottom_rows)
             ghost_below = jnp.zeros_like(top_rows)
-        edge_top = jnp.broadcast_to(block[..., -1:, :], top_rows.shape)
-        edge_bottom = jnp.broadcast_to(block[..., :1, :], bottom_rows.shape)
+        edge_top = jnp.broadcast_to(last(block, 1), top_rows.shape)
+        edge_bottom = jnp.broadcast_to(first(block, 1), bottom_rows.shape)
         ghost_above = jnp.where(idx == n - 1, edge_top, ghost_above)
         ghost_below = jnp.where(idx == 0, edge_bottom, ghost_below)
         return ghost_below, ghost_above
@@ -65,8 +75,8 @@ def ghost_strips(block: jnp.ndarray, width: int, axis_name: str):
     # device idx-1-j's block and `above` device idx+1+j's. The global-edge
     # devices substitute their edge-replicated block every hop, so chains that
     # run off the grid keep carrying the clamped edge row.
-    edge_lo = jnp.broadcast_to(block[..., :1, :], block.shape)
-    edge_hi = jnp.broadcast_to(block[..., -1:, :], block.shape)
+    edge_lo = jnp.broadcast_to(first(block, 1), block.shape)
+    edge_hi = jnp.broadcast_to(last(block, 1), block.shape)
     below_blocks = []
     above_blocks = []
     below = block
@@ -80,8 +90,8 @@ def ghost_strips(block: jnp.ndarray, width: int, axis_name: str):
         below_blocks.append(below)
         above_blocks.append(above)
 
-    ghost_below = jnp.concatenate(below_blocks[::-1], axis=-2)[..., -width:, :]
-    ghost_above = jnp.concatenate(above_blocks, axis=-2)[..., :width, :]
+    ghost_below = last(jnp.concatenate(below_blocks[::-1], axis=axis), width)
+    ghost_above = first(jnp.concatenate(above_blocks, axis=axis), width)
     return ghost_below, ghost_above
 
 
@@ -95,12 +105,12 @@ def exchange_halo(block: jnp.ndarray, width: int, axis_name: str,
     slices. The first/last devices replicate their own edge slice (global
     clamp-to-edge). See ghost_strips for the multi-hop chaining semantics.
     """
-    if axis != -2:
+    if axis not in (-1, -2):
         moved = jnp.moveaxis(block, axis, -2)
         out = exchange_halo(moved, width, axis_name, -2)
         return jnp.moveaxis(out, -2, axis)
-    ghost_below, ghost_above = ghost_strips(block, width, axis_name)
-    return jnp.concatenate([ghost_below, block, ghost_above], axis=-2)
+    ghost_below, ghost_above = ghost_strips(block, width, axis_name, axis)
+    return jnp.concatenate([ghost_below, block, ghost_above], axis=axis)
 
 
 def exchange_halo_rows(block: jnp.ndarray, width: int,

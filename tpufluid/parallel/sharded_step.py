@@ -130,22 +130,6 @@ def vel_resample_pad(config: FluidConfig) -> int:
     return max(2, need_r, need_c)
 
 
-def _mirror_wall_ghosts(pad, width: int, idx, loc: int, total: int, axis: int):
-    """Rewrite ghost slices that fall OUTSIDE the global grid with the MIRROR
-    of the slices just inside the wall (ghost at global index -k := index
-    k-1; top wall symmetric). The mirror is the fixed point that makes
-    iterated symmetric sweeps equal clamped boundary reads (module
-    docstring). Applied per axis; the mirrored sources provably lie within
-    the device's own exchanged pad."""
-    hp = pad.shape[axis]
-    base = idx * loc - width
-    gr = base + jnp.arange(hp)
-    m = jnp.where(gr < 0, -gr - 1,
-                  jnp.where(gr > total - 1, 2 * total - 1 - gr, gr))
-    src = jnp.clip(m - base, 0, hp - 1)
-    return jnp.take(pad, src, axis=axis)
-
-
 def _sample_2d(tex, row_coords, col_coords):
     """Separable bilinear sample of (..., h, w) at explicit row/col coords
     (texel units, local to ``tex``, CLAMP_TO_EDGE). The shard-aware
@@ -266,17 +250,65 @@ def _overlap_rows(g: int, operands, op):
     return jax.tree.map(lambda *bs: jnp.concatenate(bs, axis=-2), *parts)
 
 
-def _mirror_row_strips(x, gb, ga, width: int, axis_name: str):
-    """Rewrite row ghost STRIPS that fall outside the global grid with the
-    local mirror (ghost at global index -k := index k-1; bottom symmetric) —
-    the strip analog of _mirror_wall_ghosts, used by the split-phase Jacobi.
-    At a wall the mirrored source rows are the shard's own first/last
-    ``width`` rows, so no collective is involved."""
+def _mirror_row_strips(x, gb, ga, width: int, axis_name: str,
+                       axis: int = -2):
+    """Rewrite ghost STRIPS that fall outside the global grid with the
+    local mirror (ghost at global index -k := index k-1; far side
+    symmetric: ghost at global index H-1+k := index H-k — the fixed point
+    that makes iterated symmetric sweeps equal clamped boundary reads, see
+    module docstring). Used by the Jacobi paths. At a wall the mirrored
+    source slices are the shard's own first/last ``width`` slices, so no
+    collective is involved and no full-field take() is materialized."""
+    assert width <= x.shape[axis], \
+        "strip mirror is single-hop only (ghost deeper than the shard " \
+        "can cross a wall on NON-edge devices — use _mirror_wall_ghosts)"
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
-    gb = jnp.where(idx == 0, jnp.flip(x[..., :width, :], axis=-2), gb)
-    ga = jnp.where(idx == n - 1, jnp.flip(x[..., -width:, :], axis=-2), ga)
+    if axis == -2:
+        mt = jnp.flip(x[..., :width, :], axis=-2)
+        mb = jnp.flip(x[..., -width:, :], axis=-2)
+    else:
+        mt = jnp.flip(x[..., :width], axis=-1)
+        mb = jnp.flip(x[..., -width:], axis=-1)
+    gb = jnp.where(idx == 0, mt, gb)
+    ga = jnp.where(idx == n - 1, mb, ga)
     return gb, ga
+
+
+def _mirror_wall_ghosts(pad, width: int, idx, loc: int, total: int, axis: int):
+    """Rewrite ghost slices that fall OUTSIDE the global grid with the MIRROR
+    of the slices just inside the wall (ghost at global index -k := index
+    k-1; far wall symmetric), via a full-field take on the padded array —
+    needed when the ghost is DEEPER than the shard (multi-hop exchange), in
+    which case non-edge devices' halos also cross the wall and the mirror
+    sources lie in their exchanged pads. _mirror_row_strips is the cheap
+    single-hop strip variant."""
+    hp = pad.shape[axis]
+    base = idx * loc - width
+    gr = base + jnp.arange(hp)
+    m = jnp.where(gr < 0, -gr - 1,
+                  jnp.where(gr > total - 1, 2 * total - 1 - gr, gr))
+    src = jnp.clip(m - base, 0, hp - 1)
+    return jnp.take(pad, src, axis=axis)
+
+
+def _mirrored_pad(x, width: int, axis_name: str, axis: int):
+    """Halo-pad one axis with mirror-at-walls ghosts. Single-hop ghosts
+    (width <= shard extent — every large-grid geometry) assemble from
+    strips: one concatenate, no full-field take (at 16K the take copies
+    were ~2 GB/step of HBM). Deeper ghosts fall back to the exchanged-pad
+    take, which non-edge wall-crossing devices need."""
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    loc = x.shape[axis]
+    total = loc * n
+    if width <= loc:
+        gb, ga = _mirror_row_strips(
+            x, *ghost_strips(x, width, axis_name, axis),
+            width=width, axis_name=axis_name, axis=axis)
+        return jnp.concatenate([gb, x, ga], axis=axis)
+    pad = exchange_halo(x, width, axis_name, axis)
+    return _mirror_wall_ghosts(pad, width, idx, loc, total, axis)
 
 
 def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
@@ -364,10 +396,14 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
                        jnp.dtype(config.dtype).itemsize)  # == _G_JACOBI
 
     def jacobi_pad(x):
-        x = exch2d(x, gj, gc)
-        x = _mirror_wall_ghosts(x, gj, ridx, h_loc, sh_g, -2)
+        # Strip-assembled mirror padding: same values as the former
+        # exchange-then-full-field-mirror-take chain (mirror maps are
+        # per-axis position maps, so the compositions commute; pinned by
+        # the multi-chunk and 2-D-mesh equality tests) without the two
+        # full-field take() copies — at 16K that is ~2 GB/step of HBM.
+        x = _mirrored_pad(x, gj, ROW_AXIS, -2)
         if gc:
-            x = _mirror_wall_ghosts(x, gc, cidx, w_loc, sw, -1)
+            x = _mirrored_pad(x, gc, COL_AXIS, -1)
         return x
 
     if iters == 0:
@@ -376,8 +412,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
         def colpad_mirror(x):
             if not gc:
                 return x
-            return _mirror_wall_ghosts(exchange_halo(x, gc, COL_AXIS, -1),
-                                       gc, cidx, w_loc, sw, -1)
+            return _mirrored_pad(x, gc, COL_AXIS, -1)
 
         divc = colpad_mirror(div)
         dgb, dga = _mirror_row_strips(divc, *ghost_strips(divc, gj, ROW_AXIS),

