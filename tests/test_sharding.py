@@ -229,6 +229,32 @@ def test_overlap_halo_matches_monolithic_and_single(shape):
         assert float(np.abs(z - y).max()) < 2 * 1e-3 * scale, f"{f}: vs single"
 
 
+def test_overlap_halo_cross_resolution_dye():
+    """The split-phase dye advection on a CROSS-RESOLUTION config: the op
+    resamples velocity per band from the small vel_resample_pad exchange,
+    so only that tiny collective gates the interior band. 768 sim / 1536
+    dye on the rows mesh: 192-row dye shards >= 3x the 48-row dye ghost."""
+    kw = dict(SIM_RESOLUTION=768, DYE_RESOLUTION=1536, CANVAS_WIDTH=768,
+              CANVAS_HEIGHT=768, MAX_SPLATS=4, USE_PALLAS=False)
+    base = FluidConfig(**kw).validate()
+    over = FluidConfig(OVERLAP_HALO=True, **kw).validate()
+    trace = swirl_trace(base, 2, seed=9)
+    mesh = make_mesh(shape=(8, 1))
+    mono = make_sharded_step(base, mesh)
+    split = make_sharded_step(over, mesh)
+    sm = shard_state(init_state(base), mesh)
+    so = shard_state(init_state(over), mesh)
+    for t in range(2):
+        sp = jnp.asarray(trace.batches[t])
+        sm = mono(sm, DT, sp)
+        so = split(so, DT, sp)
+    for f, tol in (("velocity", 5e-4), ("dye", 5e-4), ("pressure", 1e-3)):
+        x = np.asarray(getattr(sm, f), np.float32)
+        y = np.asarray(getattr(so, f), np.float32)
+        scale = max(float(np.abs(x).max()), 1e-3)
+        assert float(np.abs(x - y).max()) < tol * scale, f
+
+
 def test_overlap_halo_small_shards_fall_back():
     """Shards thinner than 3x the ghost width cannot host an interior band;
     the flag must silently fall back to the monolithic path (here 8-row sim

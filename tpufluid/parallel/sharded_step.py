@@ -183,9 +183,19 @@ def overhead_report(config: FluidConfig, mesh_shape) -> dict:
         send = 2 * ch * B * (min(gr, bh) * (bw + 2 * gcc) * hops_r
                              + min(gcc, bw) * bh * hops_c)
         over = ((bh + 2 * gr) * (bw + 2 * gcc)) / (bh * bw) - 1.0
-        return {"phase": name, "ghost_rows": gr, "ghost_cols": gcc,
-                "overcompute_frac": round(over, 4),
-                "send_bytes_per_step": send * repeats}
+        out = {"phase": name, "ghost_rows": gr, "ghost_cols": gcc,
+               "overcompute_frac": round(over, 4),
+               "send_bytes_per_step": send * repeats}
+        if config.OVERLAP_HALO and bh >= 3 * gr:
+            # Split-phase: interior band (bh rows, NO row ghosts) + two
+            # 3*gr-row strip envs — 4*gr MORE rows of compute than the
+            # monolithic padded block, traded for (a) interior compute
+            # overlapping the ppermutes and (b) the interior running on
+            # the UNPADDED block height (power-of-two-friendly kernel
+            # tiles; the padded 16K height 64*257 collapses tile pickers).
+            over_s = ((bh + 6 * gr) * (bw + 2 * gcc)) / (bh * bw) - 1.0
+            out["overlap_overcompute_frac"] = round(over_s, 4)
+        return out
 
     phases = [
         phase("splat+curl+vort+div", _G_STENCIL, gc, h, w, 2),
@@ -493,26 +503,57 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     # exactly as for the unquantized path.
     dye_quant = ("rgb9e5" if config.DYE_RGB9E5
                  and config.dtype == jnp.bfloat16 else None)
-    if same_grid and overlap and hd_loc >= 3 * gd:
-        # Split-phase dye advection (same-grid layouts only — the
-        # cross-resolution resample's shard-global coordinates stay on the
-        # monolithic path).
+    if overlap and hd_loc >= 3 * gd:
+        # Split-phase dye advection. Same-grid: the velocity field IS the
+        # dye-texel-center velocity, so it joins the band assembly as a
+        # second operand. Cross-resolution: velocity enters through the
+        # per-shard resample instead — the op slices the padded-block
+        # coordinate grid at each band's rows and samples the SMALL
+        # (vel_resample_pad-ghosted) velocity pad, so only that tiny
+        # exchange gates the interior band, not the deep dye halo.
         dc = colpad(dye, gdc)
-        vc = colpad(vel, gdc)
         dgb, dga = ghost_strips(dc, gd, ROW_AXIS)
-        vgb, vga = ghost_strips(vc, gd, ROW_AXIS)
+        if same_grid:
+            vc = colpad(vel, gdc)
+            vgb, vga = ghost_strips(vc, gd, ROW_AXIS)
+            operands = [(vc, vgb, vga), (dc, dgb, dga)]
+
+            def vel_for(envs, r0, eh):
+                return envs[0]
+
+            def dye_env(envs):
+                return envs[1]
+        else:
+            gvr = vel_resample_pad(config)
+            gvrc = gvr if nx > 1 else 0
+            vel_pad1 = exch2d(vel, gvr, gvrc).astype(jnp.float32)
+            rows_d = jnp.clip(ridx * hd_loc - gd
+                              + jnp.arange(hd_loc + 2 * gd, dtype=jnp.float32),
+                              0, dh_g - 1)
+            cols_d = jnp.clip(cidx * wd_loc - gdc
+                              + jnp.arange(wd_loc + 2 * gdc, dtype=jnp.float32),
+                              0, dw - 1)
+            row_coords = (rows_d + 0.5) / dh_g * sh_g - 0.5 - (ridx * h_loc - gvr)
+            col_coords = (cols_d + 0.5) / dw * sw - 0.5 - (cidx * w_loc - gvrc)
+            operands = [(dc, dgb, dga)]
+
+            def vel_for(envs, r0, eh):
+                vd = _sample_2d(vel_pad1, row_coords[r0:r0 + eh], col_coords)
+                return jnp.stack([vd[0] * (dw / sw), vd[1] * (dh_g / sh_g)])
+
+            def dye_env(envs):
+                return envs[0]
 
         def op_dye(envs, r0):
-            venv, denv = envs
+            denv = dye_env(envs)
             eh = denv.shape[-2]
             return K.advect_same_grid(
-                venv, denv, dt, config.DENSITY_DISSIPATION,
+                vel_for(envs, r0, eh), denv, dt, config.DENSITY_DISSIPATION,
                 max_disp * dh_g / sh_g, max_disp * dw / sw,
                 splat_factors=(gy_d[r0:r0 + eh], gx_d, amt_d),
                 quant=dye_quant)
 
-        dye = _overlap_rows(gd, [(vc, vgb, vga), (dc, dgb, dga)],
-                            op_dye)[:, :, gdc:gdc + wd_loc]
+        dye = _overlap_rows(gd, operands, op_dye)[:, :, gdc:gdc + wd_loc]
         return FluidState(velocity=vel, dye=dye, pressure=p)
 
     dye_pad = exch2d(dye, gd, gdc)
