@@ -207,10 +207,14 @@ def _parse_args() -> argparse.Namespace:
                         "config's 20, matching the reference default and "
                         "the north-star spec; BASELINE.json's config-3 text "
                         "also names a 60-iter variant — run it with 60)")
-    p.add_argument("--rgb9e5", action="store_true",
+    p.add_argument("--rgb9e5", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="bfloat16 configs: pack the 3-channel dye into one "
                         "uint32 per texel for the gather (shared-exponent "
-                        "RGB9E5, ops/quant.py) — 2 gathers/trip instead of 3")
+                        "RGB9E5, ops/quant.py) — 2 gathers/trip instead of 3. "
+                        "ON by default since round 9 (device A/B b69: +7.3%% "
+                        "headline); --no-rgb9e5 benches the unquantized "
+                        "gather")
     p.add_argument("--overlap", action="store_true",
                    help="with --sharded: split-phase interior/boundary step "
                         "(config.OVERLAP_HALO) — interior bands carry no "
@@ -234,8 +238,9 @@ def _run(args: argparse.Namespace) -> dict:
                            else "float32")
 
     def mkcfg(**kw):
-        return FluidConfig(DYE_RGB9E5=args.rgb9e5,
-                           OVERLAP_HALO=args.overlap, **kw).validate()
+        if args.rgb9e5 is not None:  # None = the config default (on for bf16)
+            kw["DYE_RGB9E5"] = args.rgb9e5
+        return FluidConfig(OVERLAP_HALO=args.overlap, **kw).validate()
     it = args.jacobi_iters
     tag = {"float32": "fp32", "bfloat16": "bfloat16", "float16": "fp16"}[dtype]
 

@@ -233,6 +233,39 @@ def test_golden_frame_pallas_on_device(warm_tunnel):
     assert err.mean() < 0.25 / 255.0
 
 
+def test_golden_frame_pallas_on_device_bf16(warm_tunnel):
+    """bf16 DEVICE golden: same trace/shape as the f32 device golden but
+    through the 16-bit storage path UNDER THE ROUND-9 DEFAULT (rgb9e5
+    packed-dye gather) — locks the quantized default end to end on the
+    compiled Mosaic path. Regenerate: out/jobs/done/b74_bf16_device_golden.py."""
+    import os
+
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.render import render_frame
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    golden = os.path.join(os.path.dirname(__file__), "golden_frame_tpu_bf16.npz")
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=256, CANVAS_WIDTH=256,
+                      CANVAS_HEIGHT=256, BLOOM_RESOLUTION=64,
+                      SUNRAYS_RESOLUTION=64, MAX_SPLATS=8,
+                      DTYPE="bfloat16").validate()
+    assert cfg.DYE_RGB9E5  # the default this golden locks
+    step = jax.jit(lambda s, dt, sp: fluid_step(s, dt, sp, cfg))
+    trace = swirl_trace(cfg, 30, seed=77)
+    s = init_state(cfg)
+    dt = jnp.float32(trace.dt)
+    for t in range(30):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+    frame = np.asarray(render_frame(s, cfg), dtype=np.float32)
+    want = np.load(golden)["frame"]
+    err = np.abs(np.clip(frame, 0, 1) - np.clip(want, 0, 1))
+    # Same-hardware recompute is deterministic; 2/255 is libtpu-version
+    # headroom (same rationale as the f32 device golden bound).
+    assert err.max() < 2.0 / 255.0, f"bf16 device golden drifted: {err.max():.4f}"
+    assert err.mean() < 0.25 / 255.0
+
+
 def test_float16_staged_step_on_device(warm_tunnel):
     """float16 state via the f32-staged pass path (Mosaic has no f16):
     runs the Pallas kernels, returns f16, tracks the f32 step closely."""

@@ -80,7 +80,13 @@ class FluidConfig:
     # bits per channel vs bf16's 8) so the gather issues 2 loads per trip
     # instead of 3 (ops/quant.py). Quantization is re-derived from bf16
     # storage every step (non-accumulating); negative dye clamps to 0.
-    DYE_RGB9E5: bool = False
+    # DEFAULT ON since round 9: the device A/B measured +7.3% at the 1024^2
+    # headline and +4.3% at 4096^2 (out/jobs/done/b69_rgb9e5_ab.py.log) with
+    # step fidelity inside the bf16-vs-f32 tolerance class
+    # (tests/test_tpu.py::test_rgb9e5_dye_on_device). Inert off bfloat16
+    # (every consumer gates on dtype); set False for the unquantized
+    # bf16 gather.
+    DYE_RGB9E5: bool = True
     # Sharded step only: split each row-halo phase into an INTERIOR band
     # (no data dependency on the halo ppermutes — XLA's latency-hiding
     # scheduler can run it while the collectives fly) plus two thin
