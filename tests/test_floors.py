@@ -101,10 +101,15 @@ def test_north_star_projection_round6_numbers():
     measurements (docs/BENCH.md per-kernel table, out/jobs/b59): the
     projection must reproduce the documented predicted headline — ~4.8k on
     a full v5e, >= 10k on a v5p under the conservative x2-TensorCore VPU
-    scaling — and the rgb9e5 variant must only help."""
+    scaling — and the rgb9e5 variant must only help. The round-6
+    measurements predate the packed-dye default, so the pinned config runs
+    DYE_RGB9E5=False; a second config with the round-9 default checks the
+    variant field is SUPPRESSED when the measured step already includes
+    the lever (re-applying 2/3 would double-count it)."""
     cfg = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
                       CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
-                      DTYPE="bfloat16", MAX_SPLATS=8).validate()
+                      DTYPE="bfloat16", MAX_SPLATS=8,
+                      DYE_RGB9E5=False).validate()
     floors = {
         "velocity_gather": {"measured_us": 340.0, "taa_rows": 100000},
         "dye_gather": {"measured_us": 542.0, "taa_rows": 200000},
@@ -117,6 +122,7 @@ def test_north_star_projection_round6_numbers():
     cons = p["predicted_v5p_steps_per_s_conservative"]
     opt = p["predicted_v5p_steps_per_s_optimistic"]
     assert 9000 < cons < opt < 14000
+    assert p["rgb9e5_included"] is False
     assert p["predicted_v5p_steps_per_s_conservative_rgb9e5"] > cons
     assert p["north_star_10k_reachable"] is True
     assert p["gather_taa_rows_per_step"] == 300000
@@ -124,3 +130,14 @@ def test_north_star_projection_round6_numbers():
     # used) predicts a SMALLER speedup headroom
     p2 = fl.north_star_projection(floors, 245.0, 72.0, cfg)
     assert p2["predicted_v5e_steps_per_s"] < p["predicted_v5e_steps_per_s"]
+    # Round-9 default (DYE_RGB9E5 x bf16): the measured dye time already
+    # runs packed — no separate variant field, no double count.
+    cfg_def = FluidConfig(SIM_RESOLUTION=1024, DYE_RESOLUTION=1024,
+                          CANVAS_WIDTH=1024, CANVAS_HEIGHT=1024,
+                          DTYPE="bfloat16", MAX_SPLATS=8).validate()
+    floors_def = dict(floors, dye_gather={"measured_us": 384.4,
+                                          "taa_rows": 200000})
+    p3 = fl.north_star_projection(floors_def, 245.0, 36.0, cfg_def)
+    assert p3["rgb9e5_included"] is True
+    assert "predicted_v5p_steps_per_s_conservative_rgb9e5" not in p3
+    assert p3["north_star_10k_reachable"] is True

@@ -395,7 +395,12 @@ def north_star_projection(floors: dict, device_bw_gbps: float,
       * the streaming stencil and the XLA glue (step - kernels) scale with
         the HBM bandwidth ratio;
       * kernel structure unchanged; the rgb9e5 packed-dye lever (dye
-        gather x2/3 trip work) is reported as a separate variant.
+        gather x2/3 trip work) is reported as a separate variant ONLY
+        when the measured step did not already run it (config.DYE_RGB9E5
+        x bf16, the default since round 9) — otherwise the measured dye
+        time already includes the lever and re-applying the factor would
+        double-count; the output then carries ``rgb9e5_included: true``
+        instead.
     """
     vel = floors["velocity_gather"]["measured_us"]
     dye = floors["dye_gather"]["measured_us"]
@@ -427,20 +432,30 @@ def north_star_projection(floors: dict, device_bw_gbps: float,
     # rgb9e5 variant: the packed dye drops 3 -> 2 gathers/trip, i.e. the
     # dye gather's trip work falls to ~2/3 (the staging/roll overhead it
     # keeps makes this a lower bound on its time, so the projection is a
-    # mild overestimate — flagged as such).
-    dye23 = dye * (2.0 / 3.0)
+    # mild overestimate — flagged as such). Emitted only when the measured
+    # step did NOT already run packed (same predicate as step.py's
+    # dye_quant): once DYE_RGB9E5 x bf16 is in effect the measured dye
+    # time already contains the lever and applying 2/3 again would
+    # double-count it.
+    rgb9e5_included = bool(config.DYE_RGB9E5
+                           and config.dtype == jnp.bfloat16)
+    out["rgb9e5_included"] = rgb9e5_included
+    reachable = out["predicted_v5p_steps_per_s_conservative"] >= 10000.0
+    if not rgb9e5_included:
+        dye23 = dye * (2.0 / 3.0)
 
-    def project_rgb(issue_scale, hbm_gbps):
-        t = ((vel + dye23 + jac) * issue_scale
-             + stencil_bytes / (hbm_gbps * 1e3)
-             + glue * device_bw_gbps / hbm_gbps)
-        return round(1e6 / t, 0)
+        def project_rgb(issue_scale, hbm_gbps):
+            t = ((vel + dye23 + jac) * issue_scale
+                 + stencil_bytes / (hbm_gbps * 1e3)
+                 + glue * device_bw_gbps / hbm_gbps)
+            return round(1e6 / t, 0)
 
-    out["predicted_v5p_steps_per_s_conservative_rgb9e5"] = project_rgb(
-        v5p_cons, V5P_HBM_GBPS)
-    out["north_star_10k_reachable"] = bool(
-        out["predicted_v5p_steps_per_s_conservative"] >= 10000.0
-        or out["predicted_v5p_steps_per_s_conservative_rgb9e5"] >= 10000.0)
+        out["predicted_v5p_steps_per_s_conservative_rgb9e5"] = project_rgb(
+            v5p_cons, V5P_HBM_GBPS)
+        reachable = (reachable
+                     or out["predicted_v5p_steps_per_s_conservative_rgb9e5"]
+                     >= 10000.0)
+    out["north_star_10k_reachable"] = bool(reachable)
     return out
 
 
