@@ -9,6 +9,9 @@
   python bench.py --config 4  # 4096^2 bfloat16 long-horizon step
   python bench.py --config 5  # 16384^2 bfloat16 (single chip; the sharded
                               #   path is validated by dryrun_multichip)
+  python bench.py --config 7  # serving mode: --batch N independent 256^2
+                              #   sims per vmapped dispatch, aggregate
+                              #   sim-steps/s (tpufluid/batch.py)
 
 North star (BASELINE.json): >= 10,000 steps/sec at 1024^2 on one v5p chip,
 vs the reference WebGL demo's vsync-bound 60 steps/sec (script.js:1185,1191).
@@ -144,6 +147,35 @@ def _bench_steps(config, chunks: int, chunk: int, sharded: bool = False):
     return chunks * chunk / elapsed, state
 
 
+def _bench_batched_steps(config, batch: int, chunks: int, chunk: int):
+    """Serving-mode throughput: ``batch`` independent sims advance in ONE
+    vmapped scan dispatch (tpufluid/batch.py). Returns AGGREGATE
+    sim-steps/s = batch * steps / wall. Each sim replays its own seeded
+    trace, so the batch is not a degenerate replicated workload."""
+    import jax.numpy as jnp
+
+    from tpufluid.batch import init_batch, make_batched_multi_step
+    from tpufluid.trace import swirl_trace
+
+    splats_seq = jnp.stack(
+        [jnp.asarray(swirl_trace(config, chunk, seed=42 + i).batches)
+         for i in range(batch)], axis=1)  # (T, B, MAX_SPLATS, 8)
+    dt = jnp.float32(1.0 / 60.0)
+    multi = make_batched_multi_step(config)
+    state = init_batch(config, batch)
+
+    state = multi(state, dt, splats_seq)
+    float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
+
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state = multi(state, dt, splats_seq)
+    checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum), "velocity went non-finite during bench"
+    return chunks * chunk * batch / elapsed, state
+
+
 def _bench_render(config, frames: int = 200):
     import jax
     import jax.numpy as jnp
@@ -194,7 +226,11 @@ def main() -> None:
 def _parse_args() -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=int, default=3,
-                   choices=[1, 2, 3, 4, 5, 6])
+                   choices=[1, 2, 3, 4, 5, 6, 7])
+    p.add_argument("--batch", type=int, default=16,
+                   help="config 7 (serving mode): number of independent "
+                        "sims advanced per vmapped dispatch "
+                        "(tpufluid/batch.py)")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
                    default=None,
                    help="state dtype override: configs 1-2 default to float32, "
@@ -234,8 +270,13 @@ def _run(args: argparse.Namespace) -> dict:
 
     from tpufluid import FluidConfig
 
-    dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5, 6)
+    dtype = args.dtype or ("bfloat16" if args.config in (3, 4, 5, 6, 7)
                            else "float32")
+    if args.config == 7 and args.sharded:
+        raise ValueError("config 7 benches the single-chip batched path; "
+                         "batch DP over a mesh is covered by "
+                         "tpufluid.batch.make_batch_sharded_multi_step "
+                         "(tests/test_batch.py)")
 
     def mkcfg(**kw):
         if args.rgb9e5 is not None:  # None = the config default (on for bf16)
@@ -271,6 +312,15 @@ def _run(args: argparse.Namespace) -> dict:
                           DTYPE=dtype)
         value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, {it or 20} Jacobi iters, trace replay"
+    elif args.config == 7:
+        cfg = mkcfg(SIM_RESOLUTION=256, DYE_RESOLUTION=256,
+                          CANVAS_WIDTH=256, CANVAS_HEIGHT=256,
+                          PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
+                          DTYPE=dtype)
+        value, state = _bench_batched_steps(cfg, batch=args.batch,
+                                            chunks=3, chunk=100)
+        metric = (f"aggregate sim steps/sec, {args.batch} batched 256^2 sims "
+                  f"per dispatch (serving mode), {it or 20} Jacobi iters, {tag}")
     elif args.config == 6:
         cfg = mkcfg(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
                           CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,

@@ -1,0 +1,214 @@
+"""Batched multi-sim serving mode (tpufluid/batch.py).
+
+The reference runs exactly ONE interactive simulation (one global FBO set,
+script.js:982-1010); batching is a tpufluid serving extension, so the spec
+here is internal consistency: every sim in a batch must advance EXACTLY as
+it would alone — bit-for-bit on both the jnp oracle and the Pallas kernel
+suite (vmap batches pallas_call by adding a leading grid dimension; the
+trace-time dispatch gates see unbatched per-sim shapes either way) — and
+the batch-DP shard_map must emit zero collectives while matching the
+unsharded vmap.
+"""
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpufluid.ops.pallas.advect as pa
+from tpufluid import FluidConfig, init_state
+from tpufluid.batch import (init_batch, make_batch_sharded_multi_step,
+                            make_batched_multi_step, make_batched_render,
+                            make_batched_step, shard_batch, stack_states,
+                            unstack_state)
+from tpufluid.ops.pallas import dispatch as D
+from tpufluid.parallel import make_mesh
+from tpufluid.render import render_frame
+from tpufluid.step import fluid_step, make_multi_step
+from tpufluid.trace import swirl_trace
+
+
+def _cfg(**kw):
+    base = dict(SIM_RESOLUTION=64, DYE_RESOLUTION=128, CANVAS_WIDTH=128,
+                CANVAS_HEIGHT=128, MAX_SPLATS=4, USE_PALLAS=False)
+    base.update(kw)
+    return FluidConfig(**base).validate()
+
+
+def _seeded_states(cfg, batch, steps=2):
+    """Distinct per-sim states: advance each from zero with its own trace."""
+    out, traces = [], []
+    step = jax.jit(lambda s, d, sp: fluid_step(s, d, sp, cfg))
+    for i in range(batch):
+        tr = swirl_trace(cfg, steps, seed=10 + i)
+        s = init_state(cfg)
+        for t in range(steps):
+            s = step(s, jnp.float32(tr.dt), jnp.asarray(tr.batches[t]))
+        out.append(s)
+        traces.append(tr)
+    return out, traces
+
+
+def test_init_stack_unstack_roundtrip():
+    cfg = _cfg()
+    b = init_batch(cfg, 3)
+    assert b.velocity.shape == (3, 2, 64, 64)
+    assert b.dye.shape == (3, 3, 128, 128)
+    assert b.pressure.shape == (3, 64, 64)
+    assert b.velocity.dtype == cfg.dtype
+    states, _ = _seeded_states(cfg, 2)
+    stacked = stack_states(states)
+    for i, s in enumerate(states):
+        u = unstack_state(stacked, i)
+        for name in ("velocity", "dye", "pressure"):
+            np.testing.assert_array_equal(np.asarray(getattr(u, name)),
+                                          np.asarray(getattr(s, name)))
+
+
+def test_batched_step_bit_exact_per_sim_jnp():
+    """One vmapped step == B independent steps, including PER-SIM dt (a
+    serving tenant runs at its own wall clock)."""
+    cfg = _cfg()
+    B = 3
+    states, _ = _seeded_states(cfg, B)
+    splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=50 + i).batches[0])
+                        for i in range(B)])
+    dts = jnp.asarray([1 / 60, 1 / 90, 1 / 120], jnp.float32)
+    out = make_batched_step(cfg)(stack_states(states), dts, splats)
+    step = jax.jit(lambda s, d, sp: fluid_step(s, d, sp, cfg))
+    for i in range(B):
+        ref = step(states[i], dts[i], splats[i])
+        for name in ("velocity", "dye", "pressure"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(unstack_state(out, i), name)),
+                np.asarray(getattr(ref, name)), err_msg=f"sim {i} {name}")
+
+
+def test_lockstep_dt_equals_uniform_per_sim_dt():
+    """The lock-step branch (dt in_axes=None — the compiled-TPU shape)
+    and the per-sim branch with equal dts are the same program output."""
+    cfg = _cfg()
+    B = 2
+    states, _ = _seeded_states(cfg, B)
+    splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=50 + i).batches[0])
+                        for i in range(B)])
+    step = make_batched_step(cfg)
+    a = step(stack_states(states), jnp.float32(1 / 60), splats)
+    b = step(stack_states(states), jnp.full((B,), 1 / 60, jnp.float32), splats)
+    for name in ("velocity", "dye", "pressure"):
+        np.testing.assert_array_equal(np.asarray(getattr(a, name)),
+                                      np.asarray(getattr(b, name)),
+                                      err_msg=name)
+
+
+def test_batched_multi_step_matches_single_multi_step():
+    """T-step scan of vmapped steps == per-sim T-step scans (lock-step dt,
+    the throughput-benchmark shape)."""
+    cfg = _cfg()
+    B, T = 2, 3
+    states, _ = _seeded_states(cfg, B)
+    seqs = [jnp.asarray(swirl_trace(cfg, T, seed=70 + i).batches) for i in range(B)]
+    splats_seq = jnp.stack(seqs, axis=1)  # (T, B, MAX_SPLATS, 8)
+    dt = jnp.float32(1 / 60)
+    out = make_batched_multi_step(cfg)(stack_states(states), dt, splats_seq)
+    multi = make_multi_step(cfg)
+    for i in range(B):
+        ref = multi(states[i], dt, seqs[i])
+        for name in ("velocity", "dye", "pressure"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(unstack_state(out, i), name)),
+                np.asarray(getattr(ref, name)), err_msg=f"sim {i} {name}")
+
+
+def test_batched_step_bit_exact_per_sim_pallas_interpret():
+    """The SHIPPED Pallas kernel suite under vmap: JAX's pallas_call
+    batching rule adds a leading grid dim; per-sim results must stay
+    bit-identical to the unbatched kernel step."""
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=256,
+                      CANVAS_WIDTH=256, CANVAS_HEIGHT=256,
+                      MAX_SPLATS=4).validate()
+    B = 2
+    calls = {"n": 0}
+    orig = pa.pl.pallas_call
+
+    def wrapped(*a, **k):
+        calls["n"] += 1
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    states = [init_state(cfg) for _ in range(B)]
+    splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=3 + i).batches[0])
+                        for i in range(B)])
+    dt = jnp.float32(1 / 60)
+    # pa.pl IS the shared jax.experimental.pallas module: one patch covers
+    # every kernel family's pallas_call.
+    with mock.patch.object(D, "_on_tpu", lambda: True), \
+         mock.patch.object(pa.pl, "pallas_call", wrapped):
+        out = jax.jit(jax.vmap(
+            lambda s, sp: fluid_step(s, dt, sp, cfg)))(stack_states(states), splats)
+        single = jax.jit(lambda s, sp: fluid_step(s, dt, sp, cfg))
+        refs = [single(states[i], splats[i]) for i in range(B)]
+        out.velocity.block_until_ready()
+    assert calls["n"] >= 8, f"Pallas kernels did not engage (calls={calls['n']})"
+    for i in range(B):
+        for name in ("velocity", "dye", "pressure"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(unstack_state(out, i), name), np.float32),
+                np.asarray(getattr(refs[i], name), np.float32),
+                err_msg=f"sim {i} {name}")
+
+
+def test_batch_sharded_multi_step_matches_unsharded():
+    """Batch DP over the 8-device mesh: same result as the unsharded
+    batched scan, and the compiled program contains NO collectives (the
+    batch axis is embarrassingly parallel — no halos)."""
+    cfg = _cfg()
+    B, T = 8, 2
+    states, _ = _seeded_states(cfg, B, steps=1)
+    batched = stack_states(states)
+    splats_seq = jnp.stack(
+        [jnp.asarray(swirl_trace(cfg, T, seed=90 + i).batches) for i in range(B)],
+        axis=1)
+    dt = jnp.float32(1 / 60)
+    truth = make_batched_multi_step(cfg)(
+        jax.tree.map(jnp.copy, batched), dt, splats_seq)
+
+    mesh = make_mesh()  # (8, 1)
+    multi = make_batch_sharded_multi_step(cfg, mesh)
+    hlo = multi.lower(shard_batch(batched, mesh), dt, splats_seq
+                      ).compile().as_text()
+    for coll in ("all-reduce", "collective-permute", "all-gather",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in batch DP"
+    out = multi(shard_batch(batched, mesh), dt, splats_seq)
+    for name in ("velocity", "dye", "pressure"):
+        np.testing.assert_array_equal(np.asarray(getattr(out, name)),
+                                      np.asarray(getattr(truth, name)),
+                                      err_msg=name)
+
+
+def test_batch_sharded_rejects_indivisible_batch():
+    cfg = _cfg()
+    mesh = make_mesh()
+    multi = make_batch_sharded_multi_step(cfg, mesh)
+    bad = init_batch(cfg, 3)
+    splats = jnp.zeros((1, 3, cfg.MAX_SPLATS, 8), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        multi(bad, jnp.float32(1 / 60), splats)
+
+
+def test_batched_render_matches_per_sim():
+    cfg = _cfg(SHADING=True, BLOOM=True, SUNRAYS=True)
+    B = 2
+    states, _ = _seeded_states(cfg, B)
+    frames = make_batched_render(cfg)(stack_states(states))
+    for i in range(B):
+        ref = render_frame(states[i], cfg)
+        # The step is bit-exact under vmap (tests above); the display
+        # pipeline is not: vmap changes XLA's fusion grouping across the
+        # bloom/sunrays reductions, reassociating fp sums (measured
+        # <= 4e-6 absolute — invisible at 1/255 = 3.9e-3 quantization).
+        np.testing.assert_allclose(np.asarray(frames[i]), np.asarray(ref),
+                                   atol=1e-5, rtol=0, err_msg=f"sim {i}")

@@ -17,6 +17,14 @@ Public API:
     splat / multiple_splats — impulse injection (reference splat())
 """
 
+from tpufluid.batch import (
+    init_batch,
+    make_batched_multi_step,
+    make_batched_render,
+    make_batched_step,
+    stack_states,
+    unstack_state,
+)
 from tpufluid.config import FluidConfig, get_resolution
 from tpufluid.state import FluidState, init_state, resize_state
 from tpufluid.step import make_step, fluid_step, apply_splats
@@ -34,6 +42,12 @@ __version__ = "0.1.0"
 __all__ = [
     "FluidConfig",
     "FluidState",
+    "init_batch",
+    "make_batched_step",
+    "make_batched_multi_step",
+    "make_batched_render",
+    "stack_states",
+    "unstack_state",
     "init_state",
     "resize_state",
     "make_step",

@@ -1,0 +1,215 @@
+"""Batched multi-simulation serving mode: B independent sims, ONE dispatch.
+
+The reference runs exactly one interactive simulation (one global set of
+FBOs, script.js:982-1010); tpufluid adds batching as a production-serving
+extension: a multi-tenant server (one sim per user/session), parameter
+sweeps, and — on TPU — restoring chip utilization at small grids, where a
+single sim leaves the VPU idle and the per-dispatch latency dominates
+(~450 us on tunneled backends; one batched dispatch amortizes it over B).
+
+Design (TPU-first):
+
+* ``jax.vmap`` over the single-sim :func:`tpufluid.step.fluid_step`. The
+  trace-time Pallas dispatch sees the UNBATCHED per-sim shapes (vmap
+  batches at the primitive level), so every kernel-selection gate behaves
+  exactly as in the single-sim step; JAX's ``pallas_call`` batching rule
+  then adds a leading grid dimension to the shipped kernels. Per-sim
+  results are BIT-EXACT vs the unbatched step for every kernel family —
+  windowed/HBM-segment gathers, Jacobi, fused stencil (tests/test_batch.py
+  pins this in interpret mode; tests/test_tpu.py on the compiled Mosaic
+  path).
+* Per-sim time steps: ``dt`` may be a scalar (lock-step) or a ``(B,)``
+  vector — interactive tenants run at their own wall clocks (the
+  reference recomputes dt from wall time every frame,
+  script.js:1188-1194). Lock-step dt stays an UNBATCHED SMEM scalar
+  inside the kernels (``in_axes=None``) and is the shape the compiled
+  Mosaic path requires; per-sim dt is exact on the jnp oracle and
+  Pallas-interpret (see :func:`_vmapped_step`).
+* Multi-chip: the batch axis is embarrassingly parallel. ``shard_map``
+  places ``B // n_devices`` sims on each device and runs the SAME vmapped
+  step on the local slice — pure data parallelism, ZERO collectives (no
+  halos; contrast parallel/sharded_step.py, which decomposes ONE large
+  grid spatially and pays halo ppermutes). Scaling sims-per-second over a
+  mesh is therefore linear by construction.
+
+The batch axis is the leading axis of every field: velocity (B, 2, H, W),
+dye (B, 3, Hd, Wd), pressure (B, H, W), splats (B, MAX_SPLATS, 8).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpufluid.config import FluidConfig
+from tpufluid.state import FluidState, init_state
+from tpufluid.step import fluid_step
+
+
+def init_batch(config: FluidConfig, batch: int) -> FluidState:
+    """Zeroed batched state: every field gains a leading (batch,) axis."""
+    one = init_state(config)
+    return jax.tree.map(
+        lambda x: jnp.zeros((batch,) + x.shape, dtype=x.dtype), one)
+
+
+def stack_states(states: Sequence[FluidState]) -> FluidState:
+    """Stack per-sim states into one batched state (leading batch axis)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def unstack_state(batched: FluidState, i: int) -> FluidState:
+    """Extract sim ``i`` from a batched state."""
+    return jax.tree.map(lambda x: x[i], batched)
+
+
+def _vmapped_step(config: FluidConfig, per_sim_dt: bool):
+    """vmap of the single-sim step.
+
+    ``per_sim_dt=False`` (lock-step, a SCALAR dt) maps dt with
+    ``in_axes=None`` so it stays an UNBATCHED (1,)-shaped SMEM operand
+    inside the Pallas kernels — Mosaic rejects batched SMEM scalar blocks
+    ((1,1) blocks of a (B,1) array fail the (8,128)-divisibility rule), so
+    this is the shape the compiled TPU kernel path requires. With
+    ``per_sim_dt=True`` (a (B,) dt — serving tenants on their own wall
+    clocks) dt is vmapped; that is exact on the jnp oracle everywhere and
+    on Pallas in interpret mode, while the compiled kernel path needs
+    lock-step dt (dispatch falls back per the gates if a batched-SMEM
+    program is rejected at lowering — keep serving fleets lock-step or
+    USE_PALLAS=False when dts truly diverge)."""
+    step = partial(fluid_step, config=config)
+    return jax.vmap(step, in_axes=(0, 0 if per_sim_dt else None, 0))
+
+
+@lru_cache(maxsize=None)
+def make_batched_step(config: FluidConfig):
+    """Compile step(batched_state, dt, splats) -> batched_state.
+
+    ``splats`` is (B, MAX_SPLATS, 8); ``dt`` a scalar (lock-step — the
+    compiled-TPU-kernel shape, see :func:`_vmapped_step`) or (B,)
+    per-sim. Buffers are donated like the single-sim
+    :func:`tpufluid.step.make_step`.
+    """
+
+    def step(state: FluidState, dt, splats):
+        per_sim = jnp.ndim(dt) >= 1
+        return _vmapped_step(config, per_sim)(
+            state, jnp.asarray(dt, jnp.float32), splats)
+
+    return jax.jit(step, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def make_batched_multi_step(config: FluidConfig):
+    """Compile multi(batched_state, dt, splats_seq) -> batched_state.
+
+    A ``lax.scan`` of T vmapped steps in ONE dispatch — the batched
+    analog of :func:`tpufluid.step.make_multi_step` and the serving
+    throughput benchmark entry point. ``splats_seq`` is (T, B, MAX_SPLATS,
+    8); ``dt`` is a scalar or (T,) (lock-step across sims — the
+    compiled-TPU-kernel shape) or (T, B) per-sim.
+    """
+
+    def multi(state: FluidState, dt, splats_seq):
+        t = splats_seq.shape[0]
+        per_sim = jnp.ndim(dt) == 2
+        vstep = _vmapped_step(config, per_sim)
+        dts = (jnp.asarray(dt, jnp.float32) if per_sim
+               else jnp.broadcast_to(
+                   jnp.asarray(dt, jnp.float32).reshape(-1), (t,)))
+
+        def body(s, xs):
+            dt_t, splats_t = xs
+            return vstep(s, dt_t, splats_t), None
+
+        out, _ = jax.lax.scan(body, state, (dts, splats_seq))
+        return out
+
+    return jax.jit(multi, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def make_batched_render(config: FluidConfig,
+                        out_hw: Optional[Tuple[int, int]] = None,
+                        to_screen: bool = True):
+    """Compile render(batched_state, dither) -> (B, C, H, W) frames.
+
+    The shared dither texture is broadcast (in_axes=None), matching the
+    reference's single ditheringTexture bound for every draw."""
+    from tpufluid.render import render_frame
+
+    fn = partial(render_frame, config=config, out_hw=out_hw,
+                 to_screen=to_screen)
+
+    def render(state: FluidState, dither: Optional[jnp.ndarray] = None):
+        return jax.vmap(lambda s: fn(s, dither=dither))(state)
+
+    return jax.jit(render)
+
+
+# ---------------------------------------------------------------------------
+# Batch data parallelism over a device mesh (zero collectives).
+# ---------------------------------------------------------------------------
+
+def batch_specs() -> FluidState:
+    """PartitionSpecs for a batched FluidState: the batch axis is sharded
+    over EVERY mesh axis (flattened), fields replicated within a sim."""
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+
+    bp = P((ROW_AXIS, COL_AXIS))
+    return FluidState(velocity=bp, dye=bp, pressure=bp)
+
+
+def shard_batch(state: FluidState, mesh) -> FluidState:
+    """Place a batched state onto the mesh, batch-axis sharded."""
+    specs = batch_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state, specs)
+
+
+@lru_cache(maxsize=None)
+def make_batch_sharded_multi_step(config: FluidConfig, mesh):
+    """Compile multi(batched_state, dt, splats_seq) with the batch axis
+    sharded over ``mesh`` — each device scans its own B/n sims with the
+    same vmapped kernel suite; no collective appears in the program (the
+    body touches no mesh axis, unlike the halo ppermutes of the spatial
+    decomposition). B must divide mesh.size evenly; per-sim results are
+    bit-exact vs the unsharded batched step (tests/test_batch.py)."""
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+
+    specs = batch_specs()
+
+    def make_local_multi(per_sim):
+        vstep = _vmapped_step(config, per_sim)
+
+        def local_multi(state: FluidState, dts, splats_seq):
+            def body(s, xs):
+                dt_t, splats_t = xs
+                return vstep(s, dt_t, splats_t), None
+
+            out, _ = jax.lax.scan(body, state, (dts, splats_seq))
+            return out
+
+        return local_multi
+
+    def multi(state: FluidState, dt, splats_seq):
+        t, b = splats_seq.shape[0], splats_seq.shape[1]
+        if b % mesh.size:
+            raise ValueError(f"batch {b} not divisible by mesh size {mesh.size}")
+        per_sim = jnp.ndim(dt) == 2
+        dts = (jnp.asarray(dt, jnp.float32) if per_sim
+               else jnp.broadcast_to(
+                   jnp.asarray(dt, jnp.float32).reshape(-1), (t,)))
+        dt_spec = (P(None, (ROW_AXIS, COL_AXIS)) if per_sim else P(None))
+        sharded = jax.shard_map(
+            make_local_multi(per_sim), mesh=mesh,
+            in_specs=(specs, dt_spec, P(None, (ROW_AXIS, COL_AXIS))),
+            out_specs=specs, check_vma=False)
+        return sharded(state, dts, splats_seq)
+
+    return jax.jit(multi, donate_argnums=0)
