@@ -378,3 +378,42 @@ def test_portrait_config_on_device(warm_tunnel):
     assert float(jnp.abs(a.velocity - b.velocity).max()) < 1e-3 * scale
     assert float(jnp.abs(a.dye - b.dye).max()) < 2e-3
     assert bool(jnp.isfinite(a.velocity).all())
+
+
+def test_batched_step_and_render_bit_exact_on_device(warm_tunnel):
+    """Serving mode on compiled Mosaic: a vmapped batch of B sims must
+    advance and render BIT-identically to the unbatched step per sim
+    (pallas_call's batching rule only adds a leading grid dimension; the
+    per-block arithmetic is unchanged — pinned 0.0 worst err in
+    out/jobs/done/b76). Lock-step dt: per-sim dt would batch the SMEM dt
+    scalar, which Mosaic rejects (tpufluid/batch.py docstring)."""
+    from tpufluid import FluidConfig, init_state
+    from tpufluid.batch import make_batched_step, make_batched_render, \
+        stack_states, unstack_state
+    from tpufluid.render import make_render
+    from tpufluid.step import fluid_step
+    from tpufluid.trace import swirl_trace
+
+    cfg = FluidConfig(SIM_RESOLUTION=256, DYE_RESOLUTION=256,
+                      CANVAS_WIDTH=256, CANVAS_HEIGHT=256, MAX_SPLATS=8,
+                      DTYPE="bfloat16").validate()
+    B = 2
+    dt = jnp.float32(1 / 60)
+    splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=3 + i).batches[0])
+                        for i in range(B)])
+    states = [init_state(cfg) for _ in range(B)]
+    out = make_batched_step(cfg)(stack_states(states), dt, splats)
+    frames = make_batched_render(cfg)(out)
+    single = jax.jit(lambda s, sp: fluid_step(s, dt, sp, cfg))
+    render = make_render(cfg)
+    for i in range(B):
+        ref = single(states[i], splats[i])
+        for name in ("velocity", "dye", "pressure"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(unstack_state(out, i), name), np.float32),
+                np.asarray(getattr(ref, name), np.float32),
+                err_msg=f"sim {i} {name}")
+        np.testing.assert_array_equal(
+            np.asarray(frames[i], np.float32),
+            np.asarray(render(unstack_state(out, i)), np.float32),
+            err_msg=f"sim {i} render")
