@@ -1,0 +1,112 @@
+"""Multi-tenant serving server (tpufluid/serve_batch.py): one batched
+dispatch advances all sessions; sessions are structurally isolated (vmap
+cannot mix batch rows). identical_seeds starts every session bit-identical,
+so the isolation spec is sharp: an event to session 1 must change session 1
+and ONLY session 1 — untouched sessions stay byte-identical to each other.
+"""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from tpufluid import FluidConfig
+from tpufluid.serve_batch import BatchFluidServer, make_handler
+
+CFG = FluidConfig(SIM_RESOLUTION=32, DYE_RESOLUTION=64, CANVAS_WIDTH=96,
+                  CANVAS_HEIGHT=64, BLOOM=False, SUNRAYS=False, SHADING=False,
+                  MAX_SPLATS=4, USE_PALLAS=False).validate()
+B = 3
+
+_SRV = {}
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from http.server import ThreadingHTTPServer
+
+    server = BatchFluidServer(CFG, sessions=B, seed=0, quality=70,
+                              identical_seeds=True)
+    _SRV["s"] = server
+    threading.Thread(target=server.run, daemon=True).start()
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(server))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_port}"
+    for _ in range(600):
+        try:
+            urllib.request.urlopen(url + "/frame?sid=0", timeout=1).read()
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield url
+    server.stop()
+    httpd.shutdown()
+
+
+def _frame(url, sid):
+    r = urllib.request.urlopen(f"{url}/frame?sid={sid}", timeout=5)
+    return r.read(), int(r.headers["X-Step"])
+
+
+def _same_step_frames(url, sids, tries=200):
+    """Frames for every sid taken at ONE sim step (retry across ticks)."""
+    for _ in range(tries):
+        got = [_frame(url, s) for s in sids]
+        if len({step for _, step in got}) == 1:
+            return [data for data, _ in got]
+        time.sleep(0.005)
+    raise AssertionError("could not catch all sessions at one step")
+
+
+def _post(url, sid, events):
+    req = urllib.request.Request(f"{url}/events?sid={sid}",
+                                 data=json.dumps(events).encode(),
+                                 method="POST")
+    return urllib.request.urlopen(req, timeout=5).status
+
+
+def test_dashboard_stats_and_frames(server_url):
+    page = urllib.request.urlopen(server_url + "/", timeout=5).read()
+    assert b"sessions" in page
+    stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                              timeout=5).read())
+    assert stats["sessions"] == B and stats["steps"] > 0
+    for sid in range(B):
+        data, step = _frame(server_url, sid)
+        assert data[:2] == b"\xff\xd8", f"sid {sid}: not a JPEG"
+        assert step > 0
+    # out-of-range session -> 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server_url + f"/frame?sid={B}", timeout=5)
+    assert e.value.code == 404
+
+
+def test_identical_seed_sessions_stay_identical(server_url):
+    frames = _same_step_frames(server_url, range(B))
+    assert frames[0] == frames[1] == frames[2], \
+        "identical-seed untouched sessions diverged"
+
+
+def test_event_isolation(server_url):
+    # A drag on session 1 only: session 1 diverges, 0 and 2 stay identical.
+    drag = ([{"k": "down", "x": 0.3, "y": 0.3}]
+            + [{"k": "move", "x": 0.3 + 0.04 * i, "y": 0.3 + 0.03 * i}
+               for i in range(1, 8)]
+            + [{"k": "up"}])
+    assert _post(server_url, 1, drag) == 204
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        f0, f1, f2 = _same_step_frames(server_url, range(B))
+        if f1 != f0:
+            break
+        time.sleep(0.05)
+    assert f1 != f0, "session 1 did not react to its events"
+    assert f0 == f2, "untouched sessions 0 and 2 diverged (isolation broken)"
+
+
+def test_bad_sid_events_rejected(server_url):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server_url, B + 5, [{"k": "burst", "n": 3}])
+    assert e.value.code == 400

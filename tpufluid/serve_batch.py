@@ -1,0 +1,323 @@
+"""Multi-tenant interactive serving: N sessions, ONE chip, ONE dispatch/frame.
+
+The single-session server (tpufluid/server.py) mirrors the reference's page:
+one sim, one canvas. Production serving multiplexes MANY interactive users
+onto one accelerator — this module is that deployment shape, built on
+tpufluid/batch.py: every frame, all sessions' pointer events drain into one
+(B, MAX_SPLATS, 8) splat tensor and one fused vmapped dispatch advances AND
+renders every session (per-sim results bit-exact vs the single-sim step on
+the compiled kernel path — tests/test_tpu.py, out/jobs/done/b76). The server
+clock is shared (lock-step dt, the Mosaic-legal shape — batch.py docstring),
+exactly like the reference's single requestAnimationFrame clock feeding its
+one sim (script.js:1182-1194).
+
+Session isolation is structural: sims only meet inside vmap, which cannot
+mix batch rows. JPEG encoding is lazy (per-session, cached per step), so B
+sessions cost one device dispatch plus encodes only for frames actually
+polled.
+
+Endpoints (sid = session id, 0..B-1):
+  GET  /            dashboard page: a grid of all sessions' live frames
+  GET  /frame?sid=N latest JPEG for session N (X-Step header = sim step)
+  GET  /stats       {"steps", "sessions", "paused"}
+  POST /events?sid=N  same JSON event schema as the single-session server
+                      (down/move/up/burst/pause — pause is global: one clock)
+
+Geometry/config is uniform across sessions by construction (one compiled
+program); per-tenant quality knobs belong on separate server processes.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from functools import lru_cache
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+MAX_DT = 1.0 / 60.0
+
+
+@lru_cache(maxsize=None)
+def make_batched_tick(config):
+    """One fused dispatch per frame for the WHOLE batch: vmapped step +
+    vmapped render + uint8 quantize + vertical flip on device ->
+    (state, (B, H, W, 3) uint8). The batched analog of
+    render.make_step_and_render (same dispatch-tax rationale)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufluid.render import render_frame
+    from tpufluid.step import fluid_step
+
+    def one(state, dt, splats):
+        state = fluid_step(state, dt, splats, config)
+        frame = render_frame(state, config)
+        rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        return state, jnp.transpose(rgb, (1, 2, 0))[::-1]
+
+    def tick(state, dt, splats):
+        # dt in_axes=None: the shared server clock stays an unbatched SMEM
+        # scalar inside the Pallas kernels (batch.py docstring).
+        return jax.vmap(one, in_axes=(0, None, 0))(state, dt, splats)
+
+    return jax.jit(tick, donate_argnums=0)
+
+
+class BatchFluidServer:
+    """Owns the batched sim loop; per-session tracers + lazy JPEG frames."""
+
+    def __init__(self, config, sessions: int = 4, seed: int = 0,
+                 quality: int = 80, identical_seeds: bool = False):
+        from tpufluid.batch import init_batch
+        from tpufluid.trace import PointerTracer
+
+        self.config = config
+        self.sessions = int(sessions)
+        self.quality = quality
+        # identical_seeds starts every session bit-identical (the isolation
+        # test shape: untouched sessions must STAY identical); the default
+        # gives each tenant its own seeded startup burst like the
+        # reference's multipleSplats(random) (script.js:1170).
+        self.tracers = [PointerTracer(config,
+                                      seed=seed if identical_seeds
+                                      else seed + i)
+                        for i in range(self.sessions)]
+        # Startup burst per session, like the reference's
+        # multipleSplats(random) on load (script.js:1170) — drawn from each
+        # tracer's own seeded RNG, so identical_seeds sessions stay
+        # bit-identical (nonzero but equal) until events distinguish them.
+        for tr in self.tracers:
+            tr.splat_stack.append(int(tr.rng.integers(5, 25)))
+        self.state = init_batch(config, self.sessions)
+        self.tick = make_batched_tick(config)
+        self.paused = False
+        self.steps_done = 0
+        self.lock = threading.Lock()
+        self.out_lock = threading.Lock()
+        self.frames: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
+        self._jpeg_cache: dict[int, tuple[int, bytes]] = {}
+        self._stop = threading.Event()
+
+    def handle_events(self, events, sid: int) -> None:
+        if not 0 <= sid < self.sessions:
+            raise ValueError(f"sid {sid} out of range 0..{self.sessions - 1}")
+        w, h = self.config.CANVAS_WIDTH, self.config.CANVAS_HEIGHT
+        with self.lock:
+            tr = self.tracers[sid]
+            for e in events:
+                k = e.get("k")
+                pid = int(e.get("id", 0))
+                if k == "down":
+                    tr.feed("down", pid=pid, x=e["x"] * w, y=e["y"] * h)
+                elif k == "move":
+                    tr.feed("move", pid=pid, x=e["x"] * w, y=e["y"] * h)
+                elif k == "up":
+                    tr.feed("up", pid=pid)
+                elif k == "burst":
+                    tr.feed("burst", n=int(e.get("n", 12)))
+                elif k == "pause":
+                    self.paused = bool(e["v"]) if "v" in e else not self.paused
+
+    def frame_jpeg(self, sid: int) -> Optional[tuple[bytes, int]]:
+        """(JPEG bytes, sim step) for one session — encoded lazily, cached
+        per step, so unpolled sessions never pay the encode."""
+        from PIL import Image
+
+        if not 0 <= sid < self.sessions:
+            raise ValueError(f"sid {sid} out of range")
+        with self.out_lock:
+            if self.frames is None:
+                return None
+            step = self.steps_done
+            hit = self._jpeg_cache.get(sid)
+            if hit and hit[0] == step:
+                return hit[1], step
+            arr = np.array(self.frames[sid])
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, "JPEG", quality=self.quality)
+        data = buf.getvalue()
+        with self.out_lock:
+            if self.steps_done == step:
+                self._jpeg_cache[sid] = (step, data)
+        return data, step
+
+    def run(self):
+        import jax.numpy as jnp
+
+        from tpufluid.ops.splat import SPLAT_COLS
+
+        last = time.time()
+        while not self._stop.is_set():
+            t_frame = time.time()
+            dt_wall = min(t_frame - last, MAX_DT)
+            last = t_frame
+            with self.lock:
+                if self.paused:
+                    time.sleep(MAX_DT)
+                    continue
+                max_s = self.config.MAX_SPLATS
+                batch = np.zeros((self.sessions, max_s, SPLAT_COLS),
+                                 np.float32)
+                # One shared wall dt drains every session's tracer —
+                # lock-step, like B copies of the reference sharing one
+                # rAF clock.
+                for b, tr in enumerate(self.tracers):
+                    for i, (x, y, dx, dy, color) in enumerate(
+                            tr.drain_step(dt_wall)[:max_s]):
+                        batch[b, i] = [x, y, dx, dy,
+                                       color[0], color[1], color[2], 1.0]
+                self.state, frames = self.tick(
+                    self.state, jnp.float32(dt_wall), jnp.asarray(batch))
+                frames = np.asarray(frames)
+            with self.out_lock:
+                self.frames = frames
+                self.steps_done += 1
+            left = MAX_DT - (time.time() - t_frame)
+            if left > 0:
+                time.sleep(left)
+
+    def stop(self):
+        self._stop.set()
+
+
+_DASH = """<!doctype html><meta charset=utf-8><title>tpufluid sessions</title>
+<style>body{background:#000;color:#9ab;font:13px monospace;margin:12px}
+.g{display:flex;flex-wrap:wrap;gap:10px}.c{text-align:center}
+img{display:block;border:1px solid #345;cursor:crosshair}</style>
+<h3>tpufluid — %B% sessions, one chip, one dispatch/frame</h3>
+<div class=g id=g></div>
+<script>
+const B=%B%;const g=document.getElementById('g');
+for(let s=0;s<B;s++){const d=document.createElement('div');d.className='c';
+ d.innerHTML=`<img id=f${s} width=256><br>session ${s}`;g.appendChild(d);
+ const img=d.querySelector('img');let down=false;
+ const send=(k,e)=>{const r=img.getBoundingClientRect();
+  fetch(`/events?sid=${s}`,{method:'POST',body:JSON.stringify([{k,
+   x:(e.clientX-r.left)/r.width,y:1-(e.clientY-r.top)/r.height}])})};
+ img.onmousedown=e=>{down=true;send('down',e)};
+ img.onmousemove=e=>{if(down)send('move',e)};
+ img.onmouseup=e=>{down=false;fetch(`/events?sid=${s}`,{method:'POST',
+  body:JSON.stringify([{k:'up'}])})};}
+setInterval(()=>{for(let s=0;s<B;s++){const i=document.getElementById('f'+s);
+ i.src=`/frame?sid=${s}&t=${Date.now()}`;}},100);
+</script>"""
+
+
+def make_handler(server: BatchFluidServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def handle_one_request(self):
+            try:
+                super().handle_one_request()
+            except (BrokenPipeError, ConnectionResetError):
+                self.close_connection = True
+
+        def _sid(self) -> int:
+            q = parse_qs(urlparse(self.path).query)
+            return int(q.get("sid", ["0"])[0])
+
+        def do_GET(self):
+            if self.path.startswith("/frame"):
+                try:
+                    got = server.frame_jpeg(self._sid())
+                except ValueError:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                if got is None:
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                data, step = got
+                self.send_response(200)
+                self.send_header("Content-Type", "image/jpeg")
+                self.send_header("Cache-Control", "no-store")
+                self.send_header("X-Step", str(step))
+                self.end_headers()
+                self.wfile.write(data)
+            elif self.path.startswith("/stats"):
+                with server.out_lock:
+                    out = {"steps": server.steps_done,
+                           "sessions": server.sessions,
+                           "paused": server.paused}
+                body = json.dumps(out).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                body = _DASH.replace("%B%", str(server.sessions)).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path.startswith("/events"):
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    events = json.loads(self.rfile.read(n) or b"[]")
+                    server.handle_events(events, self._sid())
+                    self.send_response(204)
+                except Exception:
+                    self.send_response(400)
+                self.end_headers()
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    return Handler
+
+
+def main(argv=None):
+    import argparse
+    import os
+
+    if os.environ.get("TPUFLUID_DEVICE", "").lower() == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    from tpufluid import FluidConfig
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--port", type=int, default=8001)
+    p.add_argument("--sessions", type=int, default=4)
+    p.add_argument("--sim-res", type=int, default=128)
+    p.add_argument("--dye-res", type=int, default=256)
+    p.add_argument("--canvas", default="256x256")
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quality", type=int, default=80)
+    args = p.parse_args(argv)
+    w, h = (int(v) for v in args.canvas.split("x"))
+    cfg = FluidConfig(SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
+                      CANVAS_WIDTH=w, CANVAS_HEIGHT=h,
+                      DTYPE=args.dtype).validate()
+    server = BatchFluidServer(cfg, sessions=args.sessions, seed=args.seed,
+                              quality=args.quality)
+    sim = threading.Thread(target=server.run, daemon=True)
+    sim.start()
+    httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
+    print(f"serving {args.sessions} sessions on http://localhost:{args.port}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
