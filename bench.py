@@ -336,7 +336,10 @@ def _run(args: argparse.Namespace) -> dict:
         value, state = _bench_steps(cfg, chunks=1, chunk=20, sharded=args.sharded)
         metric = f"sim steps/sec, 16384^2 {tag} single chip, {it or 20} Jacobi iters"
 
-    if args.rgb9e5:
+    # Label from the EFFECTIVE config, not the CLI flag: DYE_RGB9E5 defaults
+    # True for bf16 since round 9, so a plain bf16 run IS packed (and
+    # --rgb9e5 on a float32 run is inert — quant is bf16-gated in step.py).
+    if cfg.DYE_RGB9E5 and dtype == "bfloat16" and args.config != 2:
         metric += ", rgb9e5-packed dye"
     if args.sharded and args.config != 2:
         metric += ", sharded (shard_map mesh over visible devices)"

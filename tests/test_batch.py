@@ -189,6 +189,20 @@ def test_batch_sharded_multi_step_matches_unsharded():
                                       err_msg=name)
 
 
+def test_multi_step_rejects_per_sim_dt_vector():
+    """A (B,) per-sim dt (make_batched_step's shape) is not a multi-step
+    dt — 1-D means per-TIMESTEP there. Reject loudly instead of silently
+    reading tenant dts as a time sequence (when B == T the broadcast would
+    even succeed)."""
+    cfg = _cfg()
+    B, T = 4, 3
+    state = init_batch(cfg, B)
+    splats_seq = jnp.zeros((T, B, cfg.MAX_SPLATS, 8), jnp.float32)
+    bad_dt = jnp.full((B,), 1 / 60, jnp.float32)  # B != T and B != 1
+    with pytest.raises(ValueError, match="per-sim dts for multi-step"):
+        make_batched_multi_step(cfg)(state, bad_dt, splats_seq)
+
+
 def test_batch_sharded_rejects_indivisible_batch():
     cfg = _cfg()
     mesh = make_mesh()

@@ -538,3 +538,60 @@ def test_sharded_step_pallas_kernels_8dev_interpret(rng):
                                rtol=1e-4, atol=5e-4)
     np.testing.assert_allclose(np.asarray(b.dye), np.asarray(a.dye),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_overlap_split_phase_pallas_kernels_interpret(rng):
+    """OVERLAP_HALO with the Pallas kernel suite ENGAGED (review finding:
+    every other overlap equality test runs the jnp fallback, yet the split
+    path's whole point is the compiled kernel path, where the unpadded
+    interior bands and the padded monolithic blocks pick DIFFERENT kernel
+    windows/tiles). A 2-device rows mesh gives 128-row sim shards — above
+    the 3*g (=96) split-phase gate for every phase — and the split step is
+    asserted against BOTH the monolithic sharded step and the single-device
+    step, all three with kernels interposed in interpret mode."""
+    from unittest import mock
+
+    import tpufluid.ops.pallas.advect as pa
+    import tpufluid.ops.pallas.advect_hbm as ph
+    import tpufluid.ops.pallas.jacobi as pj
+    import tpufluid.ops.pallas.stencil as ps
+    from tpufluid.ops.pallas import dispatch as D
+
+    base = dict(SIM_RESOLUTION=256, DYE_RESOLUTION=512, CANVAS_WIDTH=512,
+                CANVAS_HEIGHT=512, MAX_SPLATS=4)
+    cfg = FluidConfig(OVERLAP_HALO=True, **base).validate()
+    cfg_mono = FluidConfig(OVERLAP_HALO=False, **base).validate()
+    mesh = make_mesh(2, shape=(2, 1))
+    tr = swirl_trace(cfg, 1, seed=3)
+    dt = jnp.float32(1 / 60)
+
+    calls = {"n": 0}
+
+    def interp(orig):
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            return orig(*a, interpret=True, **k)
+        return wrapped
+
+    ctx = [mock.patch.object(D, "_on_tpu", lambda: True)]
+    ctx += [mock.patch.object(m.pl, "pallas_call", interp(m.pl.pallas_call))
+            for m in (pa, ph, pj, ps)]
+    with ctx[0], ctx[1], ctx[2], ctx[3], ctx[4]:
+        sp = jnp.asarray(tr.batches[0])
+        split = make_sharded_step.__wrapped__(cfg, mesh)(
+            shard_state(init_state(cfg), mesh), dt, sp)
+        pre = calls["n"]
+        mono = make_sharded_step.__wrapped__(cfg_mono, mesh)(
+            shard_state(init_state(cfg_mono), mesh), dt, sp)
+        single = jax.jit(lambda s, d, x: fluid_step(s, d, x, cfg_mono))(
+            init_state(cfg_mono), dt, sp)
+        split.velocity.block_until_ready()
+    assert pre >= 8, f"kernels did not engage in the split step (calls={pre})"
+    for name in ("velocity", "dye", "pressure"):
+        s = np.asarray(getattr(split, name))
+        np.testing.assert_allclose(
+            s, np.asarray(getattr(mono, name)), rtol=1e-4, atol=5e-4,
+            err_msg=f"{name}: split-phase vs monolithic (kernels engaged)")
+        np.testing.assert_allclose(
+            s, np.asarray(getattr(single, name)), rtol=1e-4, atol=5e-4,
+            err_msg=f"{name}: split-phase vs single-device (kernels engaged)")

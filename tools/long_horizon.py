@@ -30,7 +30,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main(argv=None) -> dict:
@@ -125,11 +129,18 @@ def main(argv=None) -> dict:
         "div_rms_peak": max(r["div_rms"] for r in records),
         "dye_max_final": records[-1]["dye_max"],
     }
+    # No post-input records (--steps <= --splat-steps) -> the decay claim is
+    # unverifiable: mark not-ok rather than crash AFTER the expensive run
+    # (energy_final is None there) and still write summary.json.
+    decayed = (summary["energy_final"] is not None
+               and summary["energy_at_input_stop"]
+               and summary["energy_final"]
+               < 0.25 * summary["energy_at_input_stop"])
     summary["ok"] = bool(
         summary["nonfinite_total"] == 0
         and summary["backtrace_speed_peak"]
         <= summary["halo_contract_speed"]
-        and summary["energy_final"] < 0.25 * summary["energy_at_input_stop"]
+        and decayed
         and summary["energy_max_uptick_frac"] < 0.10)
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)

@@ -115,8 +115,17 @@ def make_batched_multi_step(config: FluidConfig):
     """
 
     def multi(state: FluidState, dt, splats_seq):
-        t = splats_seq.shape[0]
+        t, b = splats_seq.shape[0], splats_seq.shape[1]
         per_sim = jnp.ndim(dt) == 2
+        # A (B,) per-sim dt (make_batched_step's vector shape) is NOT a
+        # valid multi-step dt — a 1-D dt here means per-TIMESTEP. Reject
+        # it loudly rather than silently reading tenant dts as a time
+        # sequence (when B == T the broadcast would even succeed).
+        if jnp.ndim(dt) == 1 and jnp.shape(dt)[0] not in (1, t):
+            raise ValueError(
+                f"1-D dt has length {jnp.shape(dt)[0]} but there are {t} "
+                f"steps; per-sim dts for multi-step must be (T, B) = "
+                f"({t}, {b})")
         vstep = _vmapped_step(config, per_sim)
         dts = (jnp.asarray(dt, jnp.float32) if per_sim
                else jnp.broadcast_to(
@@ -202,6 +211,11 @@ def make_batch_sharded_multi_step(config: FluidConfig, mesh):
         if b % mesh.size:
             raise ValueError(f"batch {b} not divisible by mesh size {mesh.size}")
         per_sim = jnp.ndim(dt) == 2
+        if jnp.ndim(dt) == 1 and jnp.shape(dt)[0] not in (1, t):
+            raise ValueError(
+                f"1-D dt has length {jnp.shape(dt)[0]} but there are {t} "
+                f"steps; per-sim dts for multi-step must be (T, B) = "
+                f"({t}, {b})")
         dts = (jnp.asarray(dt, jnp.float32) if per_sim
                else jnp.broadcast_to(
                    jnp.asarray(dt, jnp.float32).reshape(-1), (t,)))

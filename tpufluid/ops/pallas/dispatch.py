@@ -16,6 +16,7 @@ identical.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -89,6 +90,21 @@ def _apply_bump_rounded(field, splat_factors):
     if field.ndim == 2:
         bump = bump[0]
     return (field.astype(jnp.float32) + bump).astype(field.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _warn_quant_fallback(shape, halo) -> None:
+    """Once per (shape, halo): the rgb9e5 default forced the XLA-gather
+    fallback because the all-channel window overflows VMEM and per-channel
+    launches cannot span-pack. Runs at TRACE time (static shapes), so the
+    warning fires at compile, not per step."""
+    import warnings
+
+    warnings.warn(
+        f"advect dye {shape} halo={halo}: rgb9e5 packing cannot run "
+        f"per-channel and the all-channel window overflows VMEM — using the "
+        f"slower jnp gather; set DYE_RGB9E5=False to restore the "
+        f"per-channel kernel for this geometry", stacklevel=3)
 
 
 def _clamp_bounds(x, bounds):
@@ -375,12 +391,16 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
             all_ch = _pl.supported((c,) + pad, it, halo)
             per_ch = all_ch or _pl.supported((1,) + pad, it, halo)
             # The rgb9e5 pack spans channels, so per-channel launches cannot
-            # honor quant — route that (rare: opt-in quant x VMEM-overflow
-            # halo) combination to the jnp fallback below, which runs the
-            # IDENTICAL quantize-before-sample procedure, instead of letting
-            # the quantization silently flip with grid geometry.
+            # honor quant — route that (VMEM-overflow halo x quant, which is
+            # the bf16 DEFAULT since round 9) combination to the jnp fallback
+            # below, which runs the IDENTICAL quantize-before-sample
+            # procedure, instead of letting the quantization silently flip
+            # with grid geometry. That fallback is a perf cliff vs the
+            # per-channel kernel round 8 would have run, so surface it once
+            # per geometry (pass DYE_RGB9E5=False to get the kernel back).
             if not all_ch and quant is not None:
                 per_ch = False
+                _warn_quant_fallback(source.shape, halo)
             if per_ch:
                 vel_p = pad_to(velocity, *pad)
                 src_p = pad_to(source, *pad)
@@ -408,11 +428,5 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                                             max_disp_x=max_disp_x, quant=quant)
                 return out[..., :h, :w]
     if splat_factors is not None:
-        gy, gx, amt = splat_factors
-        bump = jnp.einsum("sc,hs,sw->chw", amt, gy.astype(jnp.float32),
-                          gx.astype(jnp.float32),
-                          precision=jax.lax.Precision.HIGHEST)
-        if source.ndim == 2:
-            bump = bump[0]
-        source = (source.astype(jnp.float32) + bump).astype(source.dtype)
+        source = _apply_bump_rounded(source, splat_factors)
     return _jnp_advect_fn(velocity, source, dt, dissipation, quant=quant)

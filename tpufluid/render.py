@@ -134,6 +134,14 @@ def make_step_and_render(config: FluidConfig,
     step(dt) + render(null) pair (script.js:1182-1184) into one dispatch and
     shipping 3-byte pixels instead of f32 RGBA cuts both the dispatch count
     and the device->host transfer."""
+    return jax.jit(tick_body(config, out_hw), donate_argnums=0)
+
+
+def tick_body(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None):
+    """The UNJITTED per-frame body (step + render + uint8 quantize + flip):
+    shared by the single-session server (jitted directly above) and the
+    multi-tenant server (vmapped over sessions, serve_batch.make_batched_tick)
+    so the two frame pipelines cannot drift apart."""
     from tpufluid.step import fluid_step
 
     def tick(state: FluidState, dt, splats):
@@ -142,4 +150,4 @@ def make_step_and_render(config: FluidConfig,
         rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
         return state, jnp.transpose(rgb, (1, 2, 0))[::-1]
 
-    return jax.jit(tick, donate_argnums=0)
+    return tick

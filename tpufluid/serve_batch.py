@@ -50,16 +50,10 @@ def make_batched_tick(config):
     (state, (B, H, W, 3) uint8). The batched analog of
     render.make_step_and_render (same dispatch-tax rationale)."""
     import jax
-    import jax.numpy as jnp
 
-    from tpufluid.render import render_frame
-    from tpufluid.step import fluid_step
+    from tpufluid.render import tick_body
 
-    def one(state, dt, splats):
-        state = fluid_step(state, dt, splats, config)
-        frame = render_frame(state, config)
-        rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        return state, jnp.transpose(rgb, (1, 2, 0))[::-1]
+    one = tick_body(config)
 
     def tick(state, dt, splats):
         # dt in_axes=None: the shared server clock stays an unbatched SMEM
@@ -158,9 +152,13 @@ class BatchFluidServer:
             dt_wall = min(t_frame - last, MAX_DT)
             last = t_frame
             with self.lock:
-                if self.paused:
-                    time.sleep(MAX_DT)
-                    continue
+                paused = self.paused
+            if paused:
+                # Sleep OUTSIDE the lock: holding it would starve
+                # POST /events — including the unpause event itself.
+                time.sleep(MAX_DT)
+                continue
+            with self.lock:
                 max_s = self.config.MAX_SPLATS
                 batch = np.zeros((self.sessions, max_s, SPLAT_COLS),
                                  np.float32)
@@ -197,9 +195,12 @@ const B=%B%;const g=document.getElementById('g');
 for(let s=0;s<B;s++){const d=document.createElement('div');d.className='c';
  d.innerHTML=`<img id=f${s} width=256><br>session ${s}`;g.appendChild(d);
  const img=d.querySelector('img');let down=false;
+ // Send the RAW top-down pixel fraction: Pointer.on_down/on_move apply
+ // the reference's texcoord flip (1 - y/H) themselves — pre-flipping
+ // here would double-flip (the single-session page does the same).
  const send=(k,e)=>{const r=img.getBoundingClientRect();
   fetch(`/events?sid=${s}`,{method:'POST',body:JSON.stringify([{k,
-   x:(e.clientX-r.left)/r.width,y:1-(e.clientY-r.top)/r.height}])})};
+   x:(e.clientX-r.left)/r.width,y:(e.clientY-r.top)/r.height}])})};
  img.onmousedown=e=>{down=true;send('down',e)};
  img.onmousemove=e=>{if(down)send('move',e)};
  img.onmouseup=e=>{down=false;fetch(`/events?sid=${s}`,{method:'POST',
