@@ -123,9 +123,10 @@ def test_batched_multi_step_matches_single_multi_step():
 
 
 def test_batched_step_bit_exact_per_sim_pallas_interpret():
-    """The SHIPPED Pallas kernel suite under vmap: JAX's pallas_call
-    batching rule adds a leading grid dim; per-sim results must stay
-    bit-identical to the unbatched kernel step."""
+    """The SHIPPED Pallas kernel suite under vmap with PER-SIM dts: JAX's
+    pallas_call batching rule adds a leading grid dim and batches the
+    (1, 1) SMEM dt to (B, 1, 1); per-sim results must stay bit-identical
+    to the unbatched kernel step at that sim's own dt."""
     cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=256,
                       CANVAS_WIDTH=256, CANVAS_HEIGHT=256,
                       MAX_SPLATS=4).validate()
@@ -141,15 +142,16 @@ def test_batched_step_bit_exact_per_sim_pallas_interpret():
     states = [init_state(cfg) for _ in range(B)]
     splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=3 + i).batches[0])
                         for i in range(B)])
-    dt = jnp.float32(1 / 60)
+    dts = jnp.asarray([1 / 60, 1 / 90], jnp.float32)
     # pa.pl IS the shared jax.experimental.pallas module: one patch covers
     # every kernel family's pallas_call.
     with mock.patch.object(D, "_on_tpu", lambda: True), \
          mock.patch.object(pa.pl, "pallas_call", wrapped):
         out = jax.jit(jax.vmap(
-            lambda s, sp: fluid_step(s, dt, sp, cfg)))(stack_states(states), splats)
-        single = jax.jit(lambda s, sp: fluid_step(s, dt, sp, cfg))
-        refs = [single(states[i], splats[i]) for i in range(B)]
+            lambda s, d, sp: fluid_step(s, d, sp, cfg)))(
+                stack_states(states), dts, splats)
+        single = jax.jit(lambda s, d, sp: fluid_step(s, d, sp, cfg))
+        refs = [single(states[i], dts[i], splats[i]) for i in range(B)]
         out.velocity.block_until_ready()
     assert calls["n"] >= 8, f"Pallas kernels did not engage (calls={calls['n']})"
     for i in range(B):

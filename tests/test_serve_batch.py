@@ -106,6 +106,39 @@ def test_event_isolation(server_url):
     assert f0 == f2, "untouched sessions 0 and 2 diverged (isolation broken)"
 
 
+def test_per_session_speed(server_url):
+    """A session's clock-rate knob: setting speed on session 2 switches the
+    loop to the (B,) per-sim dt vector (batch.py's compiled shape) and
+    diverges session 2 from untouched session 0; /stats reports it.
+    (Runs after test_event_isolation, which already diverged session 1.)"""
+    assert _post(server_url, 2, [{"k": "speed", "v": 0.5}]) == 204
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                  timeout=5).read())
+        if stats["speeds"][2] == 0.5:
+            break
+        time.sleep(0.05)
+    assert stats["speeds"] == [1.0, 1.0, 0.5]
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        f0, _, f2 = _same_step_frames(server_url, range(B))
+        if f2 != f0:
+            break
+        time.sleep(0.05)
+    assert f2 != f0, "session 2 at half speed did not diverge from session 0"
+    # Out-of-range speeds clamp (the dt ceiling is enforced per step anyway).
+    assert _post(server_url, 2, [{"k": "speed", "v": 99.0}]) == 204
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                  timeout=5).read())
+        if stats["speeds"][2] == 4.0:
+            break
+        time.sleep(0.05)
+    assert stats["speeds"][2] == 4.0
+
+
 def test_bad_sid_events_rejected(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url, B + 5, [{"k": "burst", "n": 3}])

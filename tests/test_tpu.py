@@ -381,12 +381,12 @@ def test_portrait_config_on_device(warm_tunnel):
 
 
 def test_batched_step_and_render_bit_exact_on_device(warm_tunnel):
-    """Serving mode on compiled Mosaic: a vmapped batch of B sims must
-    advance and render BIT-identically to the unbatched step per sim
-    (pallas_call's batching rule only adds a leading grid dimension; the
-    per-block arithmetic is unchanged — pinned 0.0 worst err in
-    out/jobs/done/b76). Lock-step dt: per-sim dt would batch the SMEM dt
-    scalar, which Mosaic rejects (tpufluid/batch.py docstring)."""
+    """Serving mode on compiled Mosaic: a vmapped batch of B sims with
+    PER-SIM dts must advance and render BIT-identically to the unbatched
+    step per sim at that sim's own dt (pallas_call's batching rule adds a
+    leading grid dimension and batches the (1, 1) SMEM dt to (B, 1, 1),
+    which Mosaic lowers — device probe out/jobs/done/c01; lock-step dt
+    pinned 0.0 worst err in out/jobs/done/b76/b78)."""
     from tpufluid import FluidConfig, init_state
     from tpufluid.batch import make_batched_step, make_batched_render, \
         stack_states, unstack_state
@@ -398,16 +398,16 @@ def test_batched_step_and_render_bit_exact_on_device(warm_tunnel):
                       CANVAS_WIDTH=256, CANVAS_HEIGHT=256, MAX_SPLATS=8,
                       DTYPE="bfloat16").validate()
     B = 2
-    dt = jnp.float32(1 / 60)
+    dts = jnp.asarray([1 / 60, 1 / 90], jnp.float32)
     splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=3 + i).batches[0])
                         for i in range(B)])
     states = [init_state(cfg) for _ in range(B)]
-    out = make_batched_step(cfg)(stack_states(states), dt, splats)
+    out = make_batched_step(cfg)(stack_states(states), dts, splats)
     frames = make_batched_render(cfg)(out)
-    single = jax.jit(lambda s, sp: fluid_step(s, dt, sp, cfg))
+    single = jax.jit(lambda s, d, sp: fluid_step(s, d, sp, cfg))
     render = make_render(cfg)
     for i in range(B):
-        ref = single(states[i], splats[i])
+        ref = single(states[i], dts[i], splats[i])
         for name in ("velocity", "dye", "pressure"):
             np.testing.assert_array_equal(
                 np.asarray(getattr(unstack_state(out, i), name), np.float32),

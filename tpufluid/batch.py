@@ -21,10 +21,12 @@ Design (TPU-first):
 * Per-sim time steps: ``dt`` may be a scalar (lock-step) or a ``(B,)``
   vector — interactive tenants run at their own wall clocks (the
   reference recomputes dt from wall time every frame,
-  script.js:1188-1194). Lock-step dt stays an UNBATCHED SMEM scalar
-  inside the kernels (``in_axes=None``) and is the shape the compiled
-  Mosaic path requires; per-sim dt is exact on the jnp oracle and
-  Pallas-interpret (see :func:`_vmapped_step`).
+  script.js:1188-1194). Both shapes run the COMPILED Mosaic kernel path:
+  the kernels take dt as a (1, 1) SMEM block, the shape whose batched
+  form ((B, 1, 1) with (1, 1, 1) blocks) Mosaic accepts — block dims
+  equal to the array dims satisfy the (8, 128)-divisibility rule
+  (out/jobs/done/c01_batched_smem_probe.py). Lock-step dt still rides
+  ``in_axes=None`` so the shared clock is a single unbatched operand.
 * Multi-chip: the batch axis is embarrassingly parallel. ``shard_map``
   places ``B // n_devices`` sims on each device and runs the SAME vmapped
   step on the local slice — pure data parallelism, ZERO collectives (no
@@ -71,16 +73,15 @@ def _vmapped_step(config: FluidConfig, per_sim_dt: bool):
     """vmap of the single-sim step.
 
     ``per_sim_dt=False`` (lock-step, a SCALAR dt) maps dt with
-    ``in_axes=None`` so it stays an UNBATCHED (1,)-shaped SMEM operand
-    inside the Pallas kernels — Mosaic rejects batched SMEM scalar blocks
-    ((1,1) blocks of a (B,1) array fail the (8,128)-divisibility rule), so
-    this is the shape the compiled TPU kernel path requires. With
-    ``per_sim_dt=True`` (a (B,) dt — serving tenants on their own wall
-    clocks) dt is vmapped; that is exact on the jnp oracle everywhere and
-    on Pallas in interpret mode, while the compiled kernel path needs
-    lock-step dt (dispatch falls back per the gates if a batched-SMEM
-    program is rejected at lowering — keep serving fleets lock-step or
-    USE_PALLAS=False when dts truly diverge)."""
+    ``in_axes=None`` so the shared clock stays ONE unbatched SMEM operand
+    inside the Pallas kernels. ``per_sim_dt=True`` (a (B,) dt — serving
+    tenants on their own wall clocks) vmaps dt; the kernels' (1, 1) SMEM
+    dt batches to (B, 1, 1) with (1, 1, 1) blocks, which Mosaic lowers
+    (block dims equal to the array dims pass the divisibility rule —
+    device probe out/jobs/done/c01_batched_smem_probe.py; a (1,)-shaped
+    dt would NOT batch). Both branches are bit-exact per sim vs the
+    unbatched step on the compiled kernel path (tests/test_tpu.py) and
+    the jnp oracle (tests/test_batch.py)."""
     step = partial(fluid_step, config=config)
     return jax.vmap(step, in_axes=(0, 0 if per_sim_dt else None, 0))
 
@@ -89,9 +90,9 @@ def _vmapped_step(config: FluidConfig, per_sim_dt: bool):
 def make_batched_step(config: FluidConfig):
     """Compile step(batched_state, dt, splats) -> batched_state.
 
-    ``splats`` is (B, MAX_SPLATS, 8); ``dt`` a scalar (lock-step — the
-    compiled-TPU-kernel shape, see :func:`_vmapped_step`) or (B,)
-    per-sim. Buffers are donated like the single-sim
+    ``splats`` is (B, MAX_SPLATS, 8); ``dt`` a scalar (lock-step) or (B,)
+    per-sim — both compile to the TPU kernel path (see
+    :func:`_vmapped_step`). Buffers are donated like the single-sim
     :func:`tpufluid.step.make_step`.
     """
 
@@ -110,8 +111,8 @@ def make_batched_multi_step(config: FluidConfig):
     A ``lax.scan`` of T vmapped steps in ONE dispatch — the batched
     analog of :func:`tpufluid.step.make_multi_step` and the serving
     throughput benchmark entry point. ``splats_seq`` is (T, B, MAX_SPLATS,
-    8); ``dt`` is a scalar or (T,) (lock-step across sims — the
-    compiled-TPU-kernel shape) or (T, B) per-sim.
+    8); ``dt`` is a scalar or (T,) (lock-step across sims) or (T, B)
+    per-sim — all compile to the TPU kernel path.
     """
 
     def multi(state: FluidState, dt, splats_seq):

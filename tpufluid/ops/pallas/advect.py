@@ -288,7 +288,7 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
         scratch = rest[1:]
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dt = dt_ref[0]
+    dt = dt_ref[0, 0]
     r, cb = rows, cols
     win = r + 2 * halo
     cbw = cb + 2 * col_halo
@@ -538,7 +538,11 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     col_halo = span * LANE if cols != w else 0
     n_r = h // rows
     n_c = w // cols
-    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
+    # (1,1) not (1,): a batched SMEM block lowers only when its last two
+    # dims are (8,128)-divisible OR equal the full array dims -- (1,1)
+    # satisfies the latter, so vmap(step) can batch a per-sim dt
+    # (out/jobs/done/c01_batched_smem_probe.py); (1,) cannot.
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     win = rows + 2 * halo
     cbw = cols + 2 * col_halo

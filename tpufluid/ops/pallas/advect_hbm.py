@@ -130,7 +130,7 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
     stride = _EXTRA - align  # fresh rows per segment; slices never straddle
     i = pl.program_id(0)
     j = pl.program_id(1)
-    dt = dt_ref[0]
+    dt = dt_ref[0, 0]
 
     if col_halo:
         cstart = _clamped_start(j, cb, col_halo, w_global, LANE)
@@ -428,7 +428,11 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     col_halo = span * LANE if cols != w else 0
     n_r = h // rows
     n_c = w // cols
-    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
+    # (1,1) not (1,): a batched SMEM block lowers only when its last two
+    # dims are (8,128)-divisible OR equal the full array dims -- (1,1)
+    # satisfies the latter, so vmap(step) can batch a per-sim dt
+    # (out/jobs/done/c01_batched_smem_probe.py); (1,) cannot.
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
     win2 = rows + _EXTRA
     cbw = cols + 2 * col_halo
 

@@ -103,7 +103,7 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
-    dt = dt_ref[0]
+    dt = dt_ref[0, 0]
     start = window_start(i, rows_per_block, halo, h_global, align)
     if col_halo:
         j = pl.program_id(1)
@@ -337,7 +337,11 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
         true_shape = (h, w)
     (rows, cols, halo, col_halo, align, win, cw, grid, idx) = _tile_geometry(
         h, w, velocity.dtype.itemsize)
-    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
+    # (1,1) not (1,): a batched SMEM block lowers only when its last two
+    # dims are (8,128)-divisible OR equal the full array dims -- (1,1)
+    # satisfies the latter, so vmap(step) can batch a per-sim dt
+    # (out/jobs/done/c01_batched_smem_probe.py); (1,) cannot.
+    dt_arr = jnp.asarray(dt, jnp.float32).reshape(1, 1)
 
     with_splats = splat_gy is not None
     if not with_splats:

@@ -6,10 +6,16 @@ onto one accelerator — this module is that deployment shape, built on
 tpufluid/batch.py: every frame, all sessions' pointer events drain into one
 (B, MAX_SPLATS, 8) splat tensor and one fused vmapped dispatch advances AND
 renders every session (per-sim results bit-exact vs the single-sim step on
-the compiled kernel path — tests/test_tpu.py, out/jobs/done/b76). The server
-clock is shared (lock-step dt, the Mosaic-legal shape — batch.py docstring),
-exactly like the reference's single requestAnimationFrame clock feeding its
-one sim (script.js:1182-1194).
+the compiled kernel path — tests/test_tpu.py, out/jobs/done/b76). Each
+session has its own clock RATE: a per-session ``speed`` multiplier scales
+the shared wall dt (clamped to the reference's 1/60 ceiling,
+script.js:1191, which also preserves the kernels' displacement contract),
+and the batched dispatch takes the resulting (B,) per-sim dt vector on the
+compiled kernel path (batch.py: the (1, 1) SMEM dt batches). With every
+speed at 1.0 the server passes a scalar dt instead — lock-step, ONE shared
+clock exactly like the reference's single requestAnimationFrame feeding its
+one sim (script.js:1182-1194) — so the common case stays a single compiled
+program.
 
 Session isolation is structural: sims only meet inside vmap, which cannot
 mix batch rows. JPEG encoding is lazy (per-session, cached per step), so B
@@ -21,7 +27,10 @@ Endpoints (sid = session id, 0..B-1):
   GET  /frame?sid=N latest JPEG for session N (X-Step header = sim step)
   GET  /stats       {"steps", "sessions", "paused"}
   POST /events?sid=N  same JSON event schema as the single-session server
-                      (down/move/up/burst/pause — pause is global: one clock)
+                      (down/move/up/burst/pause — pause is global), plus
+                      {"k": "speed", "v": S}: session N's clock rate
+                      (S in [0, 4]; 0 freezes the session's time while its
+                      splats still land, like painting into frozen fluid)
 
 Geometry/config is uniform across sessions by construction (one compiled
 program); per-tenant quality knobs belong on separate server processes.
@@ -56,9 +65,13 @@ def make_batched_tick(config):
     one = tick_body(config)
 
     def tick(state, dt, splats):
-        # dt in_axes=None: the shared server clock stays an unbatched SMEM
-        # scalar inside the Pallas kernels (batch.py docstring).
-        return jax.vmap(one, in_axes=(0, None, 0))(state, dt, splats)
+        # Scalar dt (all speeds 1.0) maps in_axes=None: the shared server
+        # clock stays ONE unbatched SMEM operand. A (B,) dt (per-session
+        # speeds) is vmapped — the kernels' (1, 1) SMEM dt batches to
+        # (B, 1, 1), which Mosaic lowers (batch.py docstring). The ndim
+        # switch is static per aval, so each shape is its own jit program.
+        axes = (0, 0 if jax.numpy.ndim(dt) else None, 0)
+        return jax.vmap(one, in_axes=axes)(state, dt, splats)
 
     return jax.jit(tick, donate_argnums=0)
 
@@ -90,6 +103,9 @@ class BatchFluidServer:
             tr.splat_stack.append(int(tr.rng.integers(5, 25)))
         self.state = init_batch(config, self.sessions)
         self.tick = make_batched_tick(config)
+        # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
+        # All-ones keeps the lock-step scalar-dt program (module docstring).
+        self.speeds = np.ones(self.sessions, np.float32)
         self.paused = False
         self.steps_done = 0
         self.lock = threading.Lock()
@@ -97,6 +113,7 @@ class BatchFluidServer:
         self.frames: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
         self._jpeg_cache: dict[int, tuple[int, bytes]] = {}
         self._stop = threading.Event()
+        self.error: Optional[str] = None  # sim-loop crash, shown in /stats
 
     def handle_events(self, events, sid: int) -> None:
         if not 0 <= sid < self.sessions:
@@ -117,6 +134,11 @@ class BatchFluidServer:
                     tr.feed("burst", n=int(e.get("n", 12)))
                 elif k == "pause":
                     self.paused = bool(e["v"]) if "v" in e else not self.paused
+                elif k == "speed":
+                    # Clamped to [0, 4]: the per-step dt ceiling of 1/60
+                    # (run()) is what actually bounds displacement; the
+                    # speed cap just keeps the knob sane.
+                    self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 4.0))
 
     def frame_jpeg(self, sid: int) -> Optional[tuple[bytes, int]]:
         """(JPEG bytes, sim step) for one session — encoded lazily, cached
@@ -142,6 +164,19 @@ class BatchFluidServer:
         return data, step
 
     def run(self):
+        """Sim-loop thread entry; a crash is recorded for /stats instead of
+        silently 503-ing every frame request forever (daemon threads die
+        unseen — this bit during the per-session-speed build)."""
+        try:
+            self._run()
+        except Exception:
+            import traceback
+
+            with self.out_lock:
+                self.error = traceback.format_exc()
+            traceback.print_exc()
+
+    def _run(self):
         import jax.numpy as jnp
 
         from tpufluid.ops.splat import SPLAT_COLS
@@ -162,16 +197,24 @@ class BatchFluidServer:
                 max_s = self.config.MAX_SPLATS
                 batch = np.zeros((self.sessions, max_s, SPLAT_COLS),
                                  np.float32)
-                # One shared wall dt drains every session's tracer —
-                # lock-step, like B copies of the reference sharing one
-                # rAF clock.
+                # Per-session clocks: the shared wall dt scaled by each
+                # session's speed, re-clamped to the reference's 1/60
+                # ceiling (script.js:1191 — also the kernels' displacement
+                # contract). Each tracer drains at ITS OWN dt, so color
+                # cycling and burst pacing follow the session clock too.
+                dts = np.minimum(dt_wall * self.speeds, MAX_DT)
                 for b, tr in enumerate(self.tracers):
                     for i, (x, y, dx, dy, color) in enumerate(
-                            tr.drain_step(dt_wall)[:max_s]):
+                            tr.drain_step(float(dts[b]))[:max_s]):
                         batch[b, i] = [x, y, dx, dy,
                                        color[0], color[1], color[2], 1.0]
+                # All speeds 1.0 (the common case): scalar dt -> the
+                # lock-step program with ONE unbatched SMEM clock.
+                dt_arg = (jnp.float32(dt_wall)
+                          if bool(np.all(self.speeds == 1.0))
+                          else jnp.asarray(dts, jnp.float32))
                 self.state, frames = self.tick(
-                    self.state, jnp.float32(dt_wall), jnp.asarray(batch))
+                    self.state, dt_arg, jnp.asarray(batch))
                 frames = np.asarray(frames)
             with self.out_lock:
                 self.frames = frames
@@ -193,7 +236,14 @@ img{display:block;border:1px solid #345;cursor:crosshair}</style>
 <script>
 const B=%B%;const g=document.getElementById('g');
 for(let s=0;s<B;s++){const d=document.createElement('div');d.className='c';
- d.innerHTML=`<img id=f${s} width=256><br>session ${s}`;g.appendChild(d);
+ d.innerHTML=`<img id=f${s} width=256><br>session ${s} · speed
+  <input id=v${s} type=range min=0 max=2 step=0.25 value=1
+   style="width:90px;vertical-align:middle">
+  <span id=l${s}>1</span>x`;g.appendChild(d);
+ const sl=d.querySelector(`#v${s}`);
+ sl.oninput=()=>{document.getElementById('l'+s).textContent=sl.value;
+  fetch(`/events?sid=${s}`,{method:'POST',
+   body:JSON.stringify([{k:'speed',v:+sl.value}])})};
  const img=d.querySelector('img');let down=false;
  // Send the RAW top-down pixel fraction: Pointer.on_down/on_move apply
  // the reference's texcoord flip (1 - y/H) themselves — pre-flipping
@@ -248,7 +298,9 @@ def make_handler(server: BatchFluidServer):
                 with server.out_lock:
                     out = {"steps": server.steps_done,
                            "sessions": server.sessions,
-                           "paused": server.paused}
+                           "paused": server.paused,
+                           "speeds": [float(s) for s in server.speeds],
+                           "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
