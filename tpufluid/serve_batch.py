@@ -25,7 +25,9 @@ polled.
 Endpoints (sid = session id, 0..B-1):
   GET  /            dashboard page: a grid of all sessions' live frames
   GET  /frame?sid=N latest JPEG for session N (X-Step header = sim step)
-  GET  /stats       {"steps", "sessions", "paused"}
+  GET  /stats       {"steps", "sessions", "paused", "speeds", "error"}
+  GET  /checkpoint.npz  whole-fleet checkpoint (batched state + config +
+                        per-session speeds/tracers); resume with --resume
   POST /events?sid=N  same JSON event schema as the single-session server
                       (down/move/up/burst/pause — pause is global), plus
                       {"k": "speed", "v": S}: session N's clock rate
@@ -80,34 +82,57 @@ class BatchFluidServer:
     """Owns the batched sim loop; per-session tracers + lazy JPEG frames."""
 
     def __init__(self, config, sessions: int = 4, seed: int = 0,
-                 quality: int = 80, identical_seeds: bool = False):
+                 quality: int = 80, identical_seeds: bool = False,
+                 resume: Optional[str] = None):
         from tpufluid.batch import init_batch
         from tpufluid.trace import PointerTracer
 
-        self.config = config
-        self.sessions = int(sessions)
+        self.steps_done = 0
+        if resume:
+            # Whole-fleet deterministic resume: the checkpoint carries the
+            # batched field state, config, step count, per-session speeds,
+            # and EVERY session's tracer state (RNG cursors, pointer
+            # machines, pending bursts) — tpufluid.checkpoint, with the
+            # per-session parts in ``extra`` (the batched analog of
+            # FluidServer(resume=...)).
+            from tpufluid.checkpoint import load_state
+
+            self.state, config, self.steps_done, extra = load_state(resume)
+            self.config = config
+            self.sessions = int(extra["sessions"])
+            self.tracers = []
+            for d in extra["tracers"]:
+                tr = PointerTracer(config, seed=seed)
+                tr.load_state_dict(d)
+                self.tracers.append(tr)
+            self._resume_speeds = np.asarray(extra["speeds"], np.float32)
+        else:
+            self.config = config
+            self.sessions = int(sessions)
+            # identical_seeds starts every session bit-identical (the
+            # isolation test shape: untouched sessions must STAY
+            # identical); the default gives each tenant its own seeded
+            # startup burst like the reference's multipleSplats(random)
+            # (script.js:1170).
+            self.tracers = [PointerTracer(config,
+                                          seed=seed if identical_seeds
+                                          else seed + i)
+                            for i in range(self.sessions)]
+            # Startup burst per session, drawn from each tracer's own
+            # seeded RNG, so identical_seeds sessions stay bit-identical
+            # (nonzero but equal) until events distinguish them.
+            for tr in self.tracers:
+                tr.splat_stack.append(int(tr.rng.integers(5, 25)))
+            self.state = init_batch(config, self.sessions)
+            self._resume_speeds = None
         self.quality = quality
-        # identical_seeds starts every session bit-identical (the isolation
-        # test shape: untouched sessions must STAY identical); the default
-        # gives each tenant its own seeded startup burst like the
-        # reference's multipleSplats(random) (script.js:1170).
-        self.tracers = [PointerTracer(config,
-                                      seed=seed if identical_seeds
-                                      else seed + i)
-                        for i in range(self.sessions)]
-        # Startup burst per session, like the reference's
-        # multipleSplats(random) on load (script.js:1170) — drawn from each
-        # tracer's own seeded RNG, so identical_seeds sessions stay
-        # bit-identical (nonzero but equal) until events distinguish them.
-        for tr in self.tracers:
-            tr.splat_stack.append(int(tr.rng.integers(5, 25)))
-        self.state = init_batch(config, self.sessions)
         self.tick = make_batched_tick(config)
         # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
         # All-ones keeps the lock-step scalar-dt program (module docstring).
-        self.speeds = np.ones(self.sessions, np.float32)
+        self.speeds = (np.ones(self.sessions, np.float32)
+                       if self._resume_speeds is None
+                       else self._resume_speeds)
         self.paused = False
-        self.steps_done = 0
         self.lock = threading.Lock()
         self.out_lock = threading.Lock()
         self.frames: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
@@ -139,6 +164,25 @@ class BatchFluidServer:
                     # (run()) is what actually bounds displacement; the
                     # speed cap just keeps the knob sane.
                     self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 4.0))
+
+    def checkpoint_bytes(self) -> bytes:
+        """Whole-fleet checkpoint (.npz): batched field state + config +
+        step count + per-session speeds and tracer states — resumable via
+        BatchFluidServer(config, resume=path)."""
+        from tpufluid.checkpoint import save_state
+
+        buf = io.BytesIO()
+        with self.lock:
+            # steps_done is written under out_lock just after the state
+            # swap; nesting (the sim loop never nests, so no deadlock
+            # order) keeps the label within one step of the held state.
+            with self.out_lock:
+                step = self.steps_done
+            extra = {"sessions": self.sessions,
+                     "speeds": [float(s) for s in self.speeds],
+                     "tracers": [tr.state_dict() for tr in self.tracers]}
+            save_state(buf, self.state, self.config, step=step, extra=extra)
+        return buf.getvalue()
 
     def frame_jpeg(self, sid: int) -> Optional[tuple[bytes, int]]:
         """(JPEG bytes, sim step) for one session — encoded lazily, cached
@@ -294,6 +338,12 @@ def make_handler(server: BatchFluidServer):
                 self.send_header("X-Step", str(step))
                 self.end_headers()
                 self.wfile.write(data)
+            elif self.path.startswith("/checkpoint.npz"):
+                data = server.checkpoint_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/octet-stream")
+                self.end_headers()
+                self.wfile.write(data)
             elif self.path.startswith("/stats"):
                 with server.out_lock:
                     out = {"steps": server.steps_done,
@@ -353,13 +403,17 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quality", type=int, default=80)
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume a whole fleet from a /checkpoint.npz "
+                        "download (config, sessions, speeds and tracer "
+                        "states come from the checkpoint)")
     args = p.parse_args(argv)
     w, h = (int(v) for v in args.canvas.split("x"))
     cfg = FluidConfig(SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
                       CANVAS_WIDTH=w, CANVAS_HEIGHT=h,
                       DTYPE=args.dtype).validate()
     server = BatchFluidServer(cfg, sessions=args.sessions, seed=args.seed,
-                              quality=args.quality)
+                              quality=args.quality, resume=args.resume)
     sim = threading.Thread(target=server.run, daemon=True)
     sim.start()
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
