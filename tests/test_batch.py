@@ -163,9 +163,11 @@ def test_batched_step_bit_exact_per_sim_pallas_interpret():
 
 
 def test_batch_sharded_multi_step_matches_unsharded():
-    """Batch DP over the 8-device mesh: same result as the unsharded
-    batched scan, and the compiled program contains NO collectives (the
-    batch axis is embarrassingly parallel — no halos)."""
+    """Batch DP over the 8-device mesh with PER-SIM dts: same result as
+    the unsharded batched scan (each device scans its own sims at their
+    own clocks — the (T, B) dt shards along B), and the compiled program
+    contains NO collectives (the batch axis is embarrassingly parallel —
+    no halos)."""
     cfg = _cfg()
     B, T = 8, 2
     states, _ = _seeded_states(cfg, B, steps=1)
@@ -173,7 +175,8 @@ def test_batch_sharded_multi_step_matches_unsharded():
     splats_seq = jnp.stack(
         [jnp.asarray(swirl_trace(cfg, T, seed=90 + i).batches) for i in range(B)],
         axis=1)
-    dt = jnp.float32(1 / 60)
+    dt = jnp.broadcast_to(
+        jnp.linspace(1 / 90, 1 / 60, B, dtype=jnp.float32), (T, B))
     truth = make_batched_multi_step(cfg)(
         jax.tree.map(jnp.copy, batched), dt, splats_seq)
 
