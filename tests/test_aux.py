@@ -36,6 +36,30 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(s.velocity), np.asarray(s2.velocity))
 
 
+def test_checkpoint_roundtrip_16bit_dtypes(tmp_path):
+    """bfloat16 (ml_dtypes — np.load hands back void '|V2' without the
+    uint16 bit-view) and float16 (numpy-native) both round-trip
+    bit-exactly with their dtypes restored from the config."""
+    import dataclasses as dc
+
+    for dt_name in ("bfloat16", "float16"):
+        cfg = dc.replace(CFG, DTYPE=dt_name).validate()
+        s = init_state(cfg)
+        s.dye = (s.dye + jnp.linspace(0, 1, s.dye.size).reshape(s.dye.shape)
+                 ).astype(cfg.dtype)
+        s.velocity = (s.velocity + 3.25).astype(cfg.dtype)
+        p = str(tmp_path / f"ck_{dt_name}.npz")
+        save_state(p, s, cfg, step=7)
+        s2, cfg2, step, _ = load_state(p)
+        assert cfg2 == cfg and step == 7
+        for name in ("velocity", "dye", "pressure"):
+            a, b = getattr(s, name), getattr(s2, name)
+            assert b.dtype == cfg.dtype, (dt_name, name, b.dtype)
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                err_msg=f"{dt_name} {name}")
+
+
 def test_resume_continues_identically(tmp_path):
     """Stop at step 10, resume, and land bit-identical with the straight run."""
     cfg = CFG

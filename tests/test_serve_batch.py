@@ -127,16 +127,18 @@ def test_per_session_speed(server_url):
             break
         time.sleep(0.05)
     assert f2 != f0, "session 2 at half speed did not diverge from session 0"
-    # Out-of-range speeds clamp (the dt ceiling is enforced per step anyway).
+    # Out-of-range speeds clamp to 1.0 (slow-motion only: the loop already
+    # paces at the 1/60 dt ceiling, so rates above 1 would be a silent
+    # no-op — rejected at the knob instead).
     assert _post(server_url, 2, [{"k": "speed", "v": 99.0}]) == 204
     deadline = time.time() + 10
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                   timeout=5).read())
-        if stats["speeds"][2] == 4.0:
+        if stats["speeds"][2] == 1.0:
             break
         time.sleep(0.05)
-    assert stats["speeds"][2] == 4.0
+    assert stats["speeds"][2] == 1.0
 
 
 def test_bad_sid_events_rejected(server_url):
@@ -148,13 +150,21 @@ def test_bad_sid_events_rejected(server_url):
 def test_fleet_checkpoint_resume(server_url, tmp_path):
     """Download /checkpoint.npz mid-run, build a NEW fleet from it: batched
     state, session count, per-session speeds, and every tracer's session
-    state carry over (the whole-fleet deterministic-resume seam; runs after
-    test_per_session_speed, so speeds[2] is a non-default 4.0)."""
+    state carry over (the whole-fleet deterministic-resume seam)."""
     import numpy as np
 
-    # leave pending tracer state behind on session 0, then checkpoint
+    # leave pending tracer state on session 0 and a non-default speed on
+    # session 2, then checkpoint
     assert _post(server_url, 0, [{"k": "down", "x": 0.4, "y": 0.5},
                                  {"k": "burst", "n": 7}]) == 204
+    assert _post(server_url, 2, [{"k": "speed", "v": 0.25}]) == 204
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                  timeout=5).read())
+        if stats["speeds"][2] == 0.25:
+            break
+        time.sleep(0.05)
     data = urllib.request.urlopen(server_url + "/checkpoint.npz",
                                   timeout=30).read()
     p = tmp_path / "fleet.npz"
@@ -165,12 +175,14 @@ def test_fleet_checkpoint_resume(server_url, tmp_path):
     assert resumed.sessions == B
     assert resumed.steps_done > 0
     assert resumed.config == src.config
-    assert resumed.speeds.tolist()[2] == 4.0  # set by test_per_session_speed
+    assert resumed.speeds.tolist()[2] == 0.25  # set just before checkpoint
     assert 0 in resumed.tracers[0].pointers  # pointer machine carried over
     assert resumed.state.velocity.shape[0] == B
-    # The loaded batched fields are byte-identical to a checkpoint taken
-    # again from the same bytes (round-trip sanity).
+    # Loaded batched fields: expected dtype, finite. (Do NOT touch
+    # src.state here: the live sim thread donates those buffers every
+    # tick, so reading them races 'Array has been deleted'.)
+    del src
     for name in ("velocity", "dye", "pressure"):
         arr = np.asarray(getattr(resumed.state, name))
-        assert arr.dtype == np.asarray(getattr(src.state, name)).dtype
+        assert arr.dtype == CFG.dtype
         assert np.isfinite(arr.astype(np.float32)).all()

@@ -34,7 +34,7 @@ def main():
     from tpufluid import FluidConfig
     from tpufluid.batch import (make_batched_render, make_batched_step,
                                 stack_states)
-    from tpufluid.io import frame_to_uint8
+    from tpufluid.io import frame_to_uint8, save_gif
     from tpufluid.state import init_state
     from tpufluid.trace import swirl_trace
 
@@ -64,14 +64,9 @@ def main():
             frames.append(np.concatenate([top, bot], axis=0))
             print(f"step {t + 1}/{args.steps}", flush=True)
 
-    # Panels are already (H, W, 3) uint8; save directly via PIL (save_gif
-    # expects channel-first floats and would double-flip).
-    from PIL import Image
-
+    # Panels are (H, W, 3) uint8 grids; frame_to_uint8 passes them through.
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    imgs = [Image.fromarray(fr, mode="RGB") for fr in frames]
-    imgs[0].save(args.out, save_all=True, append_images=imgs[1:],
-                 duration=66, loop=0)
+    save_gif(frames, args.out, fps=15)
     print(f"wrote {args.out} ({len(frames)} frames, speeds {speeds.tolist()})")
 
 

@@ -26,6 +26,23 @@ from tpufluid.state import FluidState
 _FORMAT_VERSION = 1
 
 
+def _to_npz(arr) -> np.ndarray:
+    """bfloat16 is an ml_dtypes extension type: np.savez writes it, but
+    np.load(allow_pickle=False) hands back raw void '|V2' that jnp.asarray
+    rejects — so bf16 fields travel as a uint16 bit view (lossless) and
+    load_state restores the dtype from the config."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+        return arr.view(np.uint16)
+    return arr
+
+
+def _from_npz(arr: np.ndarray, dtype) -> np.ndarray:
+    if arr.dtype == np.uint16 and np.dtype(dtype).itemsize == 2:
+        return arr.view(dtype)
+    return arr
+
+
 def save_state(path: str, state: FluidState, config: FluidConfig,
                step: int = 0, extra: Optional[dict] = None,
                tracer=None) -> None:
@@ -37,9 +54,9 @@ def save_state(path: str, state: FluidState, config: FluidConfig,
             "extra": extra}
     np.savez_compressed(
         path,
-        velocity=np.asarray(state.velocity),
-        dye=np.asarray(state.dye),
-        pressure=np.asarray(state.pressure),
+        velocity=_to_npz(state.velocity),
+        dye=_to_npz(state.dye),
+        pressure=_to_npz(state.pressure),
         meta=json.dumps(meta),
     )
 
@@ -55,8 +72,8 @@ def load_state(path: str) -> Tuple[FluidState, FluidConfig, int, dict]:
     import jax.numpy as jnp
 
     state = FluidState(
-        velocity=jnp.asarray(data["velocity"]),
-        dye=jnp.asarray(data["dye"]),
-        pressure=jnp.asarray(data["pressure"]),
+        velocity=jnp.asarray(_from_npz(data["velocity"], config.dtype)),
+        dye=jnp.asarray(_from_npz(data["dye"], config.dtype)),
+        pressure=jnp.asarray(_from_npz(data["pressure"], config.dtype)),
     )
     return state, config, int(meta["step"]), meta["extra"]

@@ -16,7 +16,13 @@ import numpy as np
 
 
 def frame_to_uint8(frame_rgba: np.ndarray) -> np.ndarray:
-    """(4, H, W) or (3, H, W) float -> (H, W, C) uint8, vertically flipped."""
+    """(4, H, W) or (3, H, W) float -> (H, W, C) uint8, vertically flipped.
+
+    Already-quantized (H, W, C) uint8 frames (e.g. composited grids of
+    per-sim frames) pass through untouched — no second flip/clamp."""
+    if (isinstance(frame_rgba, np.ndarray) and frame_rgba.dtype == np.uint8
+            and frame_rgba.ndim == 3 and frame_rgba.shape[-1] in (3, 4)):
+        return frame_rgba
     arr = np.asarray(frame_rgba, dtype=np.float32)
     arr = np.clip(arr, 0.0, 1.0) * 255.0
     arr = arr.astype(np.uint8)

@@ -30,9 +30,12 @@ Endpoints (sid = session id, 0..B-1):
                         per-session speeds/tracers); resume with --resume
   POST /events?sid=N  same JSON event schema as the single-session server
                       (down/move/up/burst/pause — pause is global), plus
-                      {"k": "speed", "v": S}: session N's clock rate
-                      (S in [0, 4]; 0 freezes the session's time while its
-                      splats still land, like painting into frozen fluid)
+                      {"k": "speed", "v": S}: session N's clock rate, a
+                      SLOW-MOTION knob (S in [0, 1] — the shared loop
+                      already paces at the 1/60 dt ceiling, so rates
+                      above 1 cannot exist without per-sim substepping;
+                      0 freezes the session's time while its splats
+                      still land, like painting into frozen fluid)
 
 Geometry/config is uniform across sessions by construction (one compiled
 program); per-tenant quality knobs belong on separate server processes.
@@ -160,18 +163,23 @@ class BatchFluidServer:
                 elif k == "pause":
                     self.paused = bool(e["v"]) if "v" in e else not self.paused
                 elif k == "speed":
-                    # Clamped to [0, 4]: the per-step dt ceiling of 1/60
-                    # (run()) is what actually bounds displacement; the
-                    # speed cap just keeps the knob sane.
-                    self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 4.0))
+                    # Slow-motion knob, clamped to [0, 1]: the loop paces
+                    # at MAX_DT, so dt_wall is already the reference's
+                    # 1/60 ceiling — a speed above 1 would clamp right
+                    # back to MAX_DT (a silent no-op; true fast-forward
+                    # needs substepping, which one fused batched dispatch
+                    # cannot shape per sim).
+                    self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 1.0))
 
     def checkpoint_bytes(self) -> bytes:
         """Whole-fleet checkpoint (.npz): batched field state + config +
         step count + per-session speeds and tracer states — resumable via
         BatchFluidServer(config, resume=path)."""
+        import jax
+        import jax.numpy as jnp
+
         from tpufluid.checkpoint import save_state
 
-        buf = io.BytesIO()
         with self.lock:
             # steps_done is written under out_lock just after the state
             # swap; nesting (the sim loop never nests, so no deadlock
@@ -181,7 +189,13 @@ class BatchFluidServer:
             extra = {"sessions": self.sessions,
                      "speeds": [float(s) for s in self.speeds],
                      "tracers": [tr.state_dict() for tr in self.tracers]}
-            save_state(buf, self.state, self.config, step=step, extra=extra)
+            # Device-side copy only under the lock (the next tick DONATES
+            # self.state's buffers, so they cannot be read later); the
+            # host transfer + deflate happen outside, so B sessions'
+            # sim loop and event handling never stall on serialization.
+            state = jax.tree.map(jnp.copy, self.state)
+        buf = io.BytesIO()
+        save_state(buf, state, self.config, step=step, extra=extra)
         return buf.getvalue()
 
     def frame_jpeg(self, sid: int) -> Optional[tuple[bytes, int]]:
@@ -281,7 +295,7 @@ img{display:block;border:1px solid #345;cursor:crosshair}</style>
 const B=%B%;const g=document.getElementById('g');
 for(let s=0;s<B;s++){const d=document.createElement('div');d.className='c';
  d.innerHTML=`<img id=f${s} width=256><br>session ${s} · speed
-  <input id=v${s} type=range min=0 max=2 step=0.25 value=1
+  <input id=v${s} type=range min=0 max=1 step=0.125 value=1
    style="width:90px;vertical-align:middle">
   <span id=l${s}>1</span>x`;g.appendChild(d);
  const sl=d.querySelector(`#v${s}`);

@@ -338,14 +338,23 @@ class FluidServer:
     def checkpoint_bytes(self) -> Optional[bytes]:
         """Full-session checkpoint (.npz): field state + config + step count
         + tracer session state — resumable via FluidServer(resume=path)."""
+        import jax
+        import jax.numpy as jnp
+
         from tpufluid.checkpoint import save_state
 
-        buf = io.BytesIO()
         with self.lock:
             if self.state is None:
                 return None
-            save_state(buf, self.state, self.config, step=self.steps_done,
-                       tracer=self.tracer)
+            step = self.steps_done
+            tracer_state = self.tracer.state_dict()
+            # Device-side copy only under the lock (the next tick donates
+            # self.state's buffers); transfer + deflate run outside so the
+            # sim loop and event handling never stall on serialization.
+            state = jax.tree.map(jnp.copy, self.state)
+        buf = io.BytesIO()
+        save_state(buf, state, self.config, step=step,
+                   extra={"tracer": tracer_state})
         return buf.getvalue()
 
     def run(self):
