@@ -147,6 +147,55 @@ def test_bad_sid_events_rejected(server_url):
     assert e.value.code == 400
 
 
+def test_elastic_fleet_resize(server_url):
+    """POST /sessions resizes the fleet live: growth brings fresh tenants
+    up at the new high sids (zeroed fields + startup burst), shrink drops
+    the high sids, and untouched identical-seed sessions stay
+    byte-identical THROUGH the recompile (concatenate/slice on the batch
+    axis cannot mix rows). Restores size B before the checkpoint test."""
+    def post_n(n):
+        req = urllib.request.Request(
+            f"{server_url}/sessions", data=json.dumps({"n": n}).encode(),
+            method="POST")
+        return urllib.request.urlopen(req, timeout=10).status
+
+    assert post_n(B + 2) == 204
+    # New sids B, B+1 serve frames once the resized tick lands.
+    deadline = time.time() + 60
+    got = None
+    while time.time() < deadline:
+        try:
+            got = _frame(server_url, B + 1)
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.1)
+    assert got is not None and got[0][:2] == b"\xff\xd8"
+    stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                              timeout=5).read())
+    assert stats["sessions"] == B + 2 and len(stats["speeds"]) == B + 2
+    # The two NEW tenants share the fixture's identical seed and joined at
+    # the same tick, so they must be bit-identical to each other — fresh
+    # rows cannot have mixed with the old ones through the recompile.
+    # (Old sessions 1 and 2 were deliberately diverged by earlier tests.)
+    fa, fb = _same_step_frames(server_url, [B, B + 1])
+    assert fa == fb, "fresh identical-seed tenants diverged after resize"
+    # Shrink back: the high sid disappears (404), survivors keep serving.
+    assert post_n(B) == 204
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            _frame(server_url, 0)
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.1)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _frame(server_url, B)
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e2:
+        post_n(0)  # size must be >= 1
+    assert e2.value.code == 400
+
+
 def test_fleet_checkpoint_resume(server_url, tmp_path):
     """Download /checkpoint.npz mid-run, build a NEW fleet from it: batched
     state, session count, per-session speeds, and every tracer's session

@@ -28,6 +28,10 @@ Endpoints (sid = session id, 0..B-1):
   GET  /stats       {"steps", "sessions", "paused", "speeds", "error"}
   GET  /checkpoint.npz  whole-fleet checkpoint (batched state + config +
                         per-session speeds/tracers); resume with --resume
+  POST /sessions     {"n": N}: elastic fleet resize — grow appends fresh
+                     zeroed tenants (new high sids, startup burst each),
+                     shrink drops the high sids; the next tick pays one
+                     recompile for the new batch shape (then cached)
   POST /events?sid=N  same JSON event schema as the single-session server
                       (down/move/up/burst/pause — pause is global), plus
                       {"k": "speed", "v": S}: session N's clock rate, a
@@ -129,6 +133,8 @@ class BatchFluidServer:
             self.state = init_batch(config, self.sessions)
             self._resume_speeds = None
         self.quality = quality
+        self._seed = int(seed)
+        self._identical_seeds = bool(identical_seeds)
         self.tick = make_batched_tick(config)
         # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
         # All-ones keeps the lock-step scalar-dt program (module docstring).
@@ -171,6 +177,57 @@ class BatchFluidServer:
                     # cannot shape per sim).
                     self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 1.0))
 
+    def resize_fleet(self, n: int) -> None:
+        """Elastic multi-tenancy: grow or shrink the fleet LIVE.
+
+        The batch size is a compiled shape, so the next tick after a
+        resize pays one jit retrace/compile for the new B (then cached —
+        growing back to a previously-seen size is instant). Growth
+        appends zeroed sims with fresh seeded tracers + startup bursts
+        (sids B..n-1, like the reference's load-time multipleSplats);
+        shrink drops the HIGHEST sids (sid identity is positional —
+        0..n-1 always remain themselves). Untouched sessions' fields are
+        untouched: concatenate/slice on the batch axis cannot mix rows,
+        so isolation holds across resizes (tests/test_serve_batch.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpufluid.batch import init_batch
+        from tpufluid.trace import PointerTracer
+
+        n = int(n)
+        if n < 1:
+            raise ValueError(f"fleet size must be >= 1, got {n}")
+        with self.lock:
+            b = self.sessions
+            if n == b:
+                return
+            if n < b:
+                self.tracers = self.tracers[:n]
+                self.speeds = self.speeds[:n].copy()
+                self.state = jax.tree.map(lambda x: x[:n], self.state)
+            else:
+                fresh = []
+                for i in range(b, n):
+                    tr = PointerTracer(
+                        self.config,
+                        seed=self._seed if self._identical_seeds
+                        else self._seed + i)
+                    tr.splat_stack.append(int(tr.rng.integers(5, 25)))
+                    fresh.append(tr)
+                self.tracers += fresh
+                self.speeds = np.concatenate(
+                    [self.speeds, np.ones(n - b, np.float32)])
+                zeros = init_batch(self.config, n - b)
+                self.state = jax.tree.map(
+                    lambda a, z: jnp.concatenate([a, z]), self.state, zeros)
+            self.sessions = n
+        with self.out_lock:
+            # Frames/caches are the OLD batch shape; drop them so
+            # frame_jpeg 503s until the first resized tick lands.
+            self.frames = None
+            self._jpeg_cache.clear()
+
     def checkpoint_bytes(self) -> bytes:
         """Whole-fleet checkpoint (.npz): batched field state + config +
         step count + per-session speeds and tracer states — resumable via
@@ -206,7 +263,10 @@ class BatchFluidServer:
         if not 0 <= sid < self.sessions:
             raise ValueError(f"sid {sid} out of range")
         with self.out_lock:
-            if self.frames is None:
+            # frames can briefly be None or the OLD batch shape around a
+            # resize_fleet (a pre-resize tick's frames may land after the
+            # resize cleared them) — 503 until the resized tick arrives.
+            if self.frames is None or sid >= self.frames.shape[0]:
                 return None
             step = self.steps_done
             hit = self._jpeg_cache.get(sid)
@@ -383,6 +443,18 @@ def make_handler(server: BatchFluidServer):
                 try:
                     events = json.loads(self.rfile.read(n) or b"[]")
                     server.handle_events(events, self._sid())
+                    self.send_response(204)
+                except Exception:
+                    self.send_response(400)
+                self.end_headers()
+            elif self.path.startswith("/sessions"):
+                # Elastic multi-tenancy: {"n": N} sets the fleet size live
+                # (grow = fresh zeroed tenants at the new high sids,
+                # shrink = drop the high sids; one recompile per new B).
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                    server.resize_fleet(body["n"])
                     self.send_response(204)
                 except Exception:
                     self.send_response(400)
