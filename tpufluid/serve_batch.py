@@ -193,11 +193,24 @@ class BatchFluidServer:
         import jax.numpy as jnp
 
         from tpufluid.batch import init_batch
+        from tpufluid.ops.splat import SPLAT_COLS
         from tpufluid.trace import PointerTracer
 
         n = int(n)
         if n < 1:
             raise ValueError(f"fleet size must be >= 1, got {n}")
+        if n != self.sessions:
+            # Pre-warm BOTH dt-shape programs (scalar lock-step + (n,)
+            # per-sim) for the new batch size OUTSIDE the lock, on dummy
+            # state: the first tick at an unseen shape otherwise compiles
+            # while holding self.lock, stalling every event POST for
+            # seconds (measured as client timeouts in the chaos soak).
+            dummy_splats = jnp.zeros((n, self.config.MAX_SPLATS,
+                                      SPLAT_COLS), jnp.float32)
+            for dt in (jnp.float32(MAX_DT),
+                       jnp.full((n,), MAX_DT, jnp.float32)):
+                out = self.tick(init_batch(self.config, n), dt, dummy_splats)
+                jax.block_until_ready(out)
         with self.lock:
             b = self.sessions
             if n == b:
