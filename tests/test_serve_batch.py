@@ -154,10 +154,12 @@ def test_elastic_fleet_resize(server_url):
     byte-identical THROUGH the recompile (concatenate/slice on the batch
     axis cannot mix rows). Restores size B before the checkpoint test."""
     def post_n(n):
+        # 60 s: this endpoint synchronously pre-warms two programs at the
+        # new batch shape (fresh XLA compiles on first sight of a size).
         req = urllib.request.Request(
             f"{server_url}/sessions", data=json.dumps({"n": n}).encode(),
             method="POST")
-        return urllib.request.urlopen(req, timeout=10).status
+        return urllib.request.urlopen(req, timeout=60).status
 
     assert post_n(B + 2) == 204
     # New sids B, B+1 serve frames once the resized tick lands.
@@ -191,9 +193,12 @@ def test_elastic_fleet_resize(server_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _frame(server_url, B)
     assert e.value.code == 404
-    with pytest.raises(urllib.error.HTTPError) as e2:
-        post_n(0)  # size must be >= 1
-    assert e2.value.code == 400
+    # Bounds: >= 1, <= MAX_SESSIONS (caps unauthenticated allocation),
+    # integers only (2.7 must not silently truncate).
+    for bad in (0, BatchFluidServer.MAX_SESSIONS + 1, 2.7):
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            post_n(bad)
+        assert e2.value.code == 400, bad
 
 
 def test_fleet_checkpoint_resume(server_url, tmp_path):

@@ -88,6 +88,8 @@ def make_batched_tick(config):
 class BatchFluidServer:
     """Owns the batched sim loop; per-session tracers + lazy JPEG frames."""
 
+    MAX_SESSIONS = 64  # resize_fleet ceiling: caps state alloc + jit-cache growth
+
     def __init__(self, config, sessions: int = 4, seed: int = 0,
                  quality: int = 80, identical_seeds: bool = False,
                  resume: Optional[str] = None):
@@ -95,21 +97,29 @@ class BatchFluidServer:
         from tpufluid.trace import PointerTracer
 
         self.steps_done = 0
+        self._seed = int(seed)
+        self._identical_seeds = bool(identical_seeds)
         if resume:
             # Whole-fleet deterministic resume: the checkpoint carries the
             # batched field state, config, step count, per-session speeds,
-            # and EVERY session's tracer state (RNG cursors, pointer
-            # machines, pending bursts) — tpufluid.checkpoint, with the
-            # per-session parts in ``extra`` (the batched analog of
-            # FluidServer(resume=...)).
+            # seeding policy, and EVERY session's tracer state (RNG
+            # cursors, pointer machines, pending bursts) —
+            # tpufluid.checkpoint, with the per-session parts in ``extra``
+            # (the batched analog of FluidServer(resume=...)).
             from tpufluid.checkpoint import load_state
 
             self.state, config, self.steps_done, extra = load_state(resume)
             self.config = config
             self.sessions = int(extra["sessions"])
+            # Seeding policy comes from the checkpoint, so tenants added
+            # to a RESUMED fleet seed exactly as they would have on the
+            # original server (deterministic-resume for the resize path).
+            self._seed = int(extra.get("seed", seed))
+            self._identical_seeds = bool(
+                extra.get("identical_seeds", identical_seeds))
             self.tracers = []
             for d in extra["tracers"]:
-                tr = PointerTracer(config, seed=seed)
+                tr = PointerTracer(config, seed=self._seed)
                 tr.load_state_dict(d)
                 self.tracers.append(tr)
             self._resume_speeds = np.asarray(extra["speeds"], np.float32)
@@ -121,20 +131,11 @@ class BatchFluidServer:
             # identical); the default gives each tenant its own seeded
             # startup burst like the reference's multipleSplats(random)
             # (script.js:1170).
-            self.tracers = [PointerTracer(config,
-                                          seed=seed if identical_seeds
-                                          else seed + i)
+            self.tracers = [self._new_tracer(i)
                             for i in range(self.sessions)]
-            # Startup burst per session, drawn from each tracer's own
-            # seeded RNG, so identical_seeds sessions stay bit-identical
-            # (nonzero but equal) until events distinguish them.
-            for tr in self.tracers:
-                tr.splat_stack.append(int(tr.rng.integers(5, 25)))
             self.state = init_batch(config, self.sessions)
             self._resume_speeds = None
         self.quality = quality
-        self._seed = int(seed)
-        self._identical_seeds = bool(identical_seeds)
         self.tick = make_batched_tick(config)
         # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
         # All-ones keeps the lock-step scalar-dt program (module docstring).
@@ -148,12 +149,32 @@ class BatchFluidServer:
         self._jpeg_cache: dict[int, tuple[int, bytes]] = {}
         self._stop = threading.Event()
         self.error: Optional[str] = None  # sim-loop crash, shown in /stats
+        # Fleet generation, bumped by resize_fleet: a tick that started
+        # BEFORE a resize must not publish its (stale-fleet) frames after
+        # it — shape checks alone can't catch shrink-then-regrow reuse.
+        self._gen = 0
+
+    def _new_tracer(self, i: int):
+        """Tracer for global session index ``i`` under the fleet's seeding
+        policy, with the reference's load-time startup burst
+        (multipleSplats(random), script.js:1170) pre-queued — shared by
+        __init__ and resize_fleet so the two cannot drift."""
+        from tpufluid.trace import PointerTracer
+
+        tr = PointerTracer(self.config,
+                           seed=self._seed if self._identical_seeds
+                           else self._seed + i)
+        tr.splat_stack.append(int(tr.rng.integers(5, 25)))
+        return tr
 
     def handle_events(self, events, sid: int) -> None:
-        if not 0 <= sid < self.sessions:
-            raise ValueError(f"sid {sid} out of range 0..{self.sessions - 1}")
         w, h = self.config.CANVAS_WIDTH, self.config.CANVAS_HEIGHT
         with self.lock:
+            # Range check under the lock: a concurrent shrink can retire
+            # the sid between an unlocked check and the tracer access.
+            if not 0 <= sid < self.sessions:
+                raise ValueError(
+                    f"sid {sid} out of range 0..{self.sessions - 1}")
             tr = self.tracers[sid]
             for e in events:
                 k = e.get("k")
@@ -194,23 +215,28 @@ class BatchFluidServer:
 
         from tpufluid.batch import init_batch
         from tpufluid.ops.splat import SPLAT_COLS
-        from tpufluid.trace import PointerTracer
 
-        n = int(n)
-        if n < 1:
-            raise ValueError(f"fleet size must be >= 1, got {n}")
-        if n != self.sessions:
-            # Pre-warm BOTH dt-shape programs (scalar lock-step + (n,)
-            # per-sim) for the new batch size OUTSIDE the lock, on dummy
-            # state: the first tick at an unseen shape otherwise compiles
-            # while holding self.lock, stalling every event POST for
-            # seconds (measured as client timeouts in the chaos soak).
-            dummy_splats = jnp.zeros((n, self.config.MAX_SPLATS,
-                                      SPLAT_COLS), jnp.float32)
-            for dt in (jnp.float32(MAX_DT),
-                       jnp.full((n,), MAX_DT, jnp.float32)):
-                out = self.tick(init_batch(self.config, n), dt, dummy_splats)
-                jax.block_until_ready(out)
+        if not isinstance(n, int) or isinstance(n, bool):
+            raise ValueError(f"fleet size must be an integer, got {n!r}")
+        if not 1 <= n <= self.MAX_SESSIONS:
+            raise ValueError(
+                f"fleet size must be in [1, {self.MAX_SESSIONS}], got {n} "
+                f"(the cap bounds state allocation and jit-cache growth "
+                f"from unauthenticated POST /sessions)")
+        # Pre-warm BOTH dt-shape programs (scalar lock-step + (n,)
+        # per-sim) for the new batch size OUTSIDE the lock, on dummy
+        # state: the first tick at an unseen shape otherwise compiles
+        # while holding self.lock, stalling every event POST for seconds
+        # (measured as client timeouts in the chaos soak). Warmed
+        # UNCONDITIONALLY: gating on an unlocked self.sessions read can
+        # skip the warm when a concurrent resize changes the size between
+        # the check and the apply; a cache-hit warm costs two dummy ticks.
+        dummy_splats = jnp.zeros((n, self.config.MAX_SPLATS,
+                                  SPLAT_COLS), jnp.float32)
+        for dt in (jnp.float32(MAX_DT),
+                   jnp.full((n,), MAX_DT, jnp.float32)):
+            out = self.tick(init_batch(self.config, n), dt, dummy_splats)
+            jax.block_until_ready(out)
         with self.lock:
             b = self.sessions
             if n == b:
@@ -220,21 +246,14 @@ class BatchFluidServer:
                 self.speeds = self.speeds[:n].copy()
                 self.state = jax.tree.map(lambda x: x[:n], self.state)
             else:
-                fresh = []
-                for i in range(b, n):
-                    tr = PointerTracer(
-                        self.config,
-                        seed=self._seed if self._identical_seeds
-                        else self._seed + i)
-                    tr.splat_stack.append(int(tr.rng.integers(5, 25)))
-                    fresh.append(tr)
-                self.tracers += fresh
+                self.tracers += [self._new_tracer(i) for i in range(b, n)]
                 self.speeds = np.concatenate(
                     [self.speeds, np.ones(n - b, np.float32)])
                 zeros = init_batch(self.config, n - b)
                 self.state = jax.tree.map(
                     lambda a, z: jnp.concatenate([a, z]), self.state, zeros)
             self.sessions = n
+            self._gen += 1  # in-flight pre-resize ticks must not publish
         with self.out_lock:
             # Frames/caches are the OLD batch shape; drop them so
             # frame_jpeg 503s until the first resized tick lands.
@@ -258,6 +277,10 @@ class BatchFluidServer:
                 step = self.steps_done
             extra = {"sessions": self.sessions,
                      "speeds": [float(s) for s in self.speeds],
+                     # Seeding policy, so tenants added to a RESUMED
+                     # fleet seed as the original fleet would have.
+                     "seed": self._seed,
+                     "identical_seeds": self._identical_seeds,
                      "tracers": [tr.state_dict() for tr in self.tracers]}
             # Device-side copy only under the lock (the next tick DONATES
             # self.state's buffers, so they cannot be read later); the
@@ -347,9 +370,16 @@ class BatchFluidServer:
                 self.state, frames = self.tick(
                     self.state, dt_arg, jnp.asarray(batch))
                 frames = np.asarray(frames)
+                gen = self._gen
             with self.out_lock:
-                self.frames = frames
-                self.steps_done += 1
+                # Publish ONLY if no resize happened since this tick was
+                # computed: after a shrink-then-regrow to the SAME size,
+                # stale frames would pass frame_jpeg's shape guard and
+                # leak evicted tenants' pixels to new tenants at reused
+                # sids — the generation counter closes that window.
+                if gen == self._gen:
+                    self.frames = frames
+                    self.steps_done += 1
             left = MAX_DT - (time.time() - t_frame)
             if left > 0:
                 time.sleep(left)
@@ -432,11 +462,19 @@ def make_handler(server: BatchFluidServer):
                 self.end_headers()
                 self.wfile.write(data)
             elif self.path.startswith("/stats"):
+                # sessions/speeds/paused mutate under server.lock (resize
+                # replaces both arrays); steps/error publish under
+                # out_lock — read each group under ITS lock so a resize
+                # can never produce a torn view (sessions != len(speeds)).
+                with server.lock:
+                    sessions = server.sessions
+                    paused = server.paused
+                    speeds = [float(s) for s in server.speeds]
                 with server.out_lock:
                     out = {"steps": server.steps_done,
-                           "sessions": server.sessions,
-                           "paused": server.paused,
-                           "speeds": [float(s) for s in server.speeds],
+                           "sessions": sessions,
+                           "paused": paused,
+                           "speeds": speeds,
                            "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)
@@ -501,6 +539,9 @@ def main(argv=None):
     p.add_argument("--canvas", default="256x256")
     p.add_argument("--dtype", default="float32")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--identical-seeds", action="store_true",
+                   help="start every session bit-identical (same seed + "
+                        "same startup burst)")
     p.add_argument("--quality", type=int, default=80)
     p.add_argument("--resume", type=str, default=None,
                    help="resume a whole fleet from a /checkpoint.npz "
@@ -512,7 +553,8 @@ def main(argv=None):
                       CANVAS_WIDTH=w, CANVAS_HEIGHT=h,
                       DTYPE=args.dtype).validate()
     server = BatchFluidServer(cfg, sessions=args.sessions, seed=args.seed,
-                              quality=args.quality, resume=args.resume)
+                              quality=args.quality, resume=args.resume,
+                              identical_seeds=args.identical_seeds)
     sim = threading.Thread(target=server.run, daemon=True)
     sim.start()
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
