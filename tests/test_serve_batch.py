@@ -127,10 +127,21 @@ def test_per_session_speed(server_url):
             break
         time.sleep(0.05)
     assert f2 != f0, "session 2 at half speed did not diverge from session 0"
-    # Out-of-range speeds clamp to 1.0 (slow-motion only: the loop already
-    # paces at the 1/60 dt ceiling, so rates above 1 would be a silent
-    # no-op — rejected at the knob instead).
+    # Out-of-range speeds clamp to SPEED_MAX (bounds the per-frame compute
+    # multiplier and jit-cache growth an unauthenticated knob can demand),
+    # then restore 1.0 so later tests see the lock-step fleet.
+    from tpufluid.serve_batch import SPEED_MAX
+
     assert _post(server_url, 2, [{"k": "speed", "v": 99.0}]) == 204
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                  timeout=5).read())
+        if stats["speeds"][2] == SPEED_MAX:
+            break
+        time.sleep(0.05)
+    assert stats["speeds"][2] == SPEED_MAX
+    assert _post(server_url, 2, [{"k": "speed", "v": 1.0}]) == 204
     deadline = time.time() + 10
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
@@ -139,6 +150,143 @@ def test_per_session_speed(server_url):
             break
         time.sleep(0.05)
     assert stats["speeds"][2] == 1.0
+
+
+def test_fast_forward_substepping(server_url):
+    """speed > 1 is fast-forward: the loop serves single clamped steps
+    until the background warm of the K-substep program lands, then runs
+    ceil(max speed) masked substeps per frame (/stats "substeps" flips to
+    2), and returns to the single-step program when the speed drops back —
+    all without a sim-loop error (the compile never blocks the loop)."""
+    def stats():
+        return json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                 timeout=5).read())
+
+    assert _post(server_url, 1, [{"k": "speed", "v": 2.0}]) == 204
+    deadline = time.time() + 120
+    subs = 1
+    while time.time() < deadline:
+        st = stats()
+        assert st["error"] is None, st["error"]
+        subs = st["substeps"]
+        if subs >= 2:
+            break
+        time.sleep(0.1)
+    assert subs == 2, "fast-forward program never engaged"
+    # Frames keep flowing while substepping.
+    data, step = _frame(server_url, 1)
+    assert data[:2] == b"\xff\xd8" and step > 0
+    assert _post(server_url, 1, [{"k": "speed", "v": 1.0}]) == 204
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        st = stats()
+        if st["substeps"] == 1 and st["speeds"][1] == 1.0:
+            break
+        time.sleep(0.05)
+    assert st["substeps"] == 1 and st["error"] is None
+
+
+def test_substepped_tick_exactness():
+    """The K-substep tick's numerical contract, per sim: (a) a session
+    whose row holds n equal dts matches n iterated single ticks at that dt
+    (tight tolerance: the scanned substeps compile with a different fp
+    association than the direct single-tick dispatch — same scan-vs-direct
+    boundary the multi-step benches live with — while a session with NO
+    scanned substep matches BIT-exactly); (b) zero-padded substeps are
+    BIT-exact no-ops — crucial because a dt=0 fluid_step is NOT an
+    identity (the projection still runs) — pinned WITHIN one program by
+    permuting the zero row's position between two sessions of the same
+    call; (c) splats land on substep 0 even for a fully-frozen (all-zero
+    dt) session. The masked select sits outside the kernels, so the jnp
+    oracle pins the mechanism; the vmapped kernel path is pinned per-sim
+    by tests/test_batch.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufluid.batch import init_batch
+    from tpufluid.ops.splat import SPLAT_COLS
+    from tpufluid.render import make_step_and_render
+    from tpufluid.serve_batch import make_substepped_tick
+
+    B, K = 3, 3
+    dt = 1.0 / 60.0
+    splats = np.zeros((B, CFG.MAX_SPLATS, SPLAT_COLS), np.float32)
+    for b in range(B):  # one distinct splat per session
+        splats[b, 0] = [0.25 + 0.2 * b, 0.5, 80.0 * (b - 1), 40.0,
+                        0.4, 0.2 + 0.2 * b, 0.6, 1.0]
+    # n substeps per session: [1, 2, 3]; session 0 also gets a SMALLER dt
+    # than the others to exercise a genuinely per-sim dt row.
+    n_sub = np.array([1, 2, 3])
+    subs = np.array([0.5 * dt, dt, dt], np.float32)
+    dts_kb = np.where(np.arange(K)[:, None] < n_sub[None, :],
+                      subs[None, :], 0.0).astype(np.float32)
+
+    state0 = init_batch(CFG, B)
+    # Distinct starting fields: one warmup tick with the per-sim splats.
+    subtick = make_substepped_tick(CFG)
+    state0, _ = subtick(state0, jnp.full((1, B), dt, jnp.float32),
+                        jnp.asarray(splats))
+    keep = jax.tree.map(jnp.copy, state0)  # subtick donates its input
+
+    got_state, got_frames = subtick(state0, jnp.asarray(dts_kb),
+                                    jnp.asarray(splats))
+
+    single = make_step_and_render(CFG)
+    for b in range(B):
+        s = jax.tree.map(lambda x: jnp.copy(x[b]), keep)
+        for i in range(int(n_sub[b])):
+            sp = splats[b] if i == 0 else np.zeros_like(splats[b])
+            s, frame = single(s, jnp.float32(subs[b]), jnp.asarray(sp))
+        exact = n_sub[b] == 1  # no scanned substep -> same fp order
+        for name in ("velocity", "dye", "pressure"):
+            a = np.asarray(getattr(got_state, name)[b])
+            d = np.asarray(getattr(s, name))
+            if exact:
+                np.testing.assert_array_equal(a, d,
+                                              err_msg=f"sid {b}: {name}")
+            else:
+                np.testing.assert_allclose(a, d, rtol=1e-4, atol=1e-4,
+                                           err_msg=f"sid {b}: {name}")
+        fa = np.asarray(got_frames[b]).astype(np.int32)
+        fd = np.asarray(frame).astype(np.int32)
+        if exact:
+            np.testing.assert_array_equal(fa, fd, err_msg=f"sid {b}")
+        else:  # uint8 quantize: fp-order noise is at most one count
+            assert np.abs(fa - fd).max() <= 1, f"sid {b}: frame"
+
+    # (b) BIT-exact masking, same program: two sessions with IDENTICAL
+    # state/splats whose rows hold the same two active dts with the zero
+    # row in a different position ([d, d', 0] vs [d, 0, d']). The scan
+    # body is one compiled program for every iteration, so the results can
+    # only be bit-identical if a masked (dt=0) iteration preserves the
+    # carried state bit-for-bit.
+    pair0 = jax.tree.map(lambda x: jnp.stack([x[2], x[2]]), keep)
+    psplat = np.stack([splats[2], splats[2]])
+    perm = np.array([[dt, dt],
+                     [0.5 * dt, 0.0],
+                     [0.0, 0.5 * dt]], np.float32)
+    got_pair, pair_frames = subtick(pair0, jnp.asarray(perm),
+                                    jnp.asarray(psplat))
+    for name in ("velocity", "dye", "pressure"):
+        arr = np.asarray(getattr(got_pair, name))
+        np.testing.assert_array_equal(arr[0], arr[1], err_msg=name)
+    np.testing.assert_array_equal(np.asarray(pair_frames[0]),
+                                  np.asarray(pair_frames[1]))
+
+    # (c) frozen session: all-zero dt rows still land splats (substep 0 is
+    # unmasked) but advance no time — the result equals ONE single tick at
+    # dt=0 (bit-exact: substep 0 is outside the scan).
+    frozen_dts = np.zeros((K, B), np.float32)
+    got2, _ = subtick(jax.tree.map(jnp.copy, keep),
+                      jnp.asarray(frozen_dts), jnp.asarray(splats))
+    for b in range(B):
+        s = jax.tree.map(lambda x: jnp.copy(x[b]), keep)
+        s, _ = single(s, jnp.float32(0.0), jnp.asarray(splats[b]))
+        np.testing.assert_array_equal(np.asarray(got2.dye[b]),
+                                      np.asarray(s.dye), err_msg=f"sid {b}")
+    assert not np.array_equal(np.asarray(got2.dye), np.asarray(keep.dye)), \
+        "frozen-session splats did not land"
 
 
 def test_bad_sid_events_rejected(server_url):

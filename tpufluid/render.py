@@ -146,8 +146,18 @@ def tick_body(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None):
 
     def tick(state: FluidState, dt, splats):
         state = fluid_step(state, dt, splats, config)
-        frame = render_frame(state, config, out_hw=out_hw)
-        rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
-        return state, jnp.transpose(rgb, (1, 2, 0))[::-1]
+        return state, frame_u8(state, config, out_hw=out_hw)
 
     return tick
+
+
+def frame_u8(state: FluidState, config: FluidConfig,
+             out_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+    """Rendered frame in the servers' wire format, computed ON DEVICE:
+    render + clip01*255 quantize + vertical flip -> (h, w, 3) uint8
+    top-down. Shared by tick_body and the fast-forward substepped tick
+    (serve_batch.make_substepped_tick), which renders ONCE after its K
+    substeps rather than per substep."""
+    frame = render_frame(state, config, out_hw=out_hw)
+    rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    return jnp.transpose(rgb, (1, 2, 0))[::-1]

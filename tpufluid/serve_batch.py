@@ -8,10 +8,12 @@ tpufluid/batch.py: every frame, all sessions' pointer events drain into one
 renders every session (per-sim results bit-exact vs the single-sim step on
 the compiled kernel path — tests/test_tpu.py, out/jobs/done/b76). Each
 session has its own clock RATE: a per-session ``speed`` multiplier scales
-the shared wall dt (clamped to the reference's 1/60 ceiling,
-script.js:1191, which also preserves the kernels' displacement contract),
-and the batched dispatch takes the resulting (B,) per-sim dt vector on the
-compiled kernel path (batch.py: the (1, 1) SMEM dt batches). With every
+the shared wall dt — slow motion below 1, fast-forward above 1 via masked
+substepping (every individual step dt stays at the reference's 1/60
+ceiling, script.js:1191, which also preserves the kernels' displacement
+contract) — and the batched dispatch takes the resulting (B,) or (K, B)
+per-sim dts on the compiled kernel path (batch.py: the (1, 1) SMEM dt
+batches). With every
 speed at 1.0 the server passes a scalar dt instead — lock-step, ONE shared
 clock exactly like the reference's single requestAnimationFrame feeding its
 one sim (script.js:1182-1194) — so the common case stays a single compiled
@@ -34,12 +36,17 @@ Endpoints (sid = session id, 0..B-1):
                      recompile for the new batch shape (then cached)
   POST /events?sid=N  same JSON event schema as the single-session server
                       (down/move/up/burst/pause — pause is global), plus
-                      {"k": "speed", "v": S}: session N's clock rate, a
-                      SLOW-MOTION knob (S in [0, 1] — the shared loop
-                      already paces at the 1/60 dt ceiling, so rates
-                      above 1 cannot exist without per-sim substepping;
-                      0 freezes the session's time while its splats
-                      still land, like painting into frozen fluid)
+                      {"k": "speed", "v": S}: session N's clock rate,
+                      S in [0, SPEED_MAX]. S < 1 is slow motion (0
+                      freezes the session's time while its splats still
+                      land, like painting into frozen fluid); S > 1 is
+                      FAST-FORWARD — the loop splits the session's larger
+                      per-frame time advance into ceil(S) substeps of
+                      <= 1/60 each, run as masked rows of one fused
+                      K-substep dispatch (make_substepped_tick; the loop
+                      serves single clamped steps until that program's
+                      background warm lands, so the knob never stalls
+                      event handling; /stats "substeps" shows the switch)
 
 Geometry/config is uniform across sessions by construction (one compiled
 program); per-tenant quality knobs belong on separate server processes.
@@ -59,6 +66,15 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 MAX_DT = 1.0 / 60.0
+
+# Per-session clock-rate ceiling. Speeds in (1, SPEED_MAX] are FAST-FORWARD:
+# the loop runs ceil(speed) masked substeps per frame (one fused dispatch,
+# make_substepped_tick), each substep's dt still <= the reference's 1/60
+# ceiling (script.js:1191 — also the kernels' displacement contract). The
+# cap bounds both the per-frame compute multiplier an unauthenticated knob
+# can demand and jit-cache growth (at most ceil(SPEED_MAX)-1 extra substep
+# programs per batch size).
+SPEED_MAX = 4.0
 
 
 @lru_cache(maxsize=None)
@@ -81,6 +97,57 @@ def make_batched_tick(config):
         # switch is static per aval, so each shape is its own jit program.
         axes = (0, 0 if jax.numpy.ndim(dt) else None, 0)
         return jax.vmap(one, in_axes=axes)(state, dt, splats)
+
+    return jax.jit(tick, donate_argnums=0)
+
+
+@lru_cache(maxsize=None)
+def make_substepped_tick(config):
+    """Fast-forward tick: K masked substeps + ONE render, one dispatch.
+
+    ``dts`` is (K, B): session b advances ``sum(dts[:, b])`` this frame,
+    split by the serving loop into equal substeps each <= 1/60, so the
+    reference's dt ceiling (script.js:1191) — and the kernels'
+    displacement contract — hold per SUBSTEP, not per frame. Substep 0
+    always executes (splats land even at dt=0: the frozen-fluid speed-0
+    semantics); substeps 1..K-1 are EXACT no-ops for sims whose dt entry
+    is 0 — a masked select, because a dt=0 ``fluid_step`` is NOT an
+    identity (the projection still runs: divergence + warm-started Jacobi
+    + gradient subtract keep tightening the field). The select sits
+    outside the kernels, so exactness is kernel-agnostic
+    (tests/test_serve_batch.py pins it on the jnp oracle; the vmapped
+    kernel path is pinned per-sim by tests/test_batch.py / test_tpu.py).
+    K is static per program (shape-derived); the loop only ever uses
+    K = ceil(max speed) <= ceil(SPEED_MAX)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from tpufluid.render import frame_u8
+    from tpufluid.step import fluid_step
+
+    vstep = jax.vmap(partial(fluid_step, config=config),
+                     in_axes=(0, 0, 0))
+
+    def tick(state, dts, splats):
+        state = vstep(state, dts[0], splats)
+        if dts.shape[0] > 1:
+            zero_splats = jnp.zeros_like(splats)
+
+            def body(s, dt_row):
+                stepped = vstep(s, dt_row, zero_splats)
+                active = dt_row > 0.0
+
+                def sel(new, old):
+                    return jnp.where(
+                        active.reshape((-1,) + (1,) * (new.ndim - 1)),
+                        new, old)
+
+                return jax.tree.map(sel, stepped, s), None
+
+            state, _ = jax.lax.scan(body, state, dts[1:])
+        frames = jax.vmap(lambda s: frame_u8(s, config))(state)
+        return state, frames
 
     return jax.jit(tick, donate_argnums=0)
 
@@ -137,6 +204,14 @@ class BatchFluidServer:
             self._resume_speeds = None
         self.quality = quality
         self.tick = make_batched_tick(config)
+        self.subtick = make_substepped_tick(config)
+        # Fast-forward program warm state, keyed by (batch, K): the sim
+        # loop only switches to the K-substep program once a background
+        # warm has landed, so a speed > 1 knob never stalls the loop (or
+        # every POST /events behind self.lock) on a compile.
+        self._substep_warmed: set = set()
+        self._substep_warming: set = set()
+        self._last_substeps = 1
         # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
         # All-ones keeps the lock-step scalar-dt program (module docstring).
         self.speeds = (np.ones(self.sessions, np.float32)
@@ -190,13 +265,57 @@ class BatchFluidServer:
                 elif k == "pause":
                     self.paused = bool(e["v"]) if "v" in e else not self.paused
                 elif k == "speed":
-                    # Slow-motion knob, clamped to [0, 1]: the loop paces
-                    # at MAX_DT, so dt_wall is already the reference's
-                    # 1/60 ceiling — a speed above 1 would clamp right
-                    # back to MAX_DT (a silent no-op; true fast-forward
-                    # needs substepping, which one fused batched dispatch
-                    # cannot shape per sim).
-                    self.speeds[sid] = float(np.clip(float(e["v"]), 0.0, 1.0))
+                    # Clock-rate knob, clamped to [0, SPEED_MAX]. Below 1
+                    # it scales the shared wall dt down (slow motion; 0
+                    # freezes time while splats still land). Above 1 it is
+                    # FAST-FORWARD: the loop splits the session's larger
+                    # time advance into ceil(speed) substeps of <= 1/60
+                    # each, run as masked rows of ONE fused substepped
+                    # dispatch (make_substepped_tick) — degrading to a
+                    # single clamped step until that program's background
+                    # warm lands (_spawn_substep_warm).
+                    self.speeds[sid] = float(
+                        np.clip(float(e["v"]), 0.0, SPEED_MAX))
+
+    def _spawn_substep_warm(self, b: int, k: int) -> None:
+        """Background-compile the K-substep program for batch size ``b``.
+
+        Called by the sim loop (under self.lock) the first time a frame
+        wants K > 1 substeps at this batch size; until the warm lands the
+        loop keeps serving single clamped steps (speeds effectively capped
+        at 1 for those frames), so neither the loop nor event handling
+        ever blocks on the compile. A failed warm leaves its key in
+        _substep_warming (never _substep_warmed): the server stays in the
+        degraded-but-serving state instead of retrying a broken compile
+        every frame."""
+        key = (b, k)
+        if key in self._substep_warming:
+            return
+        self._substep_warming.add(key)
+
+        def warm():
+            import traceback
+
+            import jax
+            import jax.numpy as jnp
+
+            from tpufluid.batch import init_batch
+            from tpufluid.ops.splat import SPLAT_COLS
+
+            try:
+                out = self.subtick(
+                    init_batch(self.config, b),
+                    jnp.zeros((k, b), jnp.float32),
+                    jnp.zeros((b, self.config.MAX_SPLATS, SPLAT_COLS),
+                              jnp.float32))
+                jax.block_until_ready(out)
+            except Exception:
+                traceback.print_exc()
+                return
+            with self.lock:
+                self._substep_warmed.add(key)
+
+        threading.Thread(target=warm, daemon=True).start()
 
     def resize_fleet(self, n: int) -> None:
         """Elastic multi-tenancy: grow or shrink the fleet LIVE.
@@ -352,23 +471,53 @@ class BatchFluidServer:
                 batch = np.zeros((self.sessions, max_s, SPLAT_COLS),
                                  np.float32)
                 # Per-session clocks: the shared wall dt scaled by each
-                # session's speed, re-clamped to the reference's 1/60
-                # ceiling (script.js:1191 — also the kernels' displacement
-                # contract). Each tracer drains at ITS OWN dt, so color
+                # session's speed. Speeds <= 1 keep each dt under the
+                # reference's 1/60 ceiling (script.js:1191 — also the
+                # kernels' displacement contract); speeds above 1 advance
+                # MORE than 1/60 of sim time per frame, split into
+                # n = ceil(t / MAX_DT) equal substeps so the ceiling holds
+                # per SUBSTEP (the frame's K = max over sessions).
+                t_total = dt_wall * self.speeds
+                n_sub = np.maximum(
+                    np.ceil(t_total / MAX_DT - 1e-9), 1.0).astype(np.int64)
+                k = int(n_sub.max())
+                if k > 1 and ((self.sessions, k)
+                              not in self._substep_warmed):
+                    # The K-substep program isn't compiled yet: kick off a
+                    # background warm and serve this frame at the capped
+                    # single-step rate (compiling here would hold
+                    # self.lock for seconds, starving every POST /events —
+                    # the resize_fleet pre-warm lesson).
+                    self._spawn_substep_warm(self.sessions, k)
+                    k = 1
+                if k == 1:
+                    t_total = np.minimum(t_total, MAX_DT)
+                # Each tracer drains at ITS OWN advanced time, so color
                 # cycling and burst pacing follow the session clock too.
-                dts = np.minimum(dt_wall * self.speeds, MAX_DT)
                 for b, tr in enumerate(self.tracers):
                     for i, (x, y, dx, dy, color) in enumerate(
-                            tr.drain_step(float(dts[b]))[:max_s]):
+                            tr.drain_step(float(t_total[b]))[:max_s]):
                         batch[b, i] = [x, y, dx, dy,
                                        color[0], color[1], color[2], 1.0]
-                # All speeds 1.0 (the common case): scalar dt -> the
-                # lock-step program with ONE unbatched SMEM clock.
-                dt_arg = (jnp.float32(dt_wall)
-                          if bool(np.all(self.speeds == 1.0))
-                          else jnp.asarray(dts, jnp.float32))
-                self.state, frames = self.tick(
-                    self.state, dt_arg, jnp.asarray(batch))
+                if k == 1:
+                    # All speeds 1.0 (the common case): scalar dt -> the
+                    # lock-step program with ONE unbatched SMEM clock.
+                    dt_arg = (jnp.float32(dt_wall)
+                              if bool(np.all(self.speeds == 1.0))
+                              else jnp.asarray(t_total, jnp.float32))
+                    self.state, frames = self.tick(
+                        self.state, dt_arg, jnp.asarray(batch))
+                else:
+                    # (K, B) substep dts: session b runs n_sub[b] equal
+                    # substeps of t_total[b]/n_sub[b] (each <= MAX_DT by
+                    # construction), zero-padded to K — zero rows are
+                    # exact no-ops inside make_substepped_tick.
+                    sub = (t_total / n_sub).astype(np.float32)
+                    dts_kb = np.where(
+                        np.arange(k)[:, None] < n_sub[None, :],
+                        sub[None, :], 0.0).astype(np.float32)
+                    self.state, frames = self.subtick(
+                        self.state, jnp.asarray(dts_kb), jnp.asarray(batch))
                 frames = np.asarray(frames)
                 gen = self._gen
             with self.out_lock:
@@ -380,6 +529,7 @@ class BatchFluidServer:
                 if gen == self._gen:
                     self.frames = frames
                     self.steps_done += 1
+                    self._last_substeps = k
             left = MAX_DT - (time.time() - t_frame)
             if left > 0:
                 time.sleep(left)
@@ -398,7 +548,7 @@ img{display:block;border:1px solid #345;cursor:crosshair}</style>
 const B=%B%;const g=document.getElementById('g');
 for(let s=0;s<B;s++){const d=document.createElement('div');d.className='c';
  d.innerHTML=`<img id=f${s} width=256><br>session ${s} · speed
-  <input id=v${s} type=range min=0 max=1 step=0.125 value=1
+  <input id=v${s} type=range min=0 max=4 step=0.125 value=1
    style="width:90px;vertical-align:middle">
   <span id=l${s}>1</span>x`;g.appendChild(d);
  const sl=d.querySelector(`#v${s}`);
@@ -475,6 +625,10 @@ def make_handler(server: BatchFluidServer):
                            "sessions": sessions,
                            "paused": paused,
                            "speeds": speeds,
+                           # substeps of the LAST published tick: 1 on the
+                           # single-step program, ceil(max speed) once a
+                           # fast-forward program is warm and engaged.
+                           "substeps": server._last_substeps,
                            "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)
