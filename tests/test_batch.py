@@ -194,6 +194,46 @@ def test_batch_sharded_multi_step_matches_unsharded():
                                       err_msg=name)
 
 
+def test_batch_sharded_substepped_tick_matches_unsharded():
+    """Multi-chip FAST-FORWARD serving (round 11): the K-substep masked
+    tick under batch DP on the 8-device mesh — per-sim state AND rendered
+    frames bit-equal to the unsharded tick, with varied substep counts
+    across the shard boundary (masked zero rows on some devices only),
+    and NO collectives in the compiled program."""
+    from tpufluid.serve_batch import (make_batch_sharded_substepped_tick,
+                                      make_substepped_tick)
+
+    cfg = _cfg()
+    B, K = 8, 3
+    states, _ = _seeded_states(cfg, B, steps=1)
+    batched = stack_states(states)
+    splats = jnp.stack([jnp.asarray(swirl_trace(cfg, 1, seed=50 + i)
+                                    .batches[0]) for i in range(B)])
+    # 1..3 substeps per sim, distinct sub-dts — every device's local slice
+    # sees a different masking pattern.
+    n_sub = (np.arange(B) % K) + 1
+    subs = np.linspace(1 / 120, 1 / 60, B).astype(np.float32)
+    dts = jnp.asarray(np.where(np.arange(K)[:, None] < n_sub[None, :],
+                               subs[None, :], 0.0).astype(np.float32))
+    truth_state, truth_frames = make_substepped_tick(cfg)(
+        jax.tree.map(jnp.copy, batched), dts, splats)
+
+    mesh = make_mesh()  # (8, 1)
+    tick = make_batch_sharded_substepped_tick(cfg, mesh)
+    hlo = tick.lower(shard_batch(batched, mesh), dts, splats
+                     ).compile().as_text()
+    for coll in ("all-reduce", "collective-permute", "all-gather",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in batch DP"
+    out_state, out_frames = tick(shard_batch(batched, mesh), dts, splats)
+    for name in ("velocity", "dye", "pressure"):
+        np.testing.assert_array_equal(np.asarray(getattr(out_state, name)),
+                                      np.asarray(getattr(truth_state, name)),
+                                      err_msg=name)
+    np.testing.assert_array_equal(np.asarray(out_frames),
+                                  np.asarray(truth_frames))
+
+
 def test_multi_step_rejects_per_sim_dt_vector():
     """A (B,) per-sim dt (make_batched_step's shape) is not a multi-step
     dt — 1-D means per-TIMESTEP there. Reject loudly instead of silently

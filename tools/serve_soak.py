@@ -83,9 +83,13 @@ def main():
                 # some of these racily out-of-range — that path is the
                 # defined ValueError.
                 sid = rng.randrange(args.max_resize)
+                # speed spans [0, SPEED_MAX+0.5): slow motion, the 1x
+                # lock-step fast path, FAST-FORWARD (> 1 triggers
+                # background K-substep warms racing the resizes), and
+                # beyond-cap values exercising the clamp.
                 evs = [{"k": "down", "x": rng.random(), "y": rng.random()},
                        {"k": "move", "x": rng.random(), "y": rng.random()},
-                       {"k": "up"}, {"k": "speed", "v": rng.random()}]
+                       {"k": "up"}, {"k": "speed", "v": rng.random() * 4.5}]
                 timed(kind, lambda: srv.handle_events(evs, sid),
                       sid_call=True)
             elif kind == "resize":

@@ -120,6 +120,15 @@ def make_substepped_tick(config):
     K is static per program (shape-derived); the loop only ever uses
     K = ceil(max speed) <= ceil(SPEED_MAX)."""
     import jax
+
+    return jax.jit(_substepped_body(config), donate_argnums=0)
+
+
+def _substepped_body(config):
+    """The UNJITTED K-substep body (see make_substepped_tick's contract):
+    shared by the single-chip jit above and the batch-DP shard_map
+    (make_batch_sharded_substepped_tick) so the two cannot drift."""
+    import jax
     import jax.numpy as jnp
     from functools import partial
 
@@ -148,6 +157,40 @@ def make_substepped_tick(config):
             state, _ = jax.lax.scan(body, state, dts[1:])
         frames = jax.vmap(lambda s: frame_u8(s, config))(state)
         return state, frames
+
+    return tick
+
+
+@lru_cache(maxsize=None)
+def make_batch_sharded_substepped_tick(config, mesh):
+    """Multi-chip fast-forward serving: the K-substep masked tick with the
+    batch axis sharded over ``mesh`` — each device advances AND renders
+    its own B/n sims' substeps with the same body as the single-chip tick.
+    ZERO collectives by construction (pure batch DP, tpufluid/batch.py
+    docstring: sims never touch a mesh axis), so fleet fast-forward
+    scales linearly over chips. ``dts`` is (K, B) with the B axis
+    sharded; per-sim results are bit-exact vs the unsharded tick
+    (tests/test_batch.py; certified each round by the driver dryrun)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpufluid.batch import batch_specs
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+
+    specs = batch_specs()
+    bp = P((ROW_AXIS, COL_AXIS))
+    body = _substepped_body(config)
+
+    def tick(state, dts, splats):
+        b = splats.shape[0]
+        if b % mesh.size:
+            raise ValueError(
+                f"batch {b} not divisible by mesh size {mesh.size}")
+        sharded = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(specs, P(None, (ROW_AXIS, COL_AXIS)), bp),
+            out_specs=(specs, bp), check_vma=False)
+        return sharded(state, dts, splats)
 
     return jax.jit(tick, donate_argnums=0)
 
