@@ -164,7 +164,13 @@ def main():
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
-    sys.exit(0 if ok else 1)
+    sys.stdout.flush()
+    # _exit, not sys.exit: fast-forward warm threads (daemon) may still be
+    # inside an XLA compile; interpreter teardown cancelling them mid-
+    # condition-wait aborts the process ("FATAL: exception not rethrown")
+    # AFTER the summary is written, making the exit code lie. Skipping
+    # teardown reports the soak's actual verdict.
+    os._exit(0 if ok else 1)
 
 
 if __name__ == "__main__":

@@ -262,6 +262,15 @@ class BatchFluidServer:
                        else self._resume_speeds)
         self.paused = False
         self.lock = threading.Lock()
+        # Owns self.state's DEVICE BUFFERS (the tick donates them, so any
+        # reader must exclude an in-flight tick). Acquisition order is
+        # strictly lock -> state_lock (resize/checkpoint nest them; the
+        # sim loop acquires state_lock INSIDE lock, then releases lock
+        # before dispatching) — so the loop does NOT hold the event lock
+        # during the tick itself, and a compile storm blocking the tick
+        # (JAX's per-function compile lock during a concurrent pre-warm,
+        # see docs/TODO.md) stalls only state readers, never POST /events.
+        self.state_lock = threading.Lock()
         self.out_lock = threading.Lock()
         self.frames: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
         self._jpeg_cache: dict[int, tuple[int, bytes]] = {}
@@ -403,18 +412,24 @@ class BatchFluidServer:
             b = self.sessions
             if n == b:
                 return
-            if n < b:
-                self.tracers = self.tracers[:n]
-                self.speeds = self.speeds[:n].copy()
-                self.state = jax.tree.map(lambda x: x[:n], self.state)
-            else:
-                self.tracers += [self._new_tracer(i) for i in range(b, n)]
-                self.speeds = np.concatenate(
-                    [self.speeds, np.ones(n - b, np.float32)])
-                zeros = init_batch(self.config, n - b)
-                self.state = jax.tree.map(
-                    lambda a, z: jnp.concatenate([a, z]), self.state, zeros)
-            self.sessions = n
+            # state_lock nested inside lock (the global acquisition
+            # order): excludes an in-flight tick, whose donation would
+            # otherwise free the buffers this concatenate/slice reads.
+            with self.state_lock:
+                if n < b:
+                    self.tracers = self.tracers[:n]
+                    self.speeds = self.speeds[:n].copy()
+                    self.state = jax.tree.map(lambda x: x[:n], self.state)
+                else:
+                    self.tracers += [self._new_tracer(i)
+                                     for i in range(b, n)]
+                    self.speeds = np.concatenate(
+                        [self.speeds, np.ones(n - b, np.float32)])
+                    zeros = init_batch(self.config, n - b)
+                    self.state = jax.tree.map(
+                        lambda a, z: jnp.concatenate([a, z]),
+                        self.state, zeros)
+                self.sessions = n
             self._gen += 1  # in-flight pre-resize ticks must not publish
         with self.out_lock:
             # Frames/caches are the OLD batch shape; drop them so
@@ -444,11 +459,14 @@ class BatchFluidServer:
                      "seed": self._seed,
                      "identical_seeds": self._identical_seeds,
                      "tracers": [tr.state_dict() for tr in self.tracers]}
-            # Device-side copy only under the lock (the next tick DONATES
-            # self.state's buffers, so they cannot be read later); the
-            # host transfer + deflate happen outside, so B sessions'
-            # sim loop and event handling never stall on serialization.
-            state = jax.tree.map(jnp.copy, self.state)
+            # Device-side copy under state_lock (nested inside lock, the
+            # global order): the next tick DONATES self.state's buffers,
+            # so the copy must exclude an in-flight tick. The host
+            # transfer + deflate happen outside both locks, so B
+            # sessions' sim loop and event handling never stall on
+            # serialization.
+            with self.state_lock:
+                state = jax.tree.map(jnp.copy, self.state)
         buf = io.BytesIO()
         save_state(buf, state, self.config, step=step, extra=extra)
         return buf.getvalue()
@@ -548,21 +566,30 @@ class BatchFluidServer:
                     dt_arg = (jnp.float32(dt_wall)
                               if bool(np.all(self.speeds == 1.0))
                               else jnp.asarray(t_total, jnp.float32))
-                    self.state, frames = self.tick(
-                        self.state, dt_arg, jnp.asarray(batch))
                 else:
                     # (K, B) substep dts: session b runs n_sub[b] equal
                     # substeps of t_total[b]/n_sub[b] (each <= MAX_DT by
                     # construction), zero-padded to K — zero rows are
                     # exact no-ops inside make_substepped_tick.
                     sub = (t_total / n_sub).astype(np.float32)
-                    dts_kb = np.where(
+                    dt_arg = jnp.asarray(np.where(
                         np.arange(k)[:, None] < n_sub[None, :],
-                        sub[None, :], 0.0).astype(np.float32)
-                    self.state, frames = self.subtick(
-                        self.state, jnp.asarray(dts_kb), jnp.asarray(batch))
-                frames = np.asarray(frames)
+                        sub[None, :], 0.0).astype(np.float32))
                 gen = self._gen
+                # Take ownership of the state buffers BEFORE releasing the
+                # event lock (lock -> state_lock order): a resize cannot
+                # swap the fleet between this frame's drain and its tick,
+                # yet the tick itself runs with the event lock FREE — a
+                # tick stalled on a compile storm (docs/TODO.md) no longer
+                # starves POST /events.
+                self.state_lock.acquire()
+            try:
+                tick = self.tick if k == 1 else self.subtick
+                self.state, frames = tick(self.state, dt_arg,
+                                          jnp.asarray(batch))
+                frames = np.asarray(frames)
+            finally:
+                self.state_lock.release()
             with self.out_lock:
                 # Publish ONLY if no resize happened since this tick was
                 # computed: after a shrink-then-regrow to the SAME size,
