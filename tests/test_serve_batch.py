@@ -295,6 +295,35 @@ def test_bad_sid_events_rejected(server_url):
     assert e.value.code == 400
 
 
+def test_nonfinite_speed_rejected(server_url):
+    """json.loads accepts the NaN/Infinity literals; a NaN speed surviving
+    the clamp would turn the loop's n_sub into INT64_MIN and kill the sim
+    loop permanently (remote DoS via the unauthenticated knob). The knob
+    must 400 non-finite values and the loop must keep ticking."""
+    for lit in ("NaN", "Infinity", "-Infinity"):
+        req = urllib.request.Request(
+            f"{server_url}/events?sid=0",
+            data=f'[{{"k": "speed", "v": {lit}}}]'.encode(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=5)
+        assert e.value.code == 400, lit
+    # The loop survived: steps keep advancing and no error is recorded.
+    s0 = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                           timeout=5).read())
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        s1 = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                               timeout=5).read())
+        if s1["steps"] > s0["steps"]:
+            break
+        time.sleep(0.05)
+    assert s1["steps"] > s0["steps"], "sim loop died after NaN speed POST"
+    assert s1["error"] is None
+    import numpy as np
+
+    assert np.isfinite(s1["speeds"]).all()
+
+
 def test_elastic_fleet_resize(server_url):
     """POST /sessions resizes the fleet live: growth brings fresh tenants
     up at the new high sids (zeroed fields + startup burst), shrink drops
@@ -388,3 +417,20 @@ def test_fleet_checkpoint_resume(server_url, tmp_path):
         arr = np.asarray(getattr(resumed.state, name))
         assert arr.dtype == CFG.dtype
         assert np.isfinite(arr.astype(np.float32)).all()
+
+    # Tampered checkpoint speeds must not bypass the SPEED_MAX clamp
+    # (it bounds per-frame compute and jit-cache growth: speed >> 4 would
+    # background-compile an arbitrarily large K-substep program). Rewrite
+    # the meta with out-of-range + NaN speeds and resume again.
+    with np.load(p, allow_pickle=False) as d:
+        arrays = {k: d[k] for k in d.files}
+    meta = json.loads(str(arrays.pop("meta")))
+    meta["extra"]["speeds"] = [float("nan"), 1e9, -5.0][:B]
+    p2 = tmp_path / "tampered.npz"
+    np.savez_compressed(p2, meta=json.dumps(meta), **arrays)
+    from tpufluid.serve_batch import SPEED_MAX
+
+    tampered = BatchFluidServer(CFG, resume=str(p2))
+    sp = np.asarray(tampered.speeds)
+    assert np.isfinite(sp).all()
+    assert (sp >= 0.0).all() and (sp <= SPEED_MAX).all(), sp

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import threading
 import time
 from functools import lru_cache
@@ -232,7 +233,14 @@ class BatchFluidServer:
                 tr = PointerTracer(config, seed=self._seed)
                 tr.load_state_dict(d)
                 self.tracers.append(tr)
-            self._resume_speeds = np.asarray(extra["speeds"], np.float32)
+            # Clamp on load: a hand-edited/corrupted checkpoint must not
+            # bypass the SPEED_MAX bound (it caps per-frame compute and
+            # jit-cache growth — a speed >> 4 would background-compile an
+            # arbitrarily large K-substep program). NaNs map to 0.
+            speeds = np.asarray(extra["speeds"], np.float32)
+            self._resume_speeds = np.clip(
+                np.nan_to_num(speeds, nan=0.0, posinf=SPEED_MAX, neginf=0.0),
+                0.0, SPEED_MAX)
         else:
             self.config = config
             self.sessions = int(sessions)
@@ -326,8 +334,16 @@ class BatchFluidServer:
                     # dispatch (make_substepped_tick) — degrading to a
                     # single clamped step until that program's background
                     # warm lands (_spawn_substep_warm).
-                    self.speeds[sid] = float(
-                        np.clip(float(e["v"]), 0.0, SPEED_MAX))
+                    v = float(e["v"])
+                    # json.loads accepts NaN/Infinity literals, and
+                    # np.clip(NaN, ...) returns NaN — which would make
+                    # n_sub = ceil(NaN).astype(int64) = INT64_MIN in the
+                    # sim loop and kill it permanently (a remote DoS via
+                    # the unauthenticated knob). Reject at the edge ->
+                    # the handler's existing 400 path.
+                    if not math.isfinite(v):
+                        raise ValueError(f"speed must be finite, got {v!r}")
+                    self.speeds[sid] = float(np.clip(v, 0.0, SPEED_MAX))
 
     def _spawn_substep_warm(self, b: int, k: int) -> None:
         """Background-compile the K-substep program for batch size ``b``.
