@@ -120,6 +120,16 @@ def test_per_session_speed(server_url):
             break
         time.sleep(0.05)
     assert stats["speeds"] == [1.0, 1.0, 0.5]
+    # Feed sessions 0 and 2 IDENTICAL event streams: with identical seeds
+    # and identical inputs, only the clock rate differs — divergence is
+    # then attributable to the per-sim dt alone (and stays visible even if
+    # the startup dye has already decayed to background by this point).
+    drag = ([{"k": "down", "x": 0.5, "y": 0.5}]
+            + [{"k": "move", "x": 0.5 + 0.05 * i, "y": 0.5} for i in
+               range(1, 5)]
+            + [{"k": "up"}, {"k": "burst", "n": 6}])
+    for sid in (0, 2):
+        assert _post(server_url, sid, drag) == 204
     deadline = time.time() + 30
     while time.time() < deadline:
         f0, _, f2 = _same_step_frames(server_url, range(B))
@@ -408,7 +418,11 @@ def test_fleet_checkpoint_resume(server_url, tmp_path):
     assert resumed.config == src.config
     assert resumed.speeds.tolist()[2] == 0.25  # set just before checkpoint
     assert 0 in resumed.tracers[0].pointers  # pointer machine carried over
-    assert resumed.state.velocity.shape[0] == B
+    # The checkpoint itself holds exactly B rows (pad rows never leave the
+    # server); the resumed server re-pads to its power-of-two batch.
+    with np.load(p, allow_pickle=False) as d:
+        assert d["velocity"].shape[0] == B
+    assert resumed.state.velocity.shape[0] == resumed._pb >= B
     # Loaded batched fields: expected dtype, finite. (Do NOT touch
     # src.state here: the live sim thread donates those buffers every
     # tick, so reading them races 'Array has been deleted'.)

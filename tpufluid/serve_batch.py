@@ -13,11 +13,36 @@ substepping (every individual step dt stays at the reference's 1/60
 ceiling, script.js:1191, which also preserves the kernels' displacement
 contract) — and the batched dispatch takes the resulting (B,) or (K, B)
 per-sim dts on the compiled kernel path (batch.py: the (1, 1) SMEM dt
-batches). With every
-speed at 1.0 the server passes a scalar dt instead — lock-step, ONE shared
-clock exactly like the reference's single requestAnimationFrame feeding its
-one sim (script.js:1182-1194) — so the common case stays a single compiled
-program.
+batches). With every speed at 1.0 the server passes a scalar dt instead —
+lock-step, ONE shared clock exactly like the reference's single
+requestAnimationFrame feeding its one sim (script.js:1182-1194) — so the
+common case stays a single compiled program.
+
+Latency SLO design (the round-4 rework — the reference's bar is that every
+input is served within one 16.7 ms frame, script.js:1185,1219-1229):
+
+- **No XLA compile ever runs while holding a lock.** All programs are
+  AOT-compiled (``jit.lower(...).compile()``) by ONE background reconciler
+  thread, each (batch, kind) as its OWN compiled executable — so a compile
+  in flight can never block the live tick through jit's per-function cache
+  lock (the round-3 soak's 92-second event p99, docs/TODO.md).
+- **Batch shapes are padded to powers of two** (``_padded``): the compiled
+  program matrix is bounded (7 sizes up to MAX_SESSIONS=64 x a handful of
+  dt kinds), pad rows are exactly inert (zero state + zero splats stay
+  zero under fluid_step at any dt), and most fleet resizes change no
+  compiled shape at all.
+- **Resize is two-phase and non-blocking**: POST /sessions applies the
+  bookkeeping (sessions/tracers/speeds) in milliseconds and returns; the
+  reconciler compiles whatever the new padded shape needs, swaps the state
+  tensor at a tick boundary, zeroes evicted rows (privacy: a shrink's
+  tenants must not leak into later grows), and only then activates the new
+  rows. Until activation the new sids' frames 503 — events to them queue
+  in their tracers and land on the first activated tick.
+- A missing per-sim-dt ("vector") program degrades those frames to the
+  lock-step clock (speeds read as 1x) instead of stalling the loop; the
+  reconciler compiles it within seconds, once per padded size ever — and
+  the JAX persistent compilation cache (tpufluid.compilecache) makes even
+  that a disk hit across restarts.
 
 Session isolation is structural: sims only meet inside vmap, which cannot
 mix batch rows. JPEG encoding is lazy (per-session, cached per step), so B
@@ -27,13 +52,13 @@ polled.
 Endpoints (sid = session id, 0..B-1):
   GET  /            dashboard page: a grid of all sessions' live frames
   GET  /frame?sid=N latest JPEG for session N (X-Step header = sim step)
-  GET  /stats       {"steps", "sessions", "paused", "speeds", "error"}
+  GET  /stats       {"steps", "sessions", "paused", "speeds", "error", ...}
   GET  /checkpoint.npz  whole-fleet checkpoint (batched state + config +
                         per-session speeds/tracers); resume with --resume
   POST /sessions     {"n": N}: elastic fleet resize — grow appends fresh
                      zeroed tenants (new high sids, startup burst each),
-                     shrink drops the high sids; the next tick pays one
-                     recompile for the new batch shape (then cached)
+                     shrink drops the high sids; returns immediately (the
+                     reconciler applies any state reshape off-path)
   POST /events?sid=N  same JSON event schema as the single-session server
                       (down/move/up/burst/pause — pause is global), plus
                       {"k": "speed", "v": S}: session N's clock rate,
@@ -44,9 +69,9 @@ Endpoints (sid = session id, 0..B-1):
                       per-frame time advance into ceil(S) substeps of
                       <= 1/60 each, run as masked rows of one fused
                       K-substep dispatch (make_substepped_tick; the loop
-                      serves single clamped steps until that program's
-                      background warm lands, so the knob never stalls
-                      event handling; /stats "substeps" shows the switch)
+                      serves single clamped steps until the reconciler's
+                      warm lands, so the knob never stalls event handling;
+                      /stats "substeps" shows the switch)
 
 Geometry/config is uniform across sessions by construction (one compiled
 program); per-tenant quality knobs belong on separate server processes.
@@ -73,17 +98,30 @@ MAX_DT = 1.0 / 60.0
 # make_substepped_tick), each substep's dt still <= the reference's 1/60
 # ceiling (script.js:1191 — also the kernels' displacement contract). The
 # cap bounds both the per-frame compute multiplier an unauthenticated knob
-# can demand and jit-cache growth (at most ceil(SPEED_MAX)-1 extra substep
-# programs per batch size).
+# can demand and the compiled-program matrix (at most ceil(SPEED_MAX)-1
+# substep programs per padded batch size).
 SPEED_MAX = 4.0
+_K_MAX = math.ceil(SPEED_MAX)
 
 
-@lru_cache(maxsize=None)
-def make_batched_tick(config):
-    """One fused dispatch per frame for the WHOLE batch: vmapped step +
-    vmapped render + uint8 quantize + vertical flip on device ->
-    (state, (B, H, W, 3) uint8). The batched analog of
-    render.make_step_and_render (same dispatch-tax rationale)."""
+def _padded(n: int) -> int:
+    """Smallest power of two >= n: the only batch sizes ever compiled.
+
+    Pad rows are exactly inert — zero state with zero splats stays zero
+    under fluid_step at any dt (advection/projection/dissipation of the
+    zero field are zero; the vorticity normalizer is eps-guarded) — so a
+    fleet of S sessions runs correctly inside any padded B >= S, and the
+    program matrix stays bounded (tests/test_serve_batch.py pins the
+    inertness via isolation across resizes)."""
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+def _batched_tick_body(config):
+    """Unjitted batched tick: vmapped step + vmapped render + uint8
+    quantize + vertical flip on device -> (state, (B, H, W, 3) uint8).
+    The batched analog of render.make_step_and_render (same dispatch-tax
+    rationale); jitted by make_batched_tick and AOT-compiled per padded
+    batch size by make_tick_program."""
     import jax
 
     from tpufluid.render import tick_body
@@ -95,11 +133,21 @@ def make_batched_tick(config):
         # clock stays ONE unbatched SMEM operand. A (B,) dt (per-session
         # speeds) is vmapped — the kernels' (1, 1) SMEM dt batches to
         # (B, 1, 1), which Mosaic lowers (batch.py docstring). The ndim
-        # switch is static per aval, so each shape is its own jit program.
+        # switch is static per aval, so each shape is its own program.
         axes = (0, 0 if jax.numpy.ndim(dt) else None, 0)
         return jax.vmap(one, in_axes=axes)(state, dt, splats)
 
-    return jax.jit(tick, donate_argnums=0)
+    return tick
+
+
+@lru_cache(maxsize=None)
+def make_batched_tick(config):
+    """One fused dispatch per frame for the WHOLE batch (shared jit
+    instance — the test/dryrun entry point; the server uses per-shape
+    AOT executables from make_tick_program instead)."""
+    import jax
+
+    return jax.jit(_batched_tick_body(config), donate_argnums=0)
 
 
 @lru_cache(maxsize=None)
@@ -127,8 +175,9 @@ def make_substepped_tick(config):
 
 def _substepped_body(config):
     """The UNJITTED K-substep body (see make_substepped_tick's contract):
-    shared by the single-chip jit above and the batch-DP shard_map
-    (make_batch_sharded_substepped_tick) so the two cannot drift."""
+    shared by the single-chip jit above, the per-shape AOT executables
+    (make_tick_program) and the batch-DP shard_map
+    (make_batch_sharded_substepped_tick) so they cannot drift."""
     import jax
     import jax.numpy as jnp
     from functools import partial
@@ -196,14 +245,124 @@ def make_batch_sharded_substepped_tick(config, mesh):
     return jax.jit(tick, donate_argnums=0)
 
 
-class BatchFluidServer:
-    """Owns the batched sim loop; per-session tracers + lazy JPEG frames."""
+def _batch_shapes(config, pb: int):
+    """(state, splats) ShapeDtypeStructs for padded batch ``pb`` — the
+    AOT lowering avals (no device allocation: jax.eval_shape)."""
+    import jax
+    import jax.numpy as jnp
 
-    MAX_SESSIONS = 64  # resize_fleet ceiling: caps state alloc + jit-cache growth
+    from tpufluid.batch import init_batch
+    from tpufluid.ops.splat import SPLAT_COLS
+
+    state_sd = jax.eval_shape(lambda: init_batch(config, pb))
+    splat_sd = jax.ShapeDtypeStruct(
+        (pb, config.MAX_SPLATS, SPLAT_COLS), jnp.float32)
+    return state_sd, splat_sd
+
+
+@lru_cache(maxsize=None)
+def make_tick_program(config, pb: int, kind):
+    """ONE AOT-compiled serving executable for padded batch ``pb``.
+
+    kind: 'scalar' (lock-step shared clock), 'vector' ((pb,) per-sim dts),
+    or an int K >= 2 (the K-substep fast-forward tick, dts (K, pb)).
+
+    Every (pb, kind) is its OWN ``jax.jit(...).lower(...).compile()``
+    executable: a reconciler compile at one shape can never block the live
+    tick's dispatch at another through jit's per-function compile lock —
+    the mechanism behind the round-3 soak's 92-second event p99
+    (docs/TODO.md 'Fast-forward' notes). State is donated, exactly like
+    the shared-jit paths."""
+    import jax
+    import jax.numpy as jnp
+
+    state_sd, splat_sd = _batch_shapes(config, pb)
+    if kind == "scalar":
+        body, dt_sd = (_batched_tick_body(config),
+                       jax.ShapeDtypeStruct((), jnp.float32))
+    elif kind == "vector":
+        body, dt_sd = (_batched_tick_body(config),
+                       jax.ShapeDtypeStruct((pb,), jnp.float32))
+    else:
+        k = int(kind)
+        if k < 2:
+            raise ValueError(f"substep kind must be >= 2, got {kind!r}")
+        body, dt_sd = (_substepped_body(config),
+                       jax.ShapeDtypeStruct((k, pb), jnp.float32))
+    fn = jax.jit(body, donate_argnums=0)
+    return fn.lower(state_sd, dt_sd, splat_sd).compile()
+
+
+@lru_cache(maxsize=None)
+def make_zero_tail(config, pb: int):
+    """AOT executable zeroing rows >= ``live`` of a padded-``pb`` state:
+    (state, keep (pb,) bool) -> state with non-kept rows exactly zero.
+    jnp.where, not mask-multiply: 0 * NaN would leak a broken evicted
+    tenant's non-finites into the pad rows' inertness invariant."""
+    import jax
+    import jax.numpy as jnp
+
+    state_sd, _ = _batch_shapes(config, pb)
+
+    def zero_tail(state, keep):
+        def f(x):
+            return jnp.where(
+                keep.reshape((-1,) + (1,) * (x.ndim - 1)),
+                x, jnp.zeros((), x.dtype))
+
+        return jax.tree.map(f, state)
+
+    fn = jax.jit(zero_tail, donate_argnums=0)
+    keep_sd = jax.ShapeDtypeStruct((pb,), jnp.bool_)
+    return fn.lower(state_sd, keep_sd).compile()
+
+
+@lru_cache(maxsize=None)
+def make_state_resize(config, pb_from: int, pb_to: int):
+    """AOT executable reshaping the padded batch axis on DEVICE (no
+    host round-trip — at production grids the fleet state is hundreds of
+    MB): grow concatenates zero rows, shrink slices. NOT donated — XLA
+    cannot alias across a batch-axis reshape (grow outputs are larger,
+    shrink outputs are partial buffers), so donation would only warn."""
+    import jax
+    import jax.numpy as jnp
+
+    state_sd, _ = _batch_shapes(config, pb_from)
+
+    def resize(state):
+        def f(x):
+            if pb_to > pb_from:
+                pad = jnp.zeros((pb_to - pb_from,) + x.shape[1:], x.dtype)
+                return jnp.concatenate([x, pad])
+            return x[:pb_to]
+
+        return jax.tree.map(f, state)
+
+    return jax.jit(resize).lower(state_sd).compile()
+
+
+class BatchFluidServer:
+    """Owns the batched sim loop; per-session tracers + lazy JPEG frames.
+
+    Concurrency architecture (the latency-SLO invariants):
+      - lock       guards fleet bookkeeping (sessions/tracers/speeds/
+                   program table/pending flags). Held only for O(ms)
+                   bookkeeping — NEVER across a compile. (The reconciler's
+                   rare resize-apply steps hold it across ONE pre-compiled
+                   zero/reshape dispatch; the storms were compiles.)
+      - state_lock owns the state tensor's device buffers (ticks donate
+                   them). Acquired only while holding (or having just
+                   held) lock — global order lock -> state_lock.
+      - out_lock   guards published frames/steps/caches.
+    All XLA compiles happen in the reconciler thread OUTSIDE every lock,
+    each into its own executable (make_tick_program), so the worst-case
+    event wait is one bookkeeping critical section."""
+
+    MAX_SESSIONS = 64  # resize ceiling: caps state alloc + program matrix
 
     def __init__(self, config, sessions: int = 4, seed: int = 0,
                  quality: int = 80, identical_seeds: bool = False,
-                 resume: Optional[str] = None):
+                 resume: Optional[str] = None, prewarm: str = "neighbors"):
         from tpufluid.batch import init_batch
         from tpufluid.trace import PointerTracer
 
@@ -219,7 +378,7 @@ class BatchFluidServer:
             # (the batched analog of FluidServer(resume=...)).
             from tpufluid.checkpoint import load_state
 
-            self.state, config, self.steps_done, extra = load_state(resume)
+            state, config, self.steps_done, extra = load_state(resume)
             self.config = config
             self.sessions = int(extra["sessions"])
             # Seeding policy comes from the checkpoint, so tenants added
@@ -235,12 +394,30 @@ class BatchFluidServer:
                 self.tracers.append(tr)
             # Clamp on load: a hand-edited/corrupted checkpoint must not
             # bypass the SPEED_MAX bound (it caps per-frame compute and
-            # jit-cache growth — a speed >> 4 would background-compile an
+            # the compiled-program matrix — a speed >> 4 would demand an
             # arbitrarily large K-substep program). NaNs map to 0.
             speeds = np.asarray(extra["speeds"], np.float32)
-            self._resume_speeds = np.clip(
-                np.nan_to_num(speeds, nan=0.0, posinf=SPEED_MAX, neginf=0.0),
-                0.0, SPEED_MAX)
+            self.speeds = np.clip(
+                np.nan_to_num(speeds, nan=0.0, posinf=SPEED_MAX,
+                              neginf=0.0), 0.0, SPEED_MAX)
+            # Pad the checkpointed rows up to the padded batch in numpy
+            # (no compiles in __init__; bf16 travels as ml_dtypes arrays).
+            self._pb = _padded(self.sessions)
+            arrs = [np.asarray(x) for x in
+                    (state.velocity, state.dye, state.pressure)]
+            import jax.numpy as jnp
+
+            from tpufluid.state import FluidState
+
+            def pad(a):
+                if a.shape[0] == self._pb:
+                    return jnp.asarray(a)
+                z = np.zeros((self._pb - a.shape[0],) + a.shape[1:],
+                             a.dtype)
+                return jnp.asarray(np.concatenate([a, z]))
+
+            self.state = FluidState(velocity=pad(arrs[0]), dye=pad(arrs[1]),
+                                    pressure=pad(arrs[2]))
         else:
             self.config = config
             self.sessions = int(sessions)
@@ -251,43 +428,44 @@ class BatchFluidServer:
             # (script.js:1170).
             self.tracers = [self._new_tracer(i)
                             for i in range(self.sessions)]
-            self.state = init_batch(config, self.sessions)
-            self._resume_speeds = None
+            self._pb = _padded(self.sessions)
+            self.state = init_batch(config, self._pb)
+            self.speeds = np.ones(self.sessions, np.float32)
         self.quality = quality
-        self.tick = make_batched_tick(config)
-        self.subtick = make_substepped_tick(config)
-        # Fast-forward program warm state, keyed by (batch, K): the sim
-        # loop only switches to the K-substep program once a background
-        # warm has landed, so a speed > 1 knob never stalls the loop (or
-        # every POST /events behind self.lock) on a compile.
-        self._substep_warmed: set = set()
-        self._substep_warming: set = set()
+        self.prewarm = prewarm  # "off" | "neighbors" | "all"
+        # Rows [0, _live_rows) are ticked, drained and published. Invariant
+        # (_tail_clean): rows >= _live_rows of self.state are exactly zero
+        # — so activating them (grow) starts fresh tenants from the zero
+        # field, and no evicted tenant's pixels can leak into a reused row.
+        self._live_rows = min(self.sessions, self._pb)
+        self._tail_clean = True
+        # AOT program table: (pb, kind) -> compiled executable. Compiled
+        # ONLY by the reconciler thread (never under a lock); a failed
+        # compile lands in _prog_errors and is never retried (the server
+        # stays in its degraded-but-serving state instead of storming).
+        self._progs: dict = {}
+        self._prog_errors: dict = {}
+        self._want: set = set()  # loop-requested (pb, K) fast-forward keys
         self._last_substeps = 1
-        # Per-session clock rate: dt_b = min(wall_dt * speed_b, 1/60).
-        # All-ones keeps the lock-step scalar-dt program (module docstring).
-        self.speeds = (np.ones(self.sessions, np.float32)
-                       if self._resume_speeds is None
-                       else self._resume_speeds)
         self.paused = False
         self.lock = threading.Lock()
-        # Owns self.state's DEVICE BUFFERS (the tick donates them, so any
-        # reader must exclude an in-flight tick). Acquisition order is
-        # strictly lock -> state_lock (resize/checkpoint nest them; the
-        # sim loop acquires state_lock INSIDE lock, then releases lock
-        # before dispatching) — so the loop does NOT hold the event lock
-        # during the tick itself, and a compile storm blocking the tick
-        # (JAX's per-function compile lock during a concurrent pre-warm,
-        # see docs/TODO.md) stalls only state readers, never POST /events.
         self.state_lock = threading.Lock()
         self.out_lock = threading.Lock()
-        self.frames: Optional[np.ndarray] = None  # (B, H, W, 3) uint8
+        self.frames: Optional[np.ndarray] = None  # (pb, H, W, 3) uint8
+        self._frames_live = 0  # rows of self.frames that are live tenants
         self._jpeg_cache: dict[int, tuple[int, bytes]] = {}
         self._stop = threading.Event()
         self.error: Optional[str] = None  # sim-loop crash, shown in /stats
-        # Fleet generation, bumped by resize_fleet: a tick that started
-        # BEFORE a resize must not publish its (stale-fleet) frames after
+        # Fleet generation, bumped by state swaps: a tick that started
+        # BEFORE a swap must not publish its (stale-fleet) frames after
         # it — shape checks alone can't catch shrink-then-regrow reuse.
         self._gen = 0
+        self._reconcile = threading.Event()
+        self._reconciler_thread: Optional[threading.Thread] = None
+        # Set by _fleet_and_state spinners; the sim loop parks (holding
+        # neither lock) while it's up, so a checkpoint/swap waiter gets
+        # its both-locks window within one tick instead of starving.
+        self._yield_loop = threading.Event()
 
     def _new_tracer(self, i: int):
         """Tracer for global session index ``i`` under the fleet's seeding
@@ -331,9 +509,8 @@ class BatchFluidServer:
                     # FAST-FORWARD: the loop splits the session's larger
                     # time advance into ceil(speed) substeps of <= 1/60
                     # each, run as masked rows of ONE fused substepped
-                    # dispatch (make_substepped_tick) — degrading to a
-                    # single clamped step until that program's background
-                    # warm lands (_spawn_substep_warm).
+                    # dispatch — degrading to a single clamped step until
+                    # the reconciler's program warm lands.
                     v = float(e["v"])
                     # json.loads accepts NaN/Infinity literals, and
                     # np.clip(NaN, ...) returns NaN — which would make
@@ -345,144 +522,295 @@ class BatchFluidServer:
                         raise ValueError(f"speed must be finite, got {v!r}")
                     self.speeds[sid] = float(np.clip(v, 0.0, SPEED_MAX))
 
-    def _spawn_substep_warm(self, b: int, k: int) -> None:
-        """Background-compile the K-substep program for batch size ``b``.
+    # ----- reconciler: the ONLY thread that compiles -----
 
-        Called by the sim loop (under self.lock) the first time a frame
-        wants K > 1 substeps at this batch size; until the warm lands the
-        loop keeps serving single clamped steps (speeds effectively capped
-        at 1 for those frames), so neither the loop nor event handling
-        ever blocks on the compile. A failed warm leaves its key in
-        _substep_warming (never _substep_warmed): the server stays in the
-        degraded-but-serving state instead of retrying a broken compile
-        every frame."""
-        key = (b, k)
-        if key in self._substep_warming:
-            return
-        self._substep_warming.add(key)
+    def _ensure_reconciler(self):
+        if self._reconciler_thread is None:
+            self._reconciler_thread = threading.Thread(
+                target=self._reconcile_loop, daemon=True)
+            self._reconciler_thread.start()
 
-        def warm():
-            import traceback
+    def _prewarm_keys(self, pb: int):
+        """Speculative compile targets, lowest reconciler priority.
 
-            import jax
-            import jax.numpy as jnp
+        'neighbors' (default): everything the CURRENT padded size can ask
+        for at runtime (per-sim dts + every fast-forward K) plus the
+        adjacent padded sizes' lock-step programs, so a one-notch resize
+        never waits on a compile. 'all' covers the full power-of-two
+        matrix up to MAX_SESSIONS — deploy-time warm for production
+        fleets (the soak uses it). 'off' compiles strictly on demand."""
+        if self.prewarm == "off":
+            return []
+        keys = [(pb, k) for k in range(2, _K_MAX + 1)]
+        if self.prewarm == "all":
+            sizes = []
+            s = 1
+            while s <= _padded(self.MAX_SESSIONS):
+                sizes.append(s)
+                s *= 2
+        else:
+            sizes = [p for p in (pb * 2, pb // 2)
+                     if 1 <= p <= _padded(self.MAX_SESSIONS)]
+        for p in sizes:
+            keys.append((p, "scalar"))
+            keys.append((p, "vector"))
+        if self.prewarm == "all":
+            for p in sizes:
+                keys.extend((p, k) for k in range(2, _K_MAX + 1))
+        return keys
 
-            from tpufluid.batch import init_batch
-            from tpufluid.ops.splat import SPLAT_COLS
+    def _next_task(self):
+        """Pick the reconciler's next unit of work, under self.lock.
 
-            try:
-                out = self.subtick(
-                    init_batch(self.config, b),
-                    jnp.zeros((k, b), jnp.float32),
-                    jnp.zeros((b, self.config.MAX_SPLATS, SPLAT_COLS),
-                              jnp.float32))
-                jax.block_until_ready(out)
-            except Exception:
-                traceback.print_exc()
-                return
+        Priority: programs the loop needs NOW (current padded size's
+        lock-step, then per-sim-dt, then requested fast-forward Ks) >
+        privacy zeroing of evicted rows > pending padded-size swap >
+        activating pending grown tenants > speculative prewarm."""
+        pb = self._pb
+        target = _padded(self.sessions)
+
+        def missing(key):
+            return key not in self._progs and key not in self._prog_errors
+
+        for key in [(pb, "scalar"), (pb, "vector")]:
+            if missing(key):
+                return ("compile", key)
+        for key in sorted(self._want):
+            if missing(key):
+                return ("compile", key)
+        if not self._tail_clean:
+            zt = ("zerotail", pb)
+            if zt not in self._progs and zt not in self._prog_errors:
+                return ("compile", zt)
+            return ("zero_tail",)
+        if target != pb:
+            for key in [(target, "scalar"), (target, "vector"),
+                        ("resize", pb, target)]:
+                if missing(key):
+                    return ("compile", key)
+            return ("swap", pb, target)
+        if self._live_rows < min(self.sessions, pb):
+            return ("activate",)
+        for key in self._prewarm_keys(pb):
+            if missing(key):
+                return ("compile", key)
+        return None
+
+    def _compile(self, key) -> None:
+        """Compile ONE executable, outside every lock, then publish it
+        into the program table. Failures are recorded once and never
+        retried (degraded-but-serving beats a compile storm)."""
+        import traceback
+
+        try:
+            if key[0] == "zerotail":
+                prog = make_zero_tail(self.config, key[1])
+            elif key[0] == "resize":
+                prog = make_state_resize(self.config, key[1], key[2])
+            else:
+                prog = make_tick_program(self.config, key[0], key[1])
+        except Exception:
             with self.lock:
-                self._substep_warmed.add(key)
+                self._prog_errors[key] = traceback.format_exc()
+            return
+        with self.lock:
+            self._progs[key] = prog
 
-        threading.Thread(target=warm, daemon=True).start()
+    def _reconcile_loop(self):
+        while not self._stop.is_set():
+            with self.lock:
+                task = self._next_task()
+            if task is None:
+                self._reconcile.wait(timeout=0.25)
+                self._reconcile.clear()
+                continue
+            if task[0] == "compile":
+                self._compile(task[1])
+            elif task[0] == "zero_tail":
+                self._apply_zero_tail()
+            elif task[0] == "swap":
+                self._apply_swap(task[1], task[2])
+            else:  # activate
+                with self.lock:
+                    if self._tail_clean:
+                        self._live_rows = min(self.sessions, self._pb)
+
+    def _fleet_and_state(self):
+        """Acquire lock AND state_lock together WITHOUT ever holding the
+        event lock while waiting for an in-flight tick (the round-3
+        residual: a waiter holding the event lock turns one slow tick
+        into an event-latency stall for every POST /events). Spins on a
+        non-blocking state_lock attempt, releasing the event lock between
+        tries; respects the global lock -> state_lock order. Returns True
+        with BOTH locks held, or False if the server is stopping.
+
+        The ``_yield_loop`` flag closes the spin's starvation hole: on a
+        busy host the loop cycles drain(lock)->tick(state_lock) almost
+        back-to-back, so the both-free window a spinner needs is
+        microseconds per frame (the first 10-minute soak measured a
+        54-SECOND checkpoint because of it). While the flag is set the
+        sim loop parks before its next drain — holding neither lock — so
+        the spinner wins within one tick."""
+        while not self._stop.is_set():
+            # Re-set each try: a concurrent spinner's _release_both may
+            # have cleared the flag while this one is still waiting.
+            self._yield_loop.set()
+            self.lock.acquire()
+            if self.state_lock.acquire(blocking=False):
+                return True  # _release_both clears the flag
+            self.lock.release()
+            time.sleep(0.001)
+        self._yield_loop.clear()
+        return False
+
+    def _release_both(self):
+        self._yield_loop.clear()
+        self.state_lock.release()
+        self.lock.release()
+
+    def _apply_zero_tail(self):
+        """Zero rows >= _live_rows on device (privacy after a shrink +
+        the pad-row inertness invariant). Executes a pre-compiled
+        program; execution only, never a compile, so the hold is one
+        small dispatch."""
+        if not self._fleet_and_state():
+            return
+        try:
+            pb = self._pb
+            prog = self._progs.get(("zerotail", pb))
+            if prog is None or self._tail_clean:
+                return
+            keep = np.arange(pb) < self._live_rows
+            self.state = prog(self.state, keep)
+            self._tail_clean = True
+        finally:
+            self._release_both()
+
+    def _apply_swap(self, pb_from: int, pb_to: int):
+        """Swap the state tensor to a new padded batch size on device.
+        Pre-conditions (enforced by _next_task ordering): tail is clean,
+        target programs + the resize executable are compiled. Re-validated
+        under the lock — a concurrent resize may have moved the target."""
+        if not self._fleet_and_state():
+            return
+        try:
+            if (self._pb != pb_from or _padded(self.sessions) != pb_to
+                    or not self._tail_clean):
+                return  # stale plan; _next_task will re-derive
+            prog = self._progs.get(("resize", pb_from, pb_to))
+            if prog is None:
+                return
+            self.state = prog(self.state)
+            self._pb = pb_to
+            self._live_rows = min(self._live_rows, pb_to)
+            # Tail stays clean: grow appended zeros; shrink sliced
+            # away rows that the clean invariant already had zero.
+            self._gen += 1  # in-flight pre-swap ticks must not publish
+        finally:
+            self._release_both()
 
     def resize_fleet(self, n: int) -> None:
-        """Elastic multi-tenancy: grow or shrink the fleet LIVE.
+        """Elastic multi-tenancy: grow or shrink the fleet LIVE, in O(ms).
 
-        The batch size is a compiled shape, so the next tick after a
-        resize pays one jit retrace/compile for the new B (then cached —
-        growing back to a previously-seen size is instant). Growth
-        appends zeroed sims with fresh seeded tracers + startup bursts
-        (sids B..n-1, like the reference's load-time multipleSplats);
-        shrink drops the HIGHEST sids (sid identity is positional —
-        0..n-1 always remain themselves). Untouched sessions' fields are
-        untouched: concatenate/slice on the batch axis cannot mix rows,
-        so isolation holds across resizes (tests/test_serve_batch.py)."""
-        import jax
-        import jax.numpy as jnp
-
-        from tpufluid.batch import init_batch
-        from tpufluid.ops.splat import SPLAT_COLS
-
+        Two-phase: this call applies only bookkeeping — tracers, speeds,
+        the session count (growth appends fresh seeded tracers + startup
+        bursts at sids B..n-1, like the reference's load-time
+        multipleSplats; shrink drops the HIGHEST sids — sid identity is
+        positional, 0..n-1 always remain themselves) — and returns. The
+        reconciler then (a) zeroes evicted rows on device (privacy), (b)
+        swaps the padded state shape if the power-of-two bucket changed
+        (compiling anything it needs OUTSIDE the locks first), and (c)
+        activates pending grown rows. Until activation, new sids' frames
+        503 while their events queue in their tracers. Untouched
+        sessions' fields are untouched throughout: concatenate/slice on
+        the batch axis cannot mix rows (tests/test_serve_batch.py)."""
         if not isinstance(n, int) or isinstance(n, bool):
             raise ValueError(f"fleet size must be an integer, got {n!r}")
         if not 1 <= n <= self.MAX_SESSIONS:
             raise ValueError(
                 f"fleet size must be in [1, {self.MAX_SESSIONS}], got {n} "
-                f"(the cap bounds state allocation and jit-cache growth "
-                f"from unauthenticated POST /sessions)")
-        # Pre-warm BOTH dt-shape programs (scalar lock-step + (n,)
-        # per-sim) for the new batch size OUTSIDE the lock, on dummy
-        # state: the first tick at an unseen shape otherwise compiles
-        # while holding self.lock, stalling every event POST for seconds
-        # (measured as client timeouts in the chaos soak). Warmed
-        # UNCONDITIONALLY: gating on an unlocked self.sessions read can
-        # skip the warm when a concurrent resize changes the size between
-        # the check and the apply; a cache-hit warm costs two dummy ticks.
-        dummy_splats = jnp.zeros((n, self.config.MAX_SPLATS,
-                                  SPLAT_COLS), jnp.float32)
-        for dt in (jnp.float32(MAX_DT),
-                   jnp.full((n,), MAX_DT, jnp.float32)):
-            out = self.tick(init_batch(self.config, n), dt, dummy_splats)
-            jax.block_until_ready(out)
+                f"(the cap bounds state allocation and program-matrix "
+                f"growth from unauthenticated POST /sessions)")
         with self.lock:
             b = self.sessions
             if n == b:
                 return
-            # state_lock nested inside lock (the global acquisition
-            # order): excludes an in-flight tick, whose donation would
-            # otherwise free the buffers this concatenate/slice reads.
-            with self.state_lock:
-                if n < b:
-                    self.tracers = self.tracers[:n]
-                    self.speeds = self.speeds[:n].copy()
-                    self.state = jax.tree.map(lambda x: x[:n], self.state)
-                else:
-                    self.tracers += [self._new_tracer(i)
-                                     for i in range(b, n)]
-                    self.speeds = np.concatenate(
-                        [self.speeds, np.ones(n - b, np.float32)])
-                    zeros = init_batch(self.config, n - b)
-                    self.state = jax.tree.map(
-                        lambda a, z: jnp.concatenate([a, z]),
-                        self.state, zeros)
+            if n < b:
+                self.tracers = self.tracers[:n]
+                self.speeds = self.speeds[:n].copy()
                 self.sessions = n
-            self._gen += 1  # in-flight pre-resize ticks must not publish
+                if n < self._live_rows:
+                    # Evicted rows hold real tenant data until the
+                    # reconciler zeroes them; nothing may publish or
+                    # reactivate them before that.
+                    self._live_rows = n
+                    self._tail_clean = False
+            else:
+                self.tracers += [self._new_tracer(i) for i in range(b, n)]
+                self.speeds = np.concatenate(
+                    [self.speeds, np.ones(n - b, np.float32)])
+                self.sessions = n
+                if self._tail_clean and n <= self._pb:
+                    # Common case: the new tenants fit inside the current
+                    # padded batch and their rows are known-zero —
+                    # activate instantly, zero compiles, zero swaps.
+                    self._live_rows = n
+        self._reconcile.set()
         with self.out_lock:
-            # Frames/caches are the OLD batch shape; drop them so
-            # frame_jpeg 503s until the first resized tick lands.
-            self.frames = None
+            # Cached encodes may belong to retired sids; drop them. Live
+            # frames stay valid (per-row gating via _frames_live).
             self._jpeg_cache.clear()
 
     def checkpoint_bytes(self) -> bytes:
         """Whole-fleet checkpoint (.npz): batched field state + config +
         step count + per-session speeds and tracer states — resumable via
-        BatchFluidServer(config, resume=path)."""
+        BatchFluidServer(config, resume=path). Saves exactly ``sessions``
+        rows (pad rows never leave the server); a pending grown tenant
+        that hasn't activated yet is saved as its zero field — which is
+        precisely its state."""
         import jax
         import jax.numpy as jnp
 
         from tpufluid.checkpoint import save_state
+        from tpufluid.state import FluidState
 
-        with self.lock:
-            # steps_done is written under out_lock just after the state
-            # swap; nesting (the sim loop never nests, so no deadlock
-            # order) keeps the label within one step of the held state.
+        # Both locks via _fleet_and_state: the bookkeeping snapshot and
+        # the device-side state copy are one atomic cut (no tick can
+        # interleave, so tracer cursors and fields agree to the step),
+        # and the event lock is never held while WAITING on an in-flight
+        # tick. The copy excludes in-flight ticks (they donate the
+        # buffers); the host transfer + row slicing + deflate happen
+        # outside both locks, so the sim loop and event handling never
+        # stall on serialization.
+        if not self._fleet_and_state():
+            raise RuntimeError("server is stopping")
+        try:
             with self.out_lock:
                 step = self.steps_done
-            extra = {"sessions": self.sessions,
+            sessions = self.sessions
+            extra = {"sessions": sessions,
                      "speeds": [float(s) for s in self.speeds],
                      # Seeding policy, so tenants added to a RESUMED
                      # fleet seed as the original fleet would have.
                      "seed": self._seed,
                      "identical_seeds": self._identical_seeds,
                      "tracers": [tr.state_dict() for tr in self.tracers]}
-            # Device-side copy under state_lock (nested inside lock, the
-            # global order): the next tick DONATES self.state's buffers,
-            # so the copy must exclude an in-flight tick. The host
-            # transfer + deflate happen outside both locks, so B
-            # sessions' sim loop and event handling never stall on
-            # serialization.
-            with self.state_lock:
-                state = jax.tree.map(jnp.copy, self.state)
+            state = jax.tree.map(jnp.copy, self.state)
+        finally:
+            self._release_both()
+        rows = min(sessions, state.velocity.shape[0])
+
+        def take(x):
+            a = np.asarray(x)[:rows]
+            if rows < sessions:  # pending grown tenants: zero by contract
+                a = np.concatenate(
+                    [a, np.zeros((sessions - rows,) + a.shape[1:],
+                                 a.dtype)])
+            return a
+
+        state = FluidState(velocity=take(state.velocity),
+                           dye=take(state.dye),
+                           pressure=take(state.pressure))
         buf = io.BytesIO()
         save_state(buf, state, self.config, step=step, extra=extra)
         return buf.getvalue()
@@ -495,10 +823,11 @@ class BatchFluidServer:
         if not 0 <= sid < self.sessions:
             raise ValueError(f"sid {sid} out of range")
         with self.out_lock:
-            # frames can briefly be None or the OLD batch shape around a
-            # resize_fleet (a pre-resize tick's frames may land after the
-            # resize cleared them) — 503 until the resized tick arrives.
-            if self.frames is None or sid >= self.frames.shape[0]:
+            # Frames can briefly be missing rows for this sid around a
+            # resize (pending activation, or a pre-swap tick's frames) —
+            # 503 until the first tick covering it lands. _frames_live is
+            # the row count that was LIVE when self.frames was published.
+            if self.frames is None or sid >= self._frames_live:
                 return None
             step = self.steps_done
             hit = self._jpeg_cache.get(sid)
@@ -531,6 +860,7 @@ class BatchFluidServer:
 
         from tpufluid.ops.splat import SPLAT_COLS
 
+        self._ensure_reconciler()
         last = time.time()
         while not self._stop.is_set():
             t_frame = time.time()
@@ -543,85 +873,135 @@ class BatchFluidServer:
                 # POST /events — including the unpause event itself.
                 time.sleep(MAX_DT)
                 continue
+            if self._yield_loop.is_set():
+                # A checkpoint/swap spinner needs lock+state_lock
+                # together; park (holding neither) so it wins within one
+                # frame instead of starving against the drain->tick cycle.
+                time.sleep(0.002)
+                continue
             with self.lock:
+                pb = self._pb
+                if ((pb, "scalar") not in self._progs
+                        and (pb, "scalar") not in self._prog_errors):
+                    wait = True
+                elif (pb, "scalar") in self._prog_errors:
+                    raise RuntimeError(
+                        "lock-step program failed to compile:\n"
+                        + self._prog_errors[(pb, "scalar")])
+                else:
+                    wait = False
+            if wait:
+                # The reconciler is still compiling this padded size's
+                # first program (startup, or a swap target raced us);
+                # nothing to dispatch yet — events flow, frames wait.
+                self._reconcile.set()
+                time.sleep(0.05)
+                continue
+            with self.lock:
+                pb = self._pb
+                live = self._live_rows
                 max_s = self.config.MAX_SPLATS
-                batch = np.zeros((self.sessions, max_s, SPLAT_COLS),
-                                 np.float32)
-                # Per-session clocks: the shared wall dt scaled by each
-                # session's speed. Speeds <= 1 keep each dt under the
-                # reference's 1/60 ceiling (script.js:1191 — also the
-                # kernels' displacement contract); speeds above 1 advance
-                # MORE than 1/60 of sim time per frame, split into
-                # n = ceil(t / MAX_DT) equal substeps so the ceiling holds
-                # per SUBSTEP (the frame's K = max over sessions).
-                t_total = dt_wall * self.speeds
+                batch = np.zeros((pb, max_s, SPLAT_COLS), np.float32)
+                # Per-session clocks over the PADDED batch: live rows use
+                # their session's speed, pad/pending rows read 1.0 (their
+                # zero state is inert at any dt, see _padded). Speeds <= 1
+                # keep each dt under the reference's 1/60 ceiling
+                # (script.js:1191 — also the kernels' displacement
+                # contract); speeds above 1 advance MORE than 1/60 of sim
+                # time per frame, split into n = ceil(t / MAX_DT) equal
+                # substeps so the ceiling holds per SUBSTEP.
+                speeds_p = np.ones(pb, np.float32)
+                speeds_p[:live] = self.speeds[:live]
+                t_total = dt_wall * speeds_p
                 n_sub = np.maximum(
                     np.ceil(t_total / MAX_DT - 1e-9), 1.0).astype(np.int64)
                 k = int(n_sub.max())
-                if k > 1 and ((self.sessions, k)
-                              not in self._substep_warmed):
-                    # The K-substep program isn't compiled yet: kick off a
-                    # background warm and serve this frame at the capped
-                    # single-step rate (compiling here would hold
-                    # self.lock for seconds, starving every POST /events —
-                    # the resize_fleet pre-warm lesson).
-                    self._spawn_substep_warm(self.sessions, k)
+                if k > 1 and (pb, k) not in self._progs:
+                    # Fast-forward program not compiled yet: request it
+                    # and serve this frame at the capped single-step rate
+                    # (compiling here would hold self.lock for seconds,
+                    # starving every POST /events).
+                    if (pb, k) not in self._prog_errors:
+                        self._want.add((pb, k))
+                        self._reconcile.set()
                     k = 1
                 if k == 1:
                     t_total = np.minimum(t_total, MAX_DT)
                 # Each tracer drains at ITS OWN advanced time, so color
                 # cycling and burst pacing follow the session clock too.
-                for b, tr in enumerate(self.tracers):
+                # Pending (not-yet-activated) tenants are NOT drained:
+                # their events queue until their zeroed row is live, so
+                # their startup burst cannot land on a stale field.
+                for b in range(live):
                     for i, (x, y, dx, dy, color) in enumerate(
-                            tr.drain_step(float(t_total[b]))[:max_s]):
+                            self.tracers[b].drain_step(
+                                float(t_total[b]))[:max_s]):
                         batch[b, i] = [x, y, dx, dy,
                                        color[0], color[1], color[2], 1.0]
                 if k == 1:
-                    # All speeds 1.0 (the common case): scalar dt -> the
-                    # lock-step program with ONE unbatched SMEM clock.
-                    dt_arg = (jnp.float32(dt_wall)
-                              if bool(np.all(self.speeds == 1.0))
-                              else jnp.asarray(t_total, jnp.float32))
+                    lockstep = bool(np.all(speeds_p == 1.0))
+                    if not lockstep and (pb, "vector") not in self._progs:
+                        # Per-sim-dt program still compiling (first
+                        # seconds at a fresh padded size, once ever):
+                        # degrade those frames to the shared clock rather
+                        # than stall the loop — the reconciler has it as
+                        # its next-priority task.
+                        lockstep = True
+                        self._reconcile.set()
+                    if lockstep:
+                        prog = self._progs[(pb, "scalar")]
+                        dt_arg = np.float32(dt_wall)
+                    else:
+                        prog = self._progs[(pb, "vector")]
+                        dt_arg = jnp.asarray(t_total, jnp.float32)
                 else:
                     # (K, B) substep dts: session b runs n_sub[b] equal
                     # substeps of t_total[b]/n_sub[b] (each <= MAX_DT by
                     # construction), zero-padded to K — zero rows are
-                    # exact no-ops inside make_substepped_tick.
+                    # exact no-ops inside the substepped body.
+                    prog = self._progs[(pb, k)]
                     sub = (t_total / n_sub).astype(np.float32)
                     dt_arg = jnp.asarray(np.where(
                         np.arange(k)[:, None] < n_sub[None, :],
                         sub[None, :], 0.0).astype(np.float32))
                 gen = self._gen
                 # Take ownership of the state buffers BEFORE releasing the
-                # event lock (lock -> state_lock order): a resize cannot
-                # swap the fleet between this frame's drain and its tick,
-                # yet the tick itself runs with the event lock FREE — a
-                # tick stalled on a compile storm (docs/TODO.md) no longer
-                # starves POST /events.
+                # event lock (lock -> state_lock order): a swap cannot
+                # replace the fleet between this frame's drain and its
+                # tick, yet the tick itself runs with the event lock FREE.
                 self.state_lock.acquire()
             try:
-                tick = self.tick if k == 1 else self.subtick
-                self.state, frames = tick(self.state, dt_arg,
+                self.state, frames = prog(self.state, dt_arg,
                                           jnp.asarray(batch))
                 frames = np.asarray(frames)
             finally:
                 self.state_lock.release()
             with self.out_lock:
-                # Publish ONLY if no resize happened since this tick was
-                # computed: after a shrink-then-regrow to the SAME size,
-                # stale frames would pass frame_jpeg's shape guard and
-                # leak evicted tenants' pixels to new tenants at reused
-                # sids — the generation counter closes that window.
+                # Publish ONLY if no swap happened since this tick was
+                # computed: after a shrink-then-regrow to the SAME padded
+                # size, stale frames would pass shape guards and leak
+                # evicted tenants' pixels to new tenants at reused sids —
+                # the generation counter closes that window.
                 if gen == self._gen:
                     self.frames = frames
+                    self._frames_live = live
                     self.steps_done += 1
                     self._last_substeps = k
             left = MAX_DT - (time.time() - t_frame)
             if left > 0:
                 time.sleep(left)
 
-    def stop(self):
+    def stop(self, join_timeout: float = 60.0):
+        """Stop the loops. Joins the reconciler (bounded): a daemon
+        thread still inside an XLA compile at interpreter teardown aborts
+        the process with glibc heap corruption ('corrupted size vs.
+        prev_size' — observed at pytest exit), so owners should let the
+        in-flight compile finish before the process dies."""
         self._stop.set()
+        self._reconcile.set()
+        t = self._reconciler_thread
+        if t is not None and t is not threading.current_thread():
+            t.join(timeout=join_timeout)
 
 
 _DASH = """<!doctype html><meta charset=utf-8><title>tpufluid sessions</title>
@@ -659,6 +1039,11 @@ setInterval(()=>{for(let s=0;s<B;s++){const i=document.getElementById('f'+s);
 
 def make_handler(server: BatchFluidServer):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout on every connection (reads AND writes): a
+        # stalled client frees its handler thread instead of holding it
+        # forever (same backpressure contract as tpufluid/server.py).
+        timeout = 15
+
         def log_message(self, *a):
             pass
 
@@ -706,6 +1091,10 @@ def make_handler(server: BatchFluidServer):
                     sessions = server.sessions
                     paused = server.paused
                     speeds = [float(s) for s in server.speeds]
+                    live = server._live_rows
+                    padded = server._pb
+                    warm = len(server._progs)
+                    failed = len(server._prog_errors)
                 with server.out_lock:
                     out = {"steps": server.steps_done,
                            "sessions": sessions,
@@ -715,6 +1104,13 @@ def make_handler(server: BatchFluidServer):
                            # single-step program, ceil(max speed) once a
                            # fast-forward program is warm and engaged.
                            "substeps": server._last_substeps,
+                           # Serving-plane observability: rows currently
+                           # ticked+published vs the padded batch, and the
+                           # AOT program table's health.
+                           "live_rows": live,
+                           "padded_batch": padded,
+                           "programs_warm": warm,
+                           "programs_failed": failed,
                            "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)
@@ -741,7 +1137,8 @@ def make_handler(server: BatchFluidServer):
             elif self.path.startswith("/sessions"):
                 # Elastic multi-tenancy: {"n": N} sets the fleet size live
                 # (grow = fresh zeroed tenants at the new high sids,
-                # shrink = drop the high sids; one recompile per new B).
+                # shrink = drop the high sids). Returns in O(ms); the
+                # reconciler applies any state reshape off-path.
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     body = json.loads(self.rfile.read(n) or b"{}")
@@ -783,18 +1180,32 @@ def main(argv=None):
                    help="start every session bit-identical (same seed + "
                         "same startup burst)")
     p.add_argument("--quality", type=int, default=80)
+    p.add_argument("--prewarm", default="neighbors",
+                   choices=["off", "neighbors", "all"],
+                   help="speculative AOT program warm policy (see "
+                        "BatchFluidServer._prewarm_keys)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="enable the JAX persistent compilation cache at "
+                        "DIR: programs compile once per machine, then "
+                        "every restart/soak loads them from disk "
+                        "(tpufluid.compilecache)")
     p.add_argument("--resume", type=str, default=None,
                    help="resume a whole fleet from a /checkpoint.npz "
                         "download (config, sessions, speeds and tracer "
                         "states come from the checkpoint)")
     args = p.parse_args(argv)
+    if args.compile_cache:
+        from tpufluid.compilecache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
     w, h = (int(v) for v in args.canvas.split("x"))
     cfg = FluidConfig(SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
                       CANVAS_WIDTH=w, CANVAS_HEIGHT=h,
                       DTYPE=args.dtype).validate()
     server = BatchFluidServer(cfg, sessions=args.sessions, seed=args.seed,
                               quality=args.quality, resume=args.resume,
-                              identical_seeds=args.identical_seeds)
+                              identical_seeds=args.identical_seeds,
+                              prewarm=args.prewarm)
     sim = threading.Thread(target=server.run, daemon=True)
     sim.start()
     httpd = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(server))
