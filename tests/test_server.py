@@ -394,3 +394,69 @@ def test_live_config_change(server_url):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_stalled_client_cannot_wedge(server_url, server_obj):
+    """Round-4 backpressure spec: deliberately stalled clients (half-sent
+    request lines, never completed) occupy only their own connections —
+    the sim loop keeps advancing, healthy clients keep getting frames and
+    posting events, and the handler's socket timeout (Handler.timeout)
+    eventually reclaims each wedged thread. Reference bar: the browser
+    loop never blocks on input (script.js:1176-1186)."""
+    import socket
+
+    host, port = server_url.replace("http://", "").split(":")
+    stalled = [socket.create_connection((host, int(port)), timeout=30)
+               for _ in range(4)]
+    for s in stalled:
+        s.sendall(b"GET /frame HTTP/1.1\r\nHost: x")  # headers never finish
+    try:
+        s0 = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                               timeout=5).read())
+        deadline = time.time() + 30
+        advanced = False
+        while time.time() < deadline:
+            st = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                   timeout=5).read())
+            if st["steps"] > s0["steps"]:
+                advanced = True
+                break
+            time.sleep(0.1)
+        assert advanced, "sim loop stopped while clients were stalled"
+        assert _post(server_url, [{"k": "burst", "n": 3}]) == 204
+        jpg = urllib.request.urlopen(server_url + "/frame", timeout=5).read()
+        assert jpg[:2] == b"\xff\xd8"
+    finally:
+        for s in stalled:
+            s.close()
+
+
+def test_events_503_when_sim_lock_stalled(server_url, server_obj):
+    """A tick/reconfigure holding the sim lock past EVENT_LOCK_TIMEOUT_S
+    turns /events and GET /config into BOUNDED 503s (backpressure) instead
+    of an unbounded handler-thread pile, while /frame keeps serving via
+    out_lock; everything recovers once the lock frees."""
+    server_obj.lock.acquire()  # a tick in progress, indefinitely
+    try:
+        t0 = time.time()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(server_url, [{"k": "burst", "n": 1}])
+        assert e.value.code == 503
+        assert time.time() - t0 < FluidServer.EVENT_LOCK_TIMEOUT_S + 3.0
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            urllib.request.urlopen(server_url + "/config", timeout=10)
+        assert e2.value.code == 503
+        jpg = urllib.request.urlopen(server_url + "/frame", timeout=5).read()
+        assert jpg[:2] == b"\xff\xd8"
+    finally:
+        server_obj.lock.release()
+    # Recovery: the queue drains and events land again.
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        try:
+            assert _post(server_url, [{"k": "burst", "n": 1}]) == 204
+            break
+        except urllib.error.HTTPError:
+            time.sleep(0.2)
+    else:
+        raise AssertionError("events did not recover after the stall")

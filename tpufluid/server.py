@@ -208,7 +208,25 @@ MAX_DT = 1.0 / 60.0  # calcDeltaTime clamp (script.js:1191)
 
 
 class FluidServer:
-    """Owns the sim loop; thread-safe event queue + latest JPEG frame."""
+    """Owns the sim loop; thread-safe event queue + latest JPEG frame.
+
+    Backpressure contract (round-4): the sim loop can never be stopped by
+    clients. Handlers that need the sim lock acquire it with a BOUNDED
+    wait (EVENT_LOCK_TIMEOUT_S) and fail fast (503) if a slow tick — e.g.
+    a live-reconfigure recompile — holds it; at most MAX_INFLIGHT_EVENTS
+    event posts may queue on the lock at once (the bounded event queue —
+    excess posts 503 immediately instead of stacking handler threads);
+    and every connection carries a socket timeout (make_handler), so a
+    deliberately stalled client wedges only its own connection. The
+    reference's loop has the same property for free — browser input events
+    never block the rAF loop (script.js:1176-1186)."""
+
+    # Bounded wait for the sim lock in client-facing paths: longer than
+    # any healthy drain/tick hold (ms), far shorter than a recompile.
+    EVENT_LOCK_TIMEOUT_S = 2.0
+    # Bounded event queue: concurrent /events posts allowed to WAIT on the
+    # lock; beyond this the handler 503s instead of growing a thread pile.
+    MAX_INFLIGHT_EVENTS = 32
 
     def __init__(self, config, seed: int = 0, quality: int = 80,
                  resume: Optional[str] = None):
@@ -255,6 +273,20 @@ class FluidServer:
         self.max_recorded = 36000
         self._mobile_applied = False
         self._stop = threading.Event()
+        # Admission control for /events (see class docstring): counts
+        # handlers currently queued on self.lock.
+        self._event_slots = threading.BoundedSemaphore(
+            self.MAX_INFLIGHT_EVENTS)
+
+    def _acquire_or_503(self):
+        """Bounded sim-lock acquire for client-facing paths; raises
+        TimeoutError (mapped to 503 by the handlers) when a slow tick —
+        e.g. a reconfigure recompile — holds the lock past the bound, so
+        handler threads never stack up behind it indefinitely."""
+        if not self.lock.acquire(timeout=self.EVENT_LOCK_TIMEOUT_S):
+            raise TimeoutError(
+                f"sim lock not acquired within {self.EVENT_LOCK_TIMEOUT_S}s "
+                f"(tick or reconfigure in progress)")
 
     def maybe_mobile_downgrade(self, user_agent: Optional[str]) -> bool:
         """Auto-apply the mobile preset when a mobile client loads the page —
@@ -268,9 +300,14 @@ class FluidServer:
         if self._mobile_applied or not re.search(r"Mobi|Android",
                                                  user_agent or "", re.I):
             return False
-        self._mobile_applied = True
         if self.config.DYE_RESOLUTION > 512:
-            self.reconfigure({"DYE_RESOLUTION": 512})
+            try:
+                self.reconfigure({"DYE_RESOLUTION": 512})
+            except TimeoutError:
+                # Sim lock busy past the bound: serve the page anyway and
+                # leave the downgrade armed for the next mobile page load.
+                return False
+        self._mobile_applied = True
         return True
 
     def reconfigure(self, updates: dict) -> dict:
@@ -284,7 +321,8 @@ class FluidServer:
         from tpufluid.render import make_render, make_step_and_render
         from tpufluid.state import resize_state
 
-        with self.lock:
+        self._acquire_or_503()
+        try:
             cfg = dataclasses.replace(self.config, **updates).validate()
             new_tick = make_step_and_render(cfg)
             new_render = make_render(cfg)
@@ -298,24 +336,45 @@ class FluidServer:
             self.tick = new_tick
             self.render = new_render
             return dataclasses.asdict(cfg)
+        finally:
+            self.lock.release()
 
     def handle_events(self, events) -> None:
-        w, h = self.config.CANVAS_WIDTH, self.config.CANVAS_HEIGHT
-        with self.lock:
-            for e in events:
-                k = e.get("k")
-                pid = int(e.get("id", 0))  # multitouch: one pointer per id
-                if k == "down":
-                    self.tracer.feed("down", pid=pid, x=e["x"] * w, y=e["y"] * h)
-                elif k == "move":
-                    self.tracer.feed("move", pid=pid, x=e["x"] * w, y=e["y"] * h)
-                elif k == "up":
-                    self.tracer.feed("up", pid=pid)
-                elif k == "burst":
-                    self.tracer.feed("burst", n=int(np.random.default_rng().integers(5, 25)))
-                elif k == "pause":
-                    # absolute set from the panel checkbox, toggle from 'P'
-                    self.paused = bool(e["v"]) if "v" in e else not self.paused
+        # Bounded event queue + bounded lock wait (class docstring): a
+        # stalled tick turns excess event posts into fast 503s instead of
+        # an unbounded handler-thread pile — raises TimeoutError for the
+        # handler's 503 path.
+        if not self._event_slots.acquire(blocking=False):
+            raise TimeoutError(
+                f"more than {self.MAX_INFLIGHT_EVENTS} event posts queued")
+        try:
+            self._acquire_or_503()
+            try:
+                w, h = self.config.CANVAS_WIDTH, self.config.CANVAS_HEIGHT
+                for e in events:
+                    k = e.get("k")
+                    pid = int(e.get("id", 0))  # multitouch: one per id
+                    if k == "down":
+                        self.tracer.feed("down", pid=pid,
+                                         x=e["x"] * w, y=e["y"] * h)
+                    elif k == "move":
+                        self.tracer.feed("move", pid=pid,
+                                         x=e["x"] * w, y=e["y"] * h)
+                    elif k == "up":
+                        self.tracer.feed("up", pid=pid)
+                    elif k == "burst":
+                        self.tracer.feed(
+                            "burst",
+                            n=int(np.random.default_rng().integers(5, 25)))
+                    elif k == "pause":
+                        # absolute set from the panel checkbox, toggle
+                        # from 'P'
+                        self.paused = (bool(e["v"]) if "v" in e
+                                       else not self.paused)
+            finally:
+                self.lock.release()
+        finally:
+            self._event_slots.release()
 
     def screenshot_png(self) -> Optional[bytes]:
         """Server-side captureScreenshot (script.js:237,287-299) -> PNG bytes,
@@ -325,11 +384,14 @@ class FluidServer:
 
         from PIL import Image
 
-        with self.lock:
+        self._acquire_or_503()
+        try:
             state, cfg = self.state, self.config
             if state is None:
                 return None
             frame = np.asarray(capture_frame(state, cfg))
+        finally:
+            self.lock.release()
         arr = frame_to_uint8(frame)
         buf = io.BytesIO()
         Image.fromarray(arr, "RGBA" if arr.shape[-1] == 4 else "RGB").save(buf, "PNG")
@@ -343,7 +405,8 @@ class FluidServer:
 
         from tpufluid.checkpoint import save_state
 
-        with self.lock:
+        self._acquire_or_503()
+        try:
             if self.state is None:
                 return None
             step = self.steps_done
@@ -352,6 +415,8 @@ class FluidServer:
             # self.state's buffers); transfer + deflate run outside so the
             # sim loop and event handling never stall on serialization.
             state = jax.tree.map(jnp.copy, self.state)
+        finally:
+            self.lock.release()
         buf = io.BytesIO()
         save_state(buf, state, self.config, step=step,
                    extra={"tracer": tracer_state})
@@ -416,6 +481,15 @@ class FluidServer:
 
 def make_handler(server: FluidServer):
     class Handler(BaseHTTPRequestHandler):
+        # Socket timeout on EVERY connection (StreamRequestHandler.setup
+        # applies it to reads and writes): a deliberately stalled client —
+        # half-sent request line, or a receiver that never drains — times
+        # out and frees its handler thread instead of holding it forever.
+        # Each connection gets its own thread (ThreadingHTTPServer), so a
+        # wedged client never stalls the sim loop either way; this bounds
+        # the thread pile (tests/test_server.py::test_stalled_client).
+        timeout = 15
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -456,20 +530,35 @@ def make_handler(server: FluidServer):
                     data = server.frame_bytes
                 self._send_or_503(data, "image/jpeg")
             elif self.path.startswith("/screenshot"):
-                self._send_or_503(server.screenshot_png(), "image/png",
+                try:
+                    data = server.screenshot_png()
+                except TimeoutError:
+                    data = None  # tick holds the sim lock -> bounded 503
+                self._send_or_503(data, "image/png",
                                   [("Content-Disposition", "attachment; filename=fluid.png")])
             elif self.path.startswith("/checkpoint.npz"):
-                self._send_or_503(server.checkpoint_bytes(),
+                try:
+                    data = server.checkpoint_bytes()
+                except TimeoutError:
+                    data = None
+                self._send_or_503(data,
                                   "application/octet-stream",
                                   [("Content-Disposition",
                                     "attachment; filename=fluid_session.npz")])
             elif self.path.startswith("/trace.npz"):
                 # Export the interactive session as a deterministic replay
                 # trace (tpufluid.trace.Trace v2: per-step wall dt).
-                with server.lock:
+                try:
+                    server._acquire_or_503()
+                except TimeoutError:
+                    self._send_or_503(None, "application/octet-stream")
+                    return
+                try:
                     batches = np.stack(server.recorded) if server.recorded else \
                         np.zeros((0, server.config.MAX_SPLATS, 8), np.float32)
                     dts = np.asarray(server.recorded_dts, np.float32)
+                finally:
+                    server.lock.release()
                 buf = io.BytesIO()
                 np.savez_compressed(buf, batches=batches, dts=dts,
                                     version=np.int32(2))
@@ -477,8 +566,15 @@ def make_handler(server: FluidServer):
             elif self.path.startswith("/config"):
                 import dataclasses
 
-                with server.lock:
+                try:
+                    server._acquire_or_503()
+                except TimeoutError:
+                    self._send_or_503(None, "application/json")
+                    return
+                try:
                     body = json.dumps(dataclasses.asdict(server.config)).encode()
+                finally:
+                    server.lock.release()
                 self._send(body, "application/json")
             elif self.path.startswith("/stats"):
                 with server.out_lock:
@@ -494,6 +590,10 @@ def make_handler(server: FluidServer):
                     events = json.loads(self.rfile.read(n) or b"[]")
                     server.handle_events(events)
                     self.send_response(204)
+                except TimeoutError:
+                    # Backpressure, not client error: the queue is full or
+                    # a slow tick holds the sim lock past the bound.
+                    self.send_response(503)
                 except Exception:
                     self.send_response(400)
                 self.end_headers()
@@ -510,6 +610,9 @@ def make_handler(server: FluidServer):
                     self.send_header("Content-Type", "application/json")
                     self.end_headers()
                     self.wfile.write(body)
+                except TimeoutError:
+                    self.send_response(503)
+                    self.end_headers()
                 except (TypeError, ValueError) as e:
                     self.send_response(400)
                     self.end_headers()
