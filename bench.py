@@ -53,6 +53,73 @@ def probe_backend(retries: int = 3, backoff_s: float = 30.0) -> str:
     raise last
 
 
+def measure_dispatch_latency_us(n: int = 50) -> float:
+    """Per-dispatch latency of a trivial jitted op through this process's
+    backend path. Fresh tunneled processes run ~450 us; long-lived warm
+    workers degrade to ~7 ms (CLAUDE.md) — so this number, recorded in
+    every bench line, tells a reader whether a headline was taken in a
+    healthy process. Closed with a scalar read (block_until_ready is
+    unreliable pre-first-transfer on the axon tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((8, 128), jnp.float32)
+    float(jnp.sum(f(x)))  # compile + sync
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = f(x)
+    float(jnp.sum(x))
+    return (time.perf_counter() - t0) / n * 1e6
+
+
+def provenance() -> dict:
+    """Environment provenance for every bench line (VERDICT round 3: the
+    986-vs-1116 driver headline gap was undiagnosable because the JSON
+    recorded nothing about the process environment). Records whether the
+    committed warm worker (tools/tpu_worker.py) was alive DURING the
+    bench — the workflow requires stopping it first, since a second
+    process sharing the one tunneled chip contends for it — plus any
+    other live python processes, and the per-dispatch latency probe."""
+    import os
+
+    import jax
+
+    prov = {
+        "backend": jax.default_backend(),
+        "jax_version": jax.__version__,
+        "time_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "dispatch_latency_us": round(measure_dispatch_latency_us(), 1),
+    }
+    pid_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "out", "worker.pid")
+    worker = False
+    try:
+        pid = int(open(pid_file).read().strip())
+        os.kill(pid, 0)  # signal 0: existence check only
+        worker = True
+    except Exception:  # noqa: BLE001 — no pid file / stale pid / no perm
+        worker = False
+    prov["warm_worker_running"] = worker
+    others = 0
+    try:
+        me = os.getpid()
+        for p in os.listdir("/proc"):
+            if not p.isdigit() or int(p) == me:
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+            except OSError:
+                continue
+            if "python" in cmd:
+                others += 1
+    except OSError:
+        others = -1  # /proc unavailable (non-linux)
+    prov["other_python_processes"] = others
+    return prov
+
+
 def measure_hbm_bandwidth_gbps() -> float:
     """Achieved HBM bandwidth on THIS device (the roofline denominator):
     a lax.scan of elementwise adds over a 256 MB carry — every iteration
@@ -241,6 +308,13 @@ def _parse_args() -> argparse.Namespace:
                    help="config 7 (serving mode): number of independent "
                         "sims advanced per vmapped dispatch "
                         "(tpufluid/batch.py)")
+    p.add_argument("--serve-res", type=int, default=256,
+                   help="config 7: per-sim grid resolution (default 256; "
+                        "--serve-res 1024 benches batched serving AT THE "
+                        "HEADLINE GRID — the measured-today path past the "
+                        "10k aggregate steps/s north star, and where "
+                        "VMEM pressure / gather floors decide the "
+                        "batching knee)")
     p.add_argument("--per-sim-dt", action="store_true",
                    help="config 7: bench the (T, B) per-sim dt-vector "
                         "program (tenants on their own wall clocks) "
@@ -265,12 +339,16 @@ def _parse_args() -> argparse.Namespace:
                         "ON by default since round 9 (device A/B b69: +7.3%% "
                         "headline); --no-rgb9e5 benches the unquantized "
                         "gather")
-    p.add_argument("--overlap", action="store_true",
+    p.add_argument("--overlap", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="with --sharded: split-phase interior/boundary step "
                         "(config.OVERLAP_HALO) — interior bands carry no "
                         "collective dependency AND run on unpadded "
                         "power-of-two block heights (better kernel tiles "
-                        "at 16K than the monolithic padded blocks)")
+                        "at 16K than the monolithic padded blocks). "
+                        "Default: auto by the measured crossover (ON from "
+                        "8192^2 up, config.overlap_halo); --overlap / "
+                        "--no-overlap force it")
     p.add_argument("--sharded", action="store_true",
                    help="run the shard_map step (2-D mesh over all visible "
                         "devices, halo-exchange collectives, the SAME Pallas "
@@ -327,17 +405,22 @@ def _run(args: argparse.Namespace) -> dict:
         value, state = _bench_steps(cfg, chunks=2, chunk=50, sharded=args.sharded)
         metric = f"sim steps/sec, 4096^2 {tag}, {it or 20} Jacobi iters, trace replay"
     elif args.config == 7:
-        cfg = mkcfg(SIM_RESOLUTION=256, DYE_RESOLUTION=256,
-                          CANVAS_WIDTH=256, CANVAS_HEIGHT=256,
+        r = args.serve_res
+        cfg = mkcfg(SIM_RESOLUTION=r, DYE_RESOLUTION=r,
+                          CANVAS_WIDTH=r, CANVAS_HEIGHT=r,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
+        # Bigger grids need fewer scanned steps for a stable measurement
+        # (and 8 x 1024^2 already carries real VMEM/HBM pressure).
+        chunk = 100 if r <= 256 else 25
         value, state = _bench_batched_steps(cfg, batch=args.batch,
-                                            chunks=3, chunk=100,
+                                            chunks=3, chunk=chunk,
                                             per_sim_dt=args.per_sim_dt)
         dt_kind = "per-sim dt" if args.per_sim_dt else "lock-step dt"
-        metric = (f"aggregate sim steps/sec, {args.batch} batched 256^2 sims "
+        metric = (f"aggregate sim steps/sec, {args.batch} batched {r}^2 sims "
                   f"per dispatch (serving mode, {dt_kind}), "
                   f"{it or 20} Jacobi iters, {tag}")
+        out_extra = {"per_sim_steps_per_s": round(value / args.batch, 2)}
     elif args.config == 6:
         cfg = mkcfg(SIM_RESOLUTION=8192, DYE_RESOLUTION=8192,
                           CANVAS_WIDTH=8192, CANVAS_HEIGHT=8192,
@@ -360,14 +443,20 @@ def _run(args: argparse.Namespace) -> dict:
         metric += ", rgb9e5-packed dye"
     if args.sharded and args.config != 2:
         metric += ", sharded (shard_map mesh over visible devices)"
-        if args.overlap:
-            metric += ", split-phase overlap"
+        if cfg.overlap_halo:  # effective value: explicit flag or auto
+            metric += (", split-phase overlap"
+                       + ("" if args.overlap is not None else " (auto)"))
     out = {
         "metric": metric,
         "value": round(value, 2),
         "unit": "steps/sec" if args.config != 2 else "frames/sec",
         "vs_baseline": round(value / 60.0, 2),
+        # Environment provenance (round-3 verdict: the 986-vs-1116 driver
+        # gap was undiagnosable without it).
+        "provenance": provenance(),
     }
+    if args.config == 7:
+        out.update(out_extra)
     if args.sharded and args.config != 2:
         # Static overhead decomposition (VERDICT: make a future real-slice
         # run predictable): per-phase overcompute + collective send bytes.

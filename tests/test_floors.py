@@ -124,7 +124,8 @@ def test_north_star_projection_round6_numbers():
     assert 9000 < cons < opt < 14000
     assert p["rgb9e5_included"] is False
     assert p["predicted_v5p_steps_per_s_conservative_rgb9e5"] > cons
-    assert p["north_star_10k_reachable"] is True
+    assert p["north_star_10k_reachable_projected"] is True
+    assert "projection only" in p["north_star_basis"]
     assert p["gather_taa_rows_per_step"] == 300000
     # monotonicity: a slower slice (bigger fraction of the chip already
     # used) predicts a SMALLER speedup headroom
@@ -140,4 +141,4 @@ def test_north_star_projection_round6_numbers():
     p3 = fl.north_star_projection(floors_def, 245.0, 36.0, cfg_def)
     assert p3["rgb9e5_included"] is True
     assert "predicted_v5p_steps_per_s_conservative_rgb9e5" not in p3
-    assert p3["north_star_10k_reachable"] is True
+    assert p3["north_star_10k_reachable_projected"] is True

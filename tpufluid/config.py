@@ -12,7 +12,7 @@ shader recompilation (script.js:1160-1166) and uniform re-binds.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -92,11 +92,31 @@ class FluidConfig:
     # scheduler can run it while the collectives fly) plus two thin
     # boundary strips computed from the arrived ghosts
     # (parallel/sharded_step._overlap_rows). Exact-equality-tested vs the
-    # monolithic path on the virtual 8-device mesh; the latency win itself
-    # is only measurable on a real multi-chip slice.
-    OVERLAP_HALO: bool = False
+    # monolithic path on the virtual 8-device mesh. TRI-STATE: None
+    # (default) auto-selects by the MEASURED single-chip crossover —
+    # on for grids >= 8192 (+9.6% at 16K, +4.2% at 8192), off below
+    # (-11% at 1024; docs/BENCH.md round-11 table, out/jobs/done/b72) —
+    # via the ``overlap_halo`` property every consumer reads; True/False
+    # force it (real ICI hides more latency, moving the real crossover
+    # DOWN, so a multi-chip session may want True at smaller grids).
+    OVERLAP_HALO: Optional[bool] = None
 
     # ---- derived helpers ----
+
+    # Measured split-phase crossover on this slice (docs/BENCH.md): the
+    # overlap's extra strip compute beats the monolithic padded block
+    # from 8192^2 up, loses below.
+    OVERLAP_CROSSOVER = 8192
+
+    @property
+    def overlap_halo(self) -> bool:
+        """Effective split-phase-overlap switch (see OVERLAP_HALO): the
+        explicit setting if given, else ON from the measured >= 8192
+        crossover — so sharded users get the right default per grid size
+        without hand flags."""
+        if self.OVERLAP_HALO is not None:
+            return self.OVERLAP_HALO
+        return min(self.sim_size) >= self.OVERLAP_CROSSOVER
 
     @property
     def dtype(self):

@@ -186,7 +186,7 @@ def overhead_report(config: FluidConfig, mesh_shape) -> dict:
         out = {"phase": name, "ghost_rows": gr, "ghost_cols": gcc,
                "overcompute_frac": round(over, 4),
                "send_bytes_per_step": send * repeats}
-        if config.OVERLAP_HALO and bh >= 3 * gr:
+        if config.overlap_halo and bh >= 3 * gr:
             # Split-phase: interior band (bh rows, NO row ghosts) + two
             # 3*gr-row strip envs — 4*gr MORE rows of compute than the
             # monolithic padded block, traded for (a) interior compute
@@ -359,7 +359,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
                              col0=col0, w_total=w_total)
 
     gc = 0 if nx == 1 else _GC
-    overlap = config.OVERLAP_HALO
+    overlap = config.overlap_halo
 
     def colpad(x, wc):
         """Column halo exchange only (the row axis is what the split-phase
