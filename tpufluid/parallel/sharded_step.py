@@ -244,7 +244,17 @@ def _overlap_rows(g: int, operands, op):
         IS the padded array's edge, where the monolithic kernel applies the
         identical clamp.
     Requires h_loc >= 3g (callers gate and fall back to the monolithic
-    path otherwise)."""
+    path otherwise).
+
+    ASSEMBLY (the round-12 aliasing lever): the interior op's env is the
+    raw local block, so its output rows are ALREADY in local coordinates —
+    rows [g, h_loc-g) are its kept band and only the outer g-row bands are
+    wrong-edge garbage. Overwriting those bands in place
+    (`dynamic_update_slice` on the dead interior buffer, which XLA aliases)
+    replaces the former slice-center + 3-way concatenate — at 16K that
+    materialized the bf16[3,16320,16384] interior TWICE (~1.6 GB/step of
+    pure HBM copy, the top line of out/sharded_tax_16k.json's
+    phase-boundary bucket). Values are identical either way."""
     h_loc = operands[0][0].shape[-2]
     lo = 2 * g
     interior = op([x for x, _, _ in operands], g)
@@ -252,12 +262,12 @@ def _overlap_rows(g: int, operands, op):
               for x, gb, _ in operands], 0)
     bot = op([jnp.concatenate([x[..., -lo:, :], ga], axis=-2)
               for x, _, ga in operands], g + h_loc - lo)
-    parts = [
-        jax.tree.map(lambda a: a[..., g:2 * g, :], top),
-        jax.tree.map(lambda a: a[..., g:h_loc - g, :], interior),
-        jax.tree.map(lambda a: a[..., lo - g:lo, :], bot),
-    ]
-    return jax.tree.map(lambda *bs: jnp.concatenate(bs, axis=-2), *parts)
+
+    def assemble(inner, t, b):
+        inner = inner.at[..., :g, :].set(t[..., g:lo, :])
+        return inner.at[..., h_loc - g:, :].set(b[..., lo - g:lo, :])
+
+    return jax.tree.map(assemble, interior, top, bot)
 
 
 def _mirror_row_strips(x, gb, ga, width: int, axis_name: str,
