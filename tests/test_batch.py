@@ -234,6 +234,62 @@ def test_batch_sharded_substepped_tick_matches_unsharded():
                                   np.asarray(truth_frames))
 
 
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (4, 2, 1)])
+def test_batch_spatial_multi_step_matches_unsharded(mesh_shape):
+    """COMBINED batch x spatial parallelism (the pod-scale serving layout:
+    B tenants, each grid spatially sharded over its own (ny, nx) device
+    sub-grid). Per-sim dts exercise the dt spec; results must match the
+    unsharded vmapped scan to the spatial decomposition's fp-reorder
+    tolerance (the halo step is not bit-exact vs single-device — same
+    scaling as tests/test_sharding.py), and the halo ppermutes must stay
+    within a sim's spatial group (equality across distinct per-'b' sims
+    proves no cross-batch leakage)."""
+    from tpufluid.batch import (make_batch_spatial_mesh,
+                                make_batch_spatial_multi_step,
+                                shard_batch_spatial)
+
+    cfg = _cfg()
+    nb = mesh_shape[0]
+    B, T = nb * 2, 2
+    states, _ = _seeded_states(cfg, B, steps=1)
+    batched = stack_states(states)
+    splats_seq = jnp.stack(
+        [jnp.asarray(swirl_trace(cfg, T, seed=70 + i).batches)
+         for i in range(B)], axis=1)
+    dt = jnp.broadcast_to(
+        jnp.linspace(1 / 90, 1 / 60, B, dtype=jnp.float32), (T, B))
+    truth = make_batched_multi_step(cfg)(
+        jax.tree.map(jnp.copy, batched), dt, splats_seq)
+
+    mesh = make_batch_spatial_mesh(mesh_shape)
+    multi = make_batch_spatial_multi_step(cfg, mesh)
+    out = multi(shard_batch_spatial(batched, mesh), dt, splats_seq)
+    for name in ("velocity", "dye", "pressure"):
+        x = np.asarray(getattr(truth, name), dtype=np.float32)
+        y = np.asarray(getattr(out, name), dtype=np.float32)
+        assert np.isfinite(y).all(), f"{name}: non-finite"
+        scale = max(float(np.abs(x).max()), 1e-3)
+        err = float(np.abs(x - y).max()) / scale
+        assert err < 4e-4, f"{name}@{mesh_shape}: rel err {err:.2e}"
+
+
+def test_batch_spatial_rejects_bad_shapes():
+    from tpufluid.batch import (make_batch_spatial_mesh,
+                                make_batch_spatial_multi_step,
+                                shard_batch_spatial)
+
+    cfg = _cfg()
+    mesh = make_batch_spatial_mesh((2, 2, 2))
+    multi = make_batch_spatial_multi_step(cfg, mesh)
+    batched = init_batch(cfg, 3)  # 3 % nb=2 != 0
+    splats_seq = jnp.zeros((2, 3, cfg.MAX_SPLATS, 8), jnp.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        multi(batched, jnp.float32(1 / 60), splats_seq)
+    # Grid extents that do not divide the spatial mesh axes (64 % 3 != 0).
+    with pytest.raises(ValueError, match="must divide"):
+        make_batch_spatial_multi_step(cfg, make_batch_spatial_mesh((2, 3, 1)))
+
+
 def test_multi_step_rejects_per_sim_dt_vector():
     """A (B,) per-sim dt (make_batched_step's shape) is not a multi-step
     dt — 1-D means per-TIMESTEP there. Reject loudly instead of silently

@@ -182,6 +182,115 @@ def shard_batch(state: FluidState, mesh) -> FluidState:
         state, specs)
 
 
+BATCH_AXIS = "b"
+
+
+def make_batch_spatial_mesh(shape, devices=None):
+    """3-D (nb, ny, nx) mesh for the COMBINED mode: batch DP over axis
+    ``'b'`` x spatial domain decomposition over ``('y', 'x')`` — a fleet of
+    tenants whose grids are each too large for one chip. Lay the spatial
+    axes innermost so each sim's halo ppermutes ride adjacent-ICI links
+    while the batch axis (zero traffic) spans the slower dimension."""
+    import numpy as np
+
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    nb, ny, nx = shape
+    devices = np.asarray(devices)[:nb * ny * nx]
+    return Mesh(devices.reshape(shape), (BATCH_AXIS, ROW_AXIS, COL_AXIS))
+
+
+def batch_spatial_specs() -> FluidState:
+    """PartitionSpecs for the combined mode: leading batch axis over 'b',
+    each sim's (rows, cols) over ('y', 'x')."""
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+
+    return FluidState(
+        velocity=P(BATCH_AXIS, None, ROW_AXIS, COL_AXIS),
+        dye=P(BATCH_AXIS, None, ROW_AXIS, COL_AXIS),
+        pressure=P(BATCH_AXIS, ROW_AXIS, COL_AXIS),
+    )
+
+
+def shard_batch_spatial(state: FluidState, mesh) -> FluidState:
+    """Place a batched state onto a (nb, ny, nx) mesh, batch- AND
+    spatially-sharded."""
+    specs = batch_spatial_specs()
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        state, specs)
+
+
+@lru_cache(maxsize=None)
+def make_batch_spatial_multi_step(config: FluidConfig, mesh):
+    """Compile multi(batched_state, dt, splats_seq) over a 3-D
+    ``('b', 'y', 'x')`` mesh: the batch axis is pure data parallelism
+    (zero collectives) and each sim's grid runs the halo-exchange
+    spatially-sharded step (parallel/sharded_step.py) over its own
+    ``(ny, nx)`` sub-grid of devices — so the halo ppermutes stay WITHIN a
+    sim's device group by construction (a collective over 'y'/'x' never
+    crosses 'b'). This is the pod-scale serving layout: B interactive
+    tenants, each on a grid one chip cannot hold.
+
+    ``dt`` is a scalar, (T,) lock-step, or (T, B) per-sim — the same
+    contract as :func:`make_batch_sharded_multi_step`; vmap batches the
+    spatial step's kernels and its ppermutes alike. Per-sim results match
+    the unsharded vmapped step to the same fp-reorder tolerance as the
+    plain spatial decomposition (tests/test_batch.py)."""
+    from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS
+    from tpufluid.parallel.sharded_step import sharded_fluid_step
+
+    nb, ny, nx = mesh.devices.shape
+    sw, sh = config.sim_size
+    dw, dh = config.dye_size
+    if sh % ny or dh % ny or sw % nx or dw % nx:
+        raise ValueError(
+            f"grid extents {(sh, sw)}/{(dh, dw)} must divide mesh "
+            f"spatial shape {(ny, nx)}")
+
+    specs = batch_spatial_specs()
+
+    def make_local_multi(per_sim):
+        vstep = jax.vmap(partial(sharded_fluid_step, config=config),
+                         in_axes=(0, 0 if per_sim else None, 0))
+
+        def local_multi(state: FluidState, dts, splats_seq):
+            def body(s, xs):
+                dt_t, splats_t = xs
+                return vstep(s, dt_t, splats_t), None
+
+            out, _ = jax.lax.scan(body, state, (dts, splats_seq))
+            return out
+
+        return local_multi
+
+    def multi(state: FluidState, dt, splats_seq):
+        t, b = splats_seq.shape[0], splats_seq.shape[1]
+        if b % nb:
+            raise ValueError(f"batch {b} not divisible by mesh batch axis {nb}")
+        per_sim = jnp.ndim(dt) == 2
+        if jnp.ndim(dt) == 1 and jnp.shape(dt)[0] not in (1, t):
+            raise ValueError(
+                f"1-D dt has length {jnp.shape(dt)[0]} but there are {t} "
+                f"steps; per-sim dts for multi-step must be (T, B) = "
+                f"({t}, {b})")
+        dts = (jnp.asarray(dt, jnp.float32) if per_sim
+               else jnp.broadcast_to(
+                   jnp.asarray(dt, jnp.float32).reshape(-1), (t,)))
+        dt_spec = P(None, BATCH_AXIS) if per_sim else P(None)
+        sharded = jax.shard_map(
+            make_local_multi(per_sim), mesh=mesh,
+            in_specs=(specs, dt_spec, P(None, BATCH_AXIS)),
+            out_specs=specs, check_vma=False)
+        return sharded(state, dts, splats_seq)
+
+    return jax.jit(multi, donate_argnums=0)
+
+
 @lru_cache(maxsize=None)
 def make_batch_sharded_multi_step(config: FluidConfig, mesh):
     """Compile multi(batched_state, dt, splats_seq) with the batch axis
