@@ -241,7 +241,14 @@ def _bench_batched_steps(config, batch: int, chunks: int, chunk: int,
     multi = make_batched_multi_step(config)
     state = init_batch(config, batch)
 
-    state = multi(state, dt, splats_seq)
+    # Discard >= 2 EXECUTIONS after compile, like the sharded path:
+    # vmapped scan programs show the same lazy-program-load slowness on
+    # first executions as shard_map programs (the r11 knee table's 22%
+    # B=1 deficit at 1024^2 was exactly this — kernel times and steady
+    # rates are IDENTICAL single vs vmapped-B=1 once warmed,
+    # out/batched_tax_b1.json).
+    for _ in range(3):
+        state = multi(state, dt, splats_seq)
     float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
 
     t0 = time.perf_counter()
