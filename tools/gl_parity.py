@@ -43,7 +43,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from tools.gl_reference import GLReference, gl_available  # noqa: E402
 from tpufluid.config import FluidConfig  # noqa: E402
-from tpufluid.ops import advect as advect_ops  # noqa: E402
+from tpufluid.ops.advect import advect as advect_fn  # noqa: E402
 from tpufluid.ops import bloom as bloom_ops  # noqa: E402
 from tpufluid.ops import display as display_ops  # noqa: E402
 from tpufluid.ops import splat as splat_ops  # noqa: E402
@@ -149,7 +149,7 @@ def compare_kernels(cfg: FluidConfig, out_dir: str) -> list:
     # vs the oracle's float32-coordinate manual bilerp)
     reload()
     ref.run_advect_velocity(dt)
-    a_ours = advect_ops.advect(jnp.asarray(vel), jnp.asarray(vel), dt,
+    a_ours = advect_fn(jnp.asarray(vel), jnp.asarray(vel), dt,
                                cfg.VELOCITY_DISSIPATION)
     rows.append(_metrics("advect_velocity",
                          ref.velocity.read.read()[:, :, :2],
@@ -158,7 +158,7 @@ def compare_kernels(cfg: FluidConfig, out_dir: str) -> list:
     # dye advection (cross-resolution velocity sampling)
     reload()
     ref.run_advect_dye(dt)
-    d_ours = advect_ops.advect(jnp.asarray(vel), jnp.asarray(dye), dt,
+    d_ours = advect_fn(jnp.asarray(vel), jnp.asarray(dye), dt,
                                cfg.DENSITY_DISSIPATION)
     rows.append(_metrics("advect_dye", ref.dye.read.read()[:, :, :3],
                          q16(np.moveaxis(np.asarray(d_ours), 0, -1))))
