@@ -96,7 +96,7 @@ def test_event_isolation(server_url):
                for i in range(1, 8)]
             + [{"k": "up"}])
     assert _post(server_url, 1, drag) == 204
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while time.time() < deadline:
         f0, f1, f2 = _same_step_frames(server_url, range(B))
         if f1 != f0:
@@ -112,7 +112,7 @@ def test_per_session_speed(server_url):
     diverges session 2 from untouched session 0; /stats reports it.
     (Runs after test_event_isolation, which already diverged session 1.)"""
     assert _post(server_url, 2, [{"k": "speed", "v": 0.5}]) == 204
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                   timeout=5).read())
@@ -130,7 +130,7 @@ def test_per_session_speed(server_url):
             + [{"k": "up"}, {"k": "burst", "n": 6}])
     for sid in (0, 2):
         assert _post(server_url, sid, drag) == 204
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while time.time() < deadline:
         f0, _, f2 = _same_step_frames(server_url, range(B))
         if f2 != f0:
@@ -143,7 +143,7 @@ def test_per_session_speed(server_url):
     from tpufluid.serve_batch import SPEED_MAX
 
     assert _post(server_url, 2, [{"k": "speed", "v": 99.0}]) == 204
-    deadline = time.time() + 10
+    deadline = time.time() + 45
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                   timeout=5).read())
@@ -152,7 +152,7 @@ def test_per_session_speed(server_url):
         time.sleep(0.05)
     assert stats["speeds"][2] == SPEED_MAX
     assert _post(server_url, 2, [{"k": "speed", "v": 1.0}]) == 204
-    deadline = time.time() + 10
+    deadline = time.time() + 45
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                   timeout=5).read())
@@ -187,7 +187,7 @@ def test_fast_forward_substepping(server_url):
     data, step = _frame(server_url, 1)
     assert data[:2] == b"\xff\xd8" and step > 0
     assert _post(server_url, 1, [{"k": "speed", "v": 1.0}]) == 204
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while time.time() < deadline:
         st = stats()
         if st["substeps"] == 1 and st["speeds"][1] == 1.0:
@@ -320,7 +320,7 @@ def test_nonfinite_speed_rejected(server_url):
     # The loop survived: steps keep advancing and no error is recorded.
     s0 = json.loads(urllib.request.urlopen(server_url + "/stats",
                                            timeout=5).read())
-    deadline = time.time() + 30
+    deadline = time.time() + 90
     while time.time() < deadline:
         s1 = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                timeout=5).read())
@@ -399,7 +399,7 @@ def test_fleet_checkpoint_resume(server_url, tmp_path):
     assert _post(server_url, 0, [{"k": "down", "x": 0.4, "y": 0.5},
                                  {"k": "burst", "n": 7}]) == 204
     assert _post(server_url, 2, [{"k": "speed", "v": 0.25}]) == 204
-    deadline = time.time() + 10
+    deadline = time.time() + 45
     while time.time() < deadline:
         stats = json.loads(urllib.request.urlopen(server_url + "/stats",
                                                   timeout=5).read())
