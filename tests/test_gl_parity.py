@@ -84,13 +84,15 @@ def test_kernels_match_reference_shaders(tiny_cfg, tmp_path):
             "sunrays_march", "sunrays_blur"} <= seen
 
 
-def test_full_render_matches_reference_shaders(tiny_cfg, tmp_path):
-    from tools.gl_parity import compare_render
+def test_render_variants_match_reference_shaders(tiny_cfg, tmp_path):
+    from tools.gl_parity import RENDER_VARIANTS, compare_render_variants
 
-    m = compare_render(tiny_cfg, str(tmp_path))
-    # below ~2 display quantization steps across the full composite
-    # (shading + bloom + sunrays + dither + gamma)
-    assert m["max_abs_display_u8"] <= 2.0, m
+    rows = compare_render_variants(tiny_cfg, str(tmp_path))
+    assert {r["kernel"] for r in rows} == set(RENDER_VARIANTS)
+    for m in rows:
+        # below ~2 display quantization steps across the composite for
+        # every Material keyword variant and transparent/backdrop branch
+        assert m["max_abs_display_u8"] <= 2.0, m
 
 
 def test_short_trajectory_tracks_reference(tiny_cfg, tmp_path):

@@ -215,7 +215,9 @@ def compare_kernels(cfg: FluidConfig, out_dir: str) -> list:
     return rows
 
 
-def compare_render(cfg: FluidConfig, out_dir: str, seed: int = 11) -> dict:
+def compare_render(cfg: FluidConfig, out_dir: str, seed: int = 11,
+                   label: str = "render_full", to_screen: bool = True,
+                   save_png: bool = True) -> dict:
     """Full render pipeline on one identical state (no trajectory drift)."""
     vel, dye, pres = _random_fields(cfg, seed)
     # a believable dye field: smooth blobs, not white noise
@@ -233,21 +235,50 @@ def compare_render(cfg: FluidConfig, out_dir: str, seed: int = 11) -> dict:
 
     ref = GLReference(cfg, dither=dither_rgb8())
     ref.load_state(vel, dye, pres)
-    gl_frame = ref.render()[:, :, :3]
+    gl_frame = ref.render(to_screen=to_screen)[:, :, :3]
 
     st = FluidState(velocity=jnp.asarray(vel), dye=jnp.asarray(dye),
                     pressure=jnp.asarray(pres))
-    ours = np.asarray(render_frame(st, cfg,
+    ours = np.asarray(render_frame(st, cfg, to_screen=to_screen,
                                    dither=jnp.asarray(dither_rgb8())))
     ours_rgb = np.moveaxis(ours[:3], 0, -1)
 
-    m = _metrics("render_full", gl_frame, ours_rgb)
+    m = _metrics(label, gl_frame, ours_rgb)
     m["max_abs_display_u8"] = float(np.abs(
         np.clip(gl_frame, 0, 1) * 255 - np.clip(ours_rgb, 0, 1) * 255).max())
-    _save_side_by_side(os.path.join(out_dir, "render_side_by_side.png"),
-                       gl_frame, ours_rgb)
-    json.dump(m, open(os.path.join(out_dir, "render.json"), "w"), indent=2)
+    if save_png:
+        _save_side_by_side(os.path.join(out_dir, "render_side_by_side.png"),
+                           gl_frame, ours_rgb)
     return m
+
+
+# Display-variant matrix: the Material keyword system (script.js:351-382,
+# 1160-1166) specializes the display shader on SHADING/BLOOM/SUNRAYS; the
+# transparent modes swap the background/blend branches (script.js:1304-1315).
+RENDER_VARIANTS = {
+    "render_full": {},
+    "render_no_bloom": {"BLOOM": False},
+    "render_no_sunrays": {"SUNRAYS": False},
+    "render_flat": {"SHADING": False, "BLOOM": False, "SUNRAYS": False},
+    "render_back_color": {"BACK_COLOR": (40, 12, 70)},
+    "render_transparent_screen": {"TRANSPARENT": True},  # checkerboard
+    "render_transparent_capture": {"TRANSPARENT": True, "to_screen": False},
+}
+
+
+def compare_render_variants(base_cfg: FluidConfig, out_dir: str) -> list:
+    import dataclasses
+
+    rows = []
+    for label, overrides in RENDER_VARIANTS.items():
+        ov = dict(overrides)
+        to_screen = ov.pop("to_screen", True)
+        cfg = dataclasses.replace(base_cfg, **ov).validate()
+        rows.append(compare_render(cfg, out_dir, label=label,
+                                   to_screen=to_screen,
+                                   save_png=(label == "render_full")))
+    json.dump(rows, open(os.path.join(out_dir, "render.json"), "w"), indent=2)
+    return rows
 
 
 def _save_side_by_side(path: str, gl_rgb: np.ndarray, ours_rgb: np.ndarray) -> None:
@@ -356,10 +387,11 @@ def main() -> None:
         cfg = FluidConfig(SIM_RESOLUTION=args.sim_res,
                           DYE_RESOLUTION=args.dye_res,
                           CANVAS_WIDTH=w, CANVAS_HEIGHT=h).validate()
-        m = compare_render(cfg, args.out)
-        summary["render"] = {"max_rel": m["max_rel"],
-                             "max_abs_display_u8": m["max_abs_display_u8"]}
-        print(json.dumps(m), flush=True)
+        rows = compare_render_variants(cfg, args.out)
+        summary["render"] = {r["kernel"]: r["max_abs_display_u8"]
+                             for r in rows}
+        for r in rows:
+            print(json.dumps(r), flush=True)
 
     if args.mode in ("trajectory", "all"):
         cfg16 = FluidConfig(SIM_RESOLUTION=args.sim_res,

@@ -298,6 +298,7 @@ class GLReference:
         self.p_copy = Program(base_vs, src["copyShader"])
         self.p_clear = Program(base_vs, src["clearShader"])
         self.p_color = Program(base_vs, src["colorShader"])
+        self.p_checkerboard = Program(base_vs, src["checkerboardShader"])
         self.p_bloom_prefilter = Program(base_vs, src["bloomPrefilterShader"])
         self.p_bloom_blur = Program(base_vs, src["bloomBlurShader"])
         self.p_bloom_final = Program(base_vs, src["bloomFinalShader"])
@@ -579,16 +580,17 @@ class GLReference:
             GL.glUniform1i(u["uTexture"], temp.attach(0))
             self.blit(target)
 
-    def render(self) -> np.ndarray:
+    def render(self, to_screen: bool = True) -> np.ndarray:
         """Full render (script.js:1296-1317) into the canvas-size target.
 
         Returns (H, W, 4) float32, row 0 = v=0 (flip for image files).
-        Supports the default opaque mode (TRANSPARENT=false).
+        ``to_screen`` is the reference's target==null: the transparent
+        screen mode draws the checkerboard backdrop and blends; the
+        transparent offscreen capture disables blending and emits raw
+        premultiplied RGBA (script.js:1304-1315).
         """
         GL = self.GL
         cfg = self.config
-        if cfg.TRANSPARENT:
-            raise NotImplementedError("GL harness covers TRANSPARENT=false")
         if cfg.BLOOM:
             self.apply_bloom(self.dye.read, self.bloom)
         if cfg.SUNRAYS:
@@ -596,14 +598,24 @@ class GLReference:
             self.apply_sunrays(self.dye.read, self.dye.write, self.sunrays)
             self.blur(self.sunrays, self.sunrays_temp, 1)
 
-        GL.glBlendFunc(GL.GL_ONE, GL.GL_ONE_MINUS_SRC_ALPHA)
-        GL.glEnable(GL.GL_BLEND)
+        if to_screen or not cfg.TRANSPARENT:
+            GL.glBlendFunc(GL.GL_ONE, GL.GL_ONE_MINUS_SRC_ALPHA)
+            GL.glEnable(GL.GL_BLEND)
+        else:
+            GL.glDisable(GL.GL_BLEND)
 
-        # drawColor(normalizeColor(BACK_COLOR)) (script.js:1312-1323)
-        self.p_color.bind()
-        r, g, b = (c / 255.0 for c in cfg.BACK_COLOR)
-        GL.glUniform4f(self.p_color.uniforms["color"], r, g, b, 1.0)
-        self.blit(self.screen)
+        if not cfg.TRANSPARENT:
+            # drawColor(normalizeColor(BACK_COLOR)) (script.js:1312-1323)
+            self.p_color.bind()
+            r, g, b = (c / 255.0 for c in cfg.BACK_COLOR)
+            GL.glUniform4f(self.p_color.uniforms["color"], r, g, b, 1.0)
+            self.blit(self.screen)
+        if to_screen and cfg.TRANSPARENT:
+            # drawCheckerboard (script.js:1314-1315, 1325-1329)
+            self.p_checkerboard.bind()
+            GL.glUniform1f(self.p_checkerboard.uniforms["aspectRatio"],
+                           cfg.aspect_ratio)
+            self.blit(self.screen)
 
         # drawDisplay (script.js:1331-1348)
         self.p_display.bind()
