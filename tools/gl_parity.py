@@ -45,7 +45,6 @@ from tools.gl_reference import GLReference, gl_available  # noqa: E402
 from tpufluid.config import FluidConfig  # noqa: E402
 from tpufluid.ops.advect import advect as advect_fn  # noqa: E402
 from tpufluid.ops import bloom as bloom_ops  # noqa: E402
-from tpufluid.ops import display as display_ops  # noqa: E402
 from tpufluid.ops import splat as splat_ops  # noqa: E402
 from tpufluid.ops import stencil  # noqa: E402
 from tpufluid.ops import sunrays as sunrays_ops  # noqa: E402

@@ -29,7 +29,7 @@ from __future__ import annotations
 import ctypes
 import os
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 
