@@ -73,6 +73,38 @@ def measure_dispatch_latency_us(n: int = 50) -> float:
     return (time.perf_counter() - t0) / n * 1e6
 
 
+_WORKER_STOPPED_AT_START = False
+
+
+def stop_warm_worker() -> bool:
+    """SIGTERM a live tools/tpu_worker.py (out/worker.pid) and wait <= 10 s.
+
+    The round-3 driver headline regressed 12% because a warm worker was
+    left sharing the one tunneled chip (per-dispatch latency degrades
+    ~15x); the driver invokes bench.py directly, so the bench defends
+    its own measurement instead of trusting the host to be clean. Only
+    the pid recorded in out/worker.pid is ever signalled."""
+    global _WORKER_STOPPED_AT_START
+    import os
+    import signal
+
+    pid_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "out", "worker.pid")
+    try:
+        pid = int(open(pid_file).read().strip())
+        os.kill(pid, signal.SIGTERM)
+    except Exception:  # noqa: BLE001 — no pid file / stale pid / no perm
+        return False
+    _WORKER_STOPPED_AT_START = True
+    for _ in range(100):
+        try:
+            os.kill(pid, 0)
+        except OSError:
+            break
+        time.sleep(0.1)
+    return True
+
+
 def provenance() -> dict:
     """Environment provenance for every bench line (VERDICT round 3: the
     986-vs-1116 driver headline gap was undiagnosable because the JSON
@@ -101,6 +133,8 @@ def provenance() -> dict:
     except Exception:  # noqa: BLE001 — no pid file / stale pid / no perm
         worker = False
     prov["warm_worker_running"] = worker
+    if _WORKER_STOPPED_AT_START:
+        prov["warm_worker_stopped_at_start"] = True
     others = 0
     try:
         me = os.getpid()
@@ -365,6 +399,7 @@ def _parse_args() -> argparse.Namespace:
 
 
 def _run(args: argparse.Namespace) -> dict:
+    stop_warm_worker()
     probe_backend()
 
     from tpufluid import FluidConfig
@@ -417,9 +452,12 @@ def _run(args: argparse.Namespace) -> dict:
                           CANVAS_WIDTH=r, CANVAS_HEIGHT=r,
                           PRESSURE_ITERATIONS=it or 20, MAX_SPLATS=8,
                           DTYPE=dtype)
-        # Bigger grids need fewer scanned steps for a stable measurement
-        # (and 8 x 1024^2 already carries real VMEM/HBM pressure).
-        chunk = 100 if r <= 256 else 25
+        # Scan-amortized with 100-step chunks like every sim config.
+        # (r14 measured the old 25-step chunks at 1024^2 understating B=1
+        # by ~27% — pure per-dispatch protocol overhead, not vmap cost:
+        # the d01 profile pinned the vmapped program rate-identical to
+        # the single step once warmed, out/batched_tax_b1.json.)
+        chunk = 100
         value, state = _bench_batched_steps(cfg, batch=args.batch,
                                             chunks=3, chunk=chunk,
                                             per_sim_dt=args.per_sim_dt)
