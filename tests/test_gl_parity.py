@@ -61,6 +61,7 @@ _KERNEL_BOUNDS = {
     "bloom_chain": 3e-2,
     "sunrays_march": 4e-3,
     "sunrays_blur": 4e-3,
+    "copy_resize": 3e-3,
 }
 
 
@@ -80,7 +81,7 @@ def test_kernels_match_reference_shaders(tiny_cfg, tmp_path):
     assert {"curl", "divergence", "vorticity", "jacobi_x20",
             "gradient_subtract", "advect_velocity", "advect_dye",
             "splat_velocity", "splat_dye", "bloom_chain",
-            "sunrays_march", "sunrays_blur"} <= seen
+            "sunrays_march", "sunrays_blur", "copy_resize"} <= seen
 
 
 def test_render_variants_match_reference_shaders(tiny_cfg, tmp_path):

@@ -210,6 +210,26 @@ def compare_kernels(cfg: FluidConfig, out_dir: str) -> list:
     blurred = q16(sunrays_ops.blur_separable(jnp.asarray(march), 1))
     rows.append(_metrics("sunrays_blur", ref.sunrays.read()[:, :, 0], blurred))
 
+    # copyShader through a LINEAR texture into a differently-sized FBO —
+    # the reference's resize-with-copy (resizeFBO, script.js:1108-1126) vs
+    # tpufluid's state.resize_state resample (ops/sampling.resample_bilinear).
+    from OpenGL import GL as _GL
+
+    from tools.gl_reference import FBO
+    from tpufluid.ops.sampling import resample_bilinear
+
+    reload()
+    dw, dh = cfg.dye_size
+    nw, nh = int(dw * 5 // 8), int(dh * 13 // 8)  # shrink x, grow y
+    dest = FBO(nw, nh, _GL.GL_RGBA16F, _GL.GL_RGBA, _GL.GL_LINEAR)
+    ref.p_copy.bind()
+    _GL.glDisable(_GL.GL_BLEND)
+    _GL.glUniform1i(ref.p_copy.uniforms["uTexture"], ref.dye.read.attach(0))
+    ref.blit(dest)
+    r_ours = q16(resample_bilinear(jnp.asarray(dye), (nh, nw)))
+    rows.append(_metrics("copy_resize", dest.read()[:, :, :3],
+                         np.moveaxis(r_ours, 0, -1)))
+
     json.dump(rows, open(os.path.join(out_dir, "kernels.json"), "w"), indent=2)
     return rows
 
