@@ -120,6 +120,21 @@ def test_per_session_speed(server_url):
             break
         time.sleep(0.05)
     assert stats["speeds"] == [1.0, 1.0, 0.5]
+    # The loop DEGRADES per-sim clocks to lock-step until the reconciler
+    # finishes compiling the "vector" program for the current padded size
+    # (serve_batch._run) — in a long pytest process that compile can take
+    # tens of seconds, so wait for the program table instead of racing it.
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        stats = json.loads(urllib.request.urlopen(server_url + "/stats",
+                                                  timeout=5).read())
+        assert not stats["program_errors"], stats["program_errors"]
+        if f"({stats['padded_batch']}, 'vector')" in stats["programs"]:
+            break
+        time.sleep(0.2)
+    else:
+        raise AssertionError(
+            f"vector program never compiled: {stats['programs']}")
     # Feed sessions 0 and 2 IDENTICAL event streams: with identical seeds
     # and identical inputs, only the clock rate differs — divergence is
     # then attributable to the per-sim dt alone (and stays visible even if

@@ -1095,6 +1095,9 @@ def make_handler(server: BatchFluidServer):
                     padded = server._pb
                     warm = len(server._progs)
                     failed = len(server._prog_errors)
+                    progs = sorted(str(k) for k in server._progs)
+                    prog_errors = {str(k): v.splitlines()[-1]
+                                   for k, v in server._prog_errors.items()}
                 with server.out_lock:
                     out = {"steps": server.steps_done,
                            "sessions": sessions,
@@ -1111,6 +1114,14 @@ def make_handler(server: BatchFluidServer):
                            "padded_batch": padded,
                            "programs_warm": warm,
                            "programs_failed": failed,
+                           # Explicit table keys so a client (or test) can
+                           # wait for a SPECIFIC program instead of racing
+                           # the reconciler: the loop silently degrades
+                           # per-sim clocks to lock-step until the
+                           # "vector" program for the current padded size
+                           # is warm (see _run).
+                           "programs": progs,
+                           "program_errors": prog_errors,
                            "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)
