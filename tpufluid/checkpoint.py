@@ -45,14 +45,18 @@ def _from_npz(arr: np.ndarray, dtype) -> np.ndarray:
 
 def save_state(path: str, state: FluidState, config: FluidConfig,
                step: int = 0, extra: Optional[dict] = None,
-               tracer=None) -> None:
+               tracer=None, compress: bool = True) -> None:
+    """compress=False skips DEFLATE — latency-sensitive callers (the
+    serving /checkpoint.npz endpoint) pay seconds of single-core zlib on
+    turbulent 16-bit fields for almost no size win; np.load reads both."""
     cfg = dataclasses.asdict(config)
     extra = dict(extra or {})
     if tracer is not None:
         extra["tracer"] = tracer.state_dict()
     meta = {"version": _FORMAT_VERSION, "step": int(step), "config": cfg,
             "extra": extra}
-    np.savez_compressed(
+    savez = np.savez_compressed if compress else np.savez
+    savez(
         path,
         velocity=_to_npz(state.velocity),
         dye=_to_npz(state.dye),

@@ -812,7 +812,11 @@ class BatchFluidServer:
                            dye=take(state.dye),
                            pressure=take(state.pressure))
         buf = io.BytesIO()
-        save_state(buf, state, self.config, step=step, extra=extra)
+        # Uncompressed npz: the soak measured DEFLATE's single-core tail
+        # at 5-8 s/checkpoint on large fleets (p99 above the 5 s SLO);
+        # uncompressed serialization is a memcpy + CRC.
+        save_state(buf, state, self.config, step=step, extra=extra,
+                   compress=False)
         return buf.getvalue()
 
     def frame_jpeg(self, sid: int) -> Optional[tuple[bytes, int]]:
