@@ -318,14 +318,18 @@ def _bench_render(config, frames: int = 200):
 
 
 def main() -> None:
-    """Parse args, run the selected config, and ALWAYS print exactly one
-    JSON line: the benchmark result, or a structured error record
-    ({"error": ..., "value": null}) when the TPU backend is unreachable —
-    never a bare traceback (the driver parses this line into BENCH_r*)."""
+    """Parse args, run the selected config, and print the full JSON result
+    line followed by a compact (<= 500 char) JSON summary as the LAST stdout
+    line. The full line carries roofline/floors payloads; the summary
+    repeats the headline fields so any bounded TAIL capture of the output
+    still parses a headline (round-4 verdict: BENCH_r04's 2000-char tail
+    kept the floors payload but truncated the "value" field away). Errors
+    also produce both lines ({"error": ..., "value": null}) — never a bare
+    traceback (the driver parses stdout into BENCH_r*)."""
     args = _parse_args()
     try:
         out = _run(args)
-    except Exception as e:  # noqa: BLE001 — one parseable line, always
+    except Exception as e:  # noqa: BLE001 — parseable lines, always
         s = f"{type(e).__name__}: {e}"
         unavailable = ("Unable to initialize backend" in s
                        or "UNAVAILABLE" in s or "DEADLINE_EXCEEDED" in s)
@@ -339,6 +343,29 @@ def main() -> None:
             "vs_baseline": None,
         }
     print(json.dumps(out))
+    print(json.dumps(_summary_line(out)))
+
+
+def _summary_line(out: dict) -> dict:
+    """The <= 500-char tail-survivable headline: metric/value/unit/
+    vs_baseline (+ error, north-star flag, kernel-time coverage when
+    present), nothing else."""
+    s = {"summary": True,
+         "metric": str(out.get("metric", ""))[:200],
+         "value": out.get("value"),
+         "unit": out.get("unit"),
+         "vs_baseline": out.get("vs_baseline")}
+    if out.get("error"):
+        s["error"] = out["error"]
+    floors = out.get("floors") or {}
+    star = floors.get("north_star") or {}
+    if "north_star_10k_reachable_projected" in star:
+        s["north_star_10k_projected"] = star[
+            "north_star_10k_reachable_projected"]
+    if "step_coverage" in floors:
+        s["step_coverage"] = floors["step_coverage"]
+    assert len(json.dumps(s)) <= 500, "summary line must survive tail capture"
+    return s
 
 
 def _parse_args() -> argparse.Namespace:

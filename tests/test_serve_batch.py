@@ -463,3 +463,68 @@ def test_fleet_checkpoint_resume(server_url, tmp_path):
     sp = np.asarray(tampered.speeds)
     assert np.isfinite(sp).all()
     assert (sp >= 0.0).all() and (sp <= SPEED_MAX).all(), sp
+
+
+def test_shrink_bumps_generation():
+    """Round-4 advisor (high): a tick in flight when a shrink lands must not
+    publish — its pre-shrink live count would raise the _frames_live
+    watermark back over evicted rows (cross-tenant pixel leak on a
+    shrink-then-regrow at the same padded size). resize_fleet must bump
+    _gen whenever it lowers _live_rows, exactly like _apply_swap does."""
+    srv = BatchFluidServer(CFG, sessions=3, seed=0)
+    try:
+        gen0 = srv._gen
+        srv.resize_fleet(1)  # shrink: evicts rows 1..2
+        assert srv._gen == gen0 + 1
+        assert srv._live_rows == 1 and not srv._tail_clean
+        # Grow-within-padded-batch (no eviction) must NOT fence ticks.
+        srv2 = BatchFluidServer(CFG, sessions=2, seed=0)
+        try:
+            g = srv2._gen
+            srv2.resize_fleet(3)  # grow inside pb=4, tail clean
+            assert srv2._gen == g
+        finally:
+            srv2.stop()
+    finally:
+        srv.stop()
+
+
+def test_reconciler_skips_terminally_failed_programs():
+    """Round-4 advisor (medium): a key in _prog_errors is terminal — the
+    reconciler must never return an apply task ('zero_tail'/'swap') whose
+    executable can never exist (it would spin hot, grabbing both locks and
+    starving the sim loop), and /stats surfaces the wedged objective."""
+    srv = BatchFluidServer(CFG, sessions=2, seed=0, prewarm="off")
+    try:
+        with srv.lock:
+            pb = srv._pb
+            # Pretend every immediately-needed program is warm.
+            srv._progs[(pb, "scalar")] = object()
+            srv._progs[(pb, "vector")] = object()
+            # Wedge privacy zeroing: zerotail compile failed terminally.
+            srv._tail_clean = False
+            srv._prog_errors[("zerotail", pb)] = "boom\nzerotail failed"
+            task = srv._next_task()
+            assert task != ("zero_tail",), task
+            # With a dirty tail, activation stays blocked too.
+            assert task is None or task[0] == "compile", task
+            stuck = srv.stuck_tasks()
+            assert any(s["task"] == "zero_tail" for s in stuck), stuck
+            # Now wedge a padded-size swap instead.
+            srv._tail_clean = True
+            srv._prog_errors.clear()
+            srv.sessions = pb + 1  # target padded size != pb
+            target = pb * 2
+            srv._progs[(target, "scalar")] = object()
+            srv._progs[(target, "vector")] = object()
+            srv._prog_errors[("resize", pb, target)] = "boom\nresize failed"
+            task = srv._next_task()
+            assert task is None or task[0] != "swap", task
+            stuck = srv.stuck_tasks()
+            assert any(s["task"] == "swap" for s in stuck), stuck
+            # Healthy deps => the swap IS returned (fix must not over-skip).
+            srv._prog_errors.clear()
+            srv._progs[("resize", pb, target)] = object()
+            assert srv._next_task() == ("swap", pb, target)
+    finally:
+        srv.stop()

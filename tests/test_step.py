@@ -188,3 +188,41 @@ def test_float16_more_faithful_than_bfloat16():
     errbf = float(np.abs(outs["bfloat16"] - v32).max()) / scale
     assert err16 < 0.03, err16
     assert err16 < 0.5 * errbf, (err16, errbf)
+
+
+def test_dt_clamp_literal():
+    """The reference clamps dt at the LITERAL 0.016666 (script.js:1191), not
+    1/60 = 0.0166667: a dt between the two must clamp, and the clamped step
+    must equal a step at exactly 0.016666 bit-for-bit."""
+    from tpufluid.config import MAX_DT
+
+    assert MAX_DT == 0.016666  # the reference's literal
+    assert MAX_DT < 1.0 / 60.0
+    trace = swirl_trace(CFG, 1)
+    sp = jnp.asarray(trace.batches[0])
+    step = make_step(CFG)
+    between = 0.0166665  # 0.016666 < between < 1/60: must clamp
+    assert MAX_DT < between < 1.0 / 60.0
+    s_at = step(init_state(CFG), jnp.float32(MAX_DT), sp)
+    s_between = step(init_state(CFG), jnp.float32(between), sp)
+    s_sixtieth = step(init_state(CFG), jnp.float32(1.0 / 60.0), sp)
+    for a, b in ((s_between, s_at), (s_sixtieth, s_at)):
+        np.testing.assert_array_equal(np.asarray(a.velocity), np.asarray(b.velocity))
+        np.testing.assert_array_equal(np.asarray(a.dye), np.asarray(b.dye))
+    # Below the clamp: dt passes through (different dt => different field).
+    s_small = step(init_state(CFG), jnp.float32(0.016), sp)
+    assert np.abs(np.asarray(s_small.velocity, np.float32)
+                  - np.asarray(s_at.velocity, np.float32)).max() > 0
+
+
+def test_dt_clamp_constants_in_sync():
+    """server.py / serve_batch.py keep jax-free module-level copies of the
+    clamp; they must equal config.MAX_DT (and trace recording must clamp)."""
+    from tpufluid import serve_batch, server
+    from tpufluid.config import MAX_DT
+    from tpufluid.trace import Trace
+
+    assert server.MAX_DT == MAX_DT
+    assert serve_batch.MAX_DT == MAX_DT
+    tr = Trace(np.zeros((3, 2, 8), np.float32), [0.01, 1.0 / 60.0, 0.1])
+    np.testing.assert_allclose(tr.dts, [0.01, MAX_DT, MAX_DT])

@@ -500,7 +500,7 @@ class GLReference:
 
     def step(self, dt: float) -> None:
         GL = self.GL
-        dt = min(float(dt), 1.0 / 60.0)  # calcDeltaTime clamp (1188-1194)
+        dt = min(float(dt), 0.016666)  # calcDeltaTime clamp, literal (1191)
         GL.glDisable(GL.GL_BLEND)
         self.run_curl()
         self.run_vorticity(dt)

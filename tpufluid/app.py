@@ -80,6 +80,7 @@ def main(argv: Optional[list] = None) -> None:
         jax.config.update("jax_debug_nans", True)
 
     from tpufluid import FluidConfig, init_state, make_render, make_step
+    from tpufluid import config as config_mod
     from tpufluid.checkpoint import load_state, save_state
     from tpufluid.io import save_png
     from tpufluid.metrics import MetricsLogger, contract_warning
@@ -119,8 +120,9 @@ def main(argv: Optional[list] = None) -> None:
     render = make_render(config)
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     # Trace v2 carries a per-step dt (reference calcDeltaTime recomputes dt
-    # every frame, script.js:1188-1194); past the recording, free-run at 1/60.
-    dt_default = jnp.float32(1.0 / 60.0)
+    # every frame, script.js:1188-1194); past the recording, free-run at the
+    # clamp (at 60 fps the reference's 0.016666 ceiling always binds).
+    dt_default = jnp.float32(config_mod.MAX_DT)
     none_batch = jnp.zeros((config.MAX_SPLATS, 8), jnp.float32)
     gif_frames = []
 

@@ -21,6 +21,15 @@ import jax.numpy as jnp
 # the default; bfloat16 matches the 16-bit-storage budget for large grids.
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
 
+# The reference's dt ceiling is the LITERAL 0.016666 (calcDeltaTime,
+# script.js:1191), not 1/60 = 0.01666667. At 60 fps the clamp always binds,
+# so every reference frame steps at exactly this value; using 1/60 instead
+# biases every clamped step by ~4e-5 relative dt. Single source of truth for
+# step/trace/server clamps and the serving substep splitter. Note the Pallas
+# displacement bounds (ops/pallas/advect.py) are derived from dt <= 1/60,
+# which remains a strict upper bound of this clamp.
+MAX_DT = 0.016666
+
 
 @dataclasses.dataclass(frozen=True)
 class FluidConfig:

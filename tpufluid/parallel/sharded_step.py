@@ -58,7 +58,12 @@ from tpufluid.parallel.halo import exchange_halo, ghost_strips
 from tpufluid.parallel.mesh import COL_AXIS, ROW_AXIS, make_mesh, state_specs
 from tpufluid.state import FluidState
 
-MAX_DT = 1.0 / 60.0  # reference dt clamp (script.js:1191)
+from tpufluid.config import MAX_DT  # reference dt clamp, literal 0.016666 (script.js:1191)
+
+# Displacement/ghost-width bound dt: 1/60 is a strict upper bound of MAX_DT;
+# ghost widths derived from it stay valid (and their power-of-two-friendly
+# rounding untouched) while the runtime clamp uses the exact literal.
+_BOUND_DT = 1.0 / 60.0
 MAX_SPEED = 1000.0   # reference velocity clamp (script.js:863)
 
 _G_STENCIL = 16  # >= 3 stencil layers; 16-row aligned for bf16 kernels
@@ -98,13 +103,13 @@ def dye_halo_width(config: FluidConfig) -> int:
     by the dye/sim resolution ratio, plus the bilinear corner."""
     sw, sh = config.sim_size
     dw, dh = config.dye_size
-    return _round_mult(MAX_SPEED * MAX_DT * dh / sh + 2, 16)
+    return _round_mult(MAX_SPEED * _BOUND_DT * dh / sh + 2, 16)
 
 
 def dye_halo_width_cols(config: FluidConfig) -> int:
     sw, sh = config.sim_size
     dw, dh = config.dye_size
-    return _round_mult(MAX_SPEED * MAX_DT * dw / sw + 2, 64)
+    return _round_mult(MAX_SPEED * _BOUND_DT * dw / sw + 2, 64)
 
 
 def vel_halo_width(config: FluidConfig) -> int:
@@ -347,7 +352,7 @@ def sharded_fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> Fl
     hd_loc, wd_loc = dye.shape[-2:]
     aspect = config.aspect_ratio
     radius = config.splat_radius_uv()
-    max_disp = MAX_SPEED * MAX_DT
+    max_disp = MAX_SPEED * _BOUND_DT
 
     def exch2d(x, wr, wc):
         x = exchange_halo(x, wr, ROW_AXIS, -2)

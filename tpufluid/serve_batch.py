@@ -91,7 +91,10 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-MAX_DT = 1.0 / 60.0
+# calcDeltaTime clamp: the reference's LITERAL 0.016666, not 1/60
+# (script.js:1191). Keep equal to tpufluid.config.MAX_DT (not imported here:
+# module import stays jax-free until a fleet is constructed).
+MAX_DT = 0.016666
 
 # Per-session clock-rate ceiling. Speeds in (1, SPEED_MAX] are FAST-FORWARD:
 # the loop runs ceil(speed) masked substeps per frame (one fused dispatch,
@@ -580,21 +583,58 @@ class BatchFluidServer:
                 return ("compile", key)
         if not self._tail_clean:
             zt = ("zerotail", pb)
-            if zt not in self._progs and zt not in self._prog_errors:
+            if missing(zt):
                 return ("compile", zt)
-            return ("zero_tail",)
-        if target != pb:
+            if zt in self._progs:
+                return ("zero_tail",)
+            # Terminal: the zerotail compile failed (_prog_errors entries
+            # are never retried). Returning ("zero_tail",) anyway would
+            # make the reconciler spin hot on a no-op apply — grabbing
+            # both locks each cycle and starving the sim loop. Privacy
+            # zeroing (and with it swaps/activation, which require a
+            # clean tail) is wedged; surface it via stuck_tasks() and
+            # keep serving the live rows.
+        elif target != pb:
+            dep_error = False
             for key in [(target, "scalar"), (target, "vector"),
                         ("resize", pb, target)]:
-                if missing(key):
+                if key in self._prog_errors:
+                    dep_error = True  # terminal — see stuck_tasks()
+                elif key not in self._progs:
                     return ("compile", key)
-            return ("swap", pb, target)
-        if self._live_rows < min(self.sessions, pb):
+            if not dep_error:
+                return ("swap", pb, target)
+            # A swap dependency failed terminally: the padded-size swap
+            # is wedged (surfaced via stuck_tasks()); fall through so
+            # tenants that fit the CURRENT padded size still activate.
+        if (self._tail_clean
+                and self._live_rows < min(self.sessions, pb)):
             return ("activate",)
         for key in self._prewarm_keys(pb):
             if missing(key):
                 return ("compile", key)
         return None
+
+    def stuck_tasks(self) -> list:
+        """Terminally wedged reconciler objectives (a required program's
+        compile failed; failures are never retried). Call under self.lock.
+        Shown in /stats so an operator sees WHY a resize never completes
+        instead of inferring it from program_errors keys."""
+        stuck = []
+        pb = self._pb
+        target = _padded(self.sessions)
+        if not self._tail_clean and ("zerotail", pb) in self._prog_errors:
+            stuck.append({"task": "zero_tail", "padded_batch": pb,
+                          "blocked": "privacy zeroing, swaps, activation"})
+        if target != pb:
+            deps = [k for k in [(target, "scalar"), (target, "vector"),
+                                ("resize", pb, target)]
+                    if k in self._prog_errors]
+            if deps:
+                stuck.append({"task": "swap", "from": pb, "to": target,
+                              "failed_deps": [str(k) for k in deps],
+                              "blocked": "padded-size resize"})
+        return stuck
 
     def _compile(self, key) -> None:
         """Compile ONE executable, outside every lock, then publish it
@@ -742,9 +782,14 @@ class BatchFluidServer:
                 if n < self._live_rows:
                     # Evicted rows hold real tenant data until the
                     # reconciler zeroes them; nothing may publish or
-                    # reactivate them before that.
+                    # reactivate them before that. Fence IN-FLIGHT ticks
+                    # too: a tick that captured the pre-shrink live count
+                    # must not publish (it would raise _frames_live back
+                    # over the evicted rows after a shrink-then-regrow at
+                    # the same padded size — a cross-tenant pixel leak).
                     self._live_rows = n
                     self._tail_clean = False
+                    self._gen += 1
             else:
                 self.tracers += [self._new_tracer(i) for i in range(b, n)]
                 self.speeds = np.concatenate(
@@ -931,17 +976,12 @@ class BatchFluidServer:
                     k = 1
                 if k == 1:
                     t_total = np.minimum(t_total, MAX_DT)
-                # Each tracer drains at ITS OWN advanced time, so color
-                # cycling and burst pacing follow the session clock too.
-                # Pending (not-yet-activated) tenants are NOT drained:
-                # their events queue until their zeroed row is live, so
-                # their startup burst cannot land on a stale field.
-                for b in range(live):
-                    for i, (x, y, dx, dy, color) in enumerate(
-                            self.tracers[b].drain_step(
-                                float(t_total[b]))[:max_s]):
-                        batch[b, i] = [x, y, dx, dy,
-                                       color[0], color[1], color[2], 1.0]
+                # Pick the program AND the dt it will apply BEFORE
+                # draining tracers: a degrade (below) replaces the
+                # per-session clocks with the shared one, and splat
+                # pacing / color cycling must advance at the dt the sim
+                # actually steps — draining first would land inputs at
+                # inconsistent sim times during a compile window.
                 if k == 1:
                     lockstep = bool(np.all(speeds_p == 1.0))
                     if not lockstep and (pb, "vector") not in self._progs:
@@ -955,6 +995,9 @@ class BatchFluidServer:
                     if lockstep:
                         prog = self._progs[(pb, "scalar")]
                         dt_arg = np.float32(dt_wall)
+                        # The scalar program steps EVERY live row at
+                        # dt_wall; drain at that same clock.
+                        t_total = np.full(pb, dt_wall, np.float32)
                     else:
                         prog = self._progs[(pb, "vector")]
                         dt_arg = jnp.asarray(t_total, jnp.float32)
@@ -968,6 +1011,19 @@ class BatchFluidServer:
                     dt_arg = jnp.asarray(np.where(
                         np.arange(k)[:, None] < n_sub[None, :],
                         sub[None, :], 0.0).astype(np.float32))
+                # Each tracer drains at ITS OWN applied time (t_total now
+                # reflects the program that WILL dispatch, including any
+                # degrade), so color cycling and burst pacing follow the
+                # session clock the sim actually advances by. Pending
+                # (not-yet-activated) tenants are NOT drained: their
+                # events queue until their zeroed row is live, so their
+                # startup burst cannot land on a stale field.
+                for b in range(live):
+                    for i, (x, y, dx, dy, color) in enumerate(
+                            self.tracers[b].drain_step(
+                                float(t_total[b]))[:max_s]):
+                        batch[b, i] = [x, y, dx, dy,
+                                       color[0], color[1], color[2], 1.0]
                 gen = self._gen
                 # Take ownership of the state buffers BEFORE releasing the
                 # event lock (lock -> state_lock order): a swap cannot
@@ -981,11 +1037,13 @@ class BatchFluidServer:
             finally:
                 self.state_lock.release()
             with self.out_lock:
-                # Publish ONLY if no swap happened since this tick was
-                # computed: after a shrink-then-regrow to the SAME padded
-                # size, stale frames would pass shape guards and leak
-                # evicted tenants' pixels to new tenants at reused sids —
-                # the generation counter closes that window.
+                # Publish ONLY if no swap OR shrink happened since this
+                # tick was computed (both bump _gen): after a
+                # shrink-then-regrow to the SAME padded size, stale frames
+                # would pass shape guards — and a stale ``live`` would
+                # raise the _frames_live watermark — leaking evicted
+                # tenants' pixels to new tenants at reused sids. The
+                # generation counter closes both windows.
                 if gen == self._gen:
                     self.frames = frames
                     self._frames_live = live
@@ -1102,6 +1160,7 @@ def make_handler(server: BatchFluidServer):
                     progs = sorted(str(k) for k in server._progs)
                     prog_errors = {str(k): v.splitlines()[-1]
                                    for k, v in server._prog_errors.items()}
+                    stuck = server.stuck_tasks()
                 with server.out_lock:
                     out = {"steps": server.steps_done,
                            "sessions": sessions,
@@ -1126,6 +1185,10 @@ def make_handler(server: BatchFluidServer):
                            # is warm (see _run).
                            "programs": progs,
                            "program_errors": prog_errors,
+                           # Wedged objectives (failed compiles are
+                           # terminal): the reconciler skips these rather
+                           # than spinning on an apply that can never run.
+                           "stuck": stuck,
                            "error": server.error}
                 body = json.dumps(out).encode()
                 self.send_response(200)

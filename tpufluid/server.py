@@ -204,7 +204,10 @@ function tick() {
 tick();
 </script></body></html>"""
 
-MAX_DT = 1.0 / 60.0  # calcDeltaTime clamp (script.js:1191)
+# calcDeltaTime clamp: the reference's LITERAL 0.016666, not 1/60
+# (script.js:1191). Keep equal to tpufluid.config.MAX_DT (not imported here:
+# module import stays jax-free until a server is constructed).
+MAX_DT = 0.016666
 
 
 class FluidServer:

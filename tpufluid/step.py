@@ -19,7 +19,7 @@ from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 
-from tpufluid.config import FluidConfig
+from tpufluid.config import MAX_DT, FluidConfig
 from tpufluid.ops import splat as splat_ops
 from tpufluid.ops import stencil
 from tpufluid.ops.advect import advect
@@ -38,10 +38,11 @@ def apply_splats(state: FluidState, splats: jnp.ndarray, config: FluidConfig) ->
 def fluid_step(state: FluidState, dt, splats, config: FluidConfig) -> FluidState:
     """One simulation step. ``dt`` is a traced scalar (seconds), ``splats`` a
     (MAX_SPLATS, 8) event batch (rows with active=0 are no-ops)."""
-    # The reference clamps dt to 1/60 s every frame (calcDeltaTime,
-    # script.js:1188-1194); the Pallas advection kernels also size their
-    # halo windows from this bound.
-    dt = jnp.minimum(jnp.asarray(dt, jnp.float32), 1.0 / 60.0)
+    # The reference clamps dt to the literal 0.016666 s every frame
+    # (calcDeltaTime, script.js:1188-1194) — NOT 1/60; see config.MAX_DT.
+    # The Pallas advection kernels size their halo windows from the looser
+    # 1/60 bound, which stays valid.
+    dt = jnp.minimum(jnp.asarray(dt, jnp.float32), MAX_DT)
     # Opt-in packed-dye gather storage (config.DYE_RGB9E5, bf16 only): the
     # dye source quantizes through shared-exponent RGB9E5 at the sampling
     # boundary (ops/quant.py) — 2 gathers/trip instead of 3 in the kernels,

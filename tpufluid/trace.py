@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from tpufluid.config import FluidConfig
+from tpufluid.config import MAX_DT, FluidConfig
 from tpufluid.ops.splat import SPLAT_COLS
 from tpufluid.utils.color import generate_color_np, wrap
 
@@ -229,8 +229,9 @@ class Trace:
             dts = np.full((self.batches.shape[0],), dts[0], np.float32)
         if dts.shape[0] != self.batches.shape[0]:
             raise ValueError(f"dts length {dts.shape[0]} != steps {self.batches.shape[0]}")
-        # The reference clamps at record time too (script.js:1191).
-        self.dts = np.minimum(dts, np.float32(1.0 / 60.0))
+        # The reference clamps at record time too (script.js:1191) — at the
+        # literal 0.016666, not 1/60 (config.MAX_DT).
+        self.dts = np.minimum(dts, np.float32(MAX_DT))
 
     @property
     def num_steps(self) -> int:
