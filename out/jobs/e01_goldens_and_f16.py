@@ -1,0 +1,91 @@
+# Round-5 device job e01: (a) regenerate BOTH device goldens after the dt
+# clamp moved to the reference literal 0.016666 (config.MAX_DT — trace.dt
+# now records 0.016666, shifting the 30-step trajectory); (b) pin the new
+# channel-packed float16 gather BIT-IDENTICAL to the staged-f32 kernel on
+# compiled Mosaic, including subnormal halves; (c) quick A/B timing of the
+# f16 staged vs packed dye advection at the headline geometry.
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+np.asarray(jnp.ones((8, 128)))  # tunnel warmup
+
+from tpufluid import FluidConfig, init_state
+from tpufluid.render import render_frame
+from tpufluid.step import fluid_step
+from tpufluid.trace import swirl_trace
+
+for dtype, path in (("float32", "tests/golden_frame_tpu.npz"),
+                    ("bfloat16", "tests/golden_frame_tpu_bf16.npz")):
+    cfg = FluidConfig(SIM_RESOLUTION=128, DYE_RESOLUTION=256,
+                      CANVAS_WIDTH=256, CANVAS_HEIGHT=256,
+                      BLOOM_RESOLUTION=64, SUNRAYS_RESOLUTION=64,
+                      MAX_SPLATS=8, DTYPE=dtype).validate()
+    if dtype == "bfloat16":
+        assert cfg.DYE_RGB9E5
+    step = jax.jit(lambda s, dt, sp, c=cfg: fluid_step(s, dt, sp, c))
+    trace = swirl_trace(cfg, 30, seed=77)
+    assert abs(trace.dt - 0.016666) < 1e-9, trace.dt  # the new clamp
+    s = init_state(cfg)
+    dt = jnp.float32(trace.dt)
+    for t in range(30):
+        s = step(s, dt, jnp.asarray(trace.batches[t]))
+    frame = np.asarray(render_frame(s, cfg), dtype=np.float32)
+    assert np.isfinite(frame).all()
+    np.savez_compressed(path, frame=frame)
+    print("wrote", path, frame.shape, float(frame.min()), float(frame.max()))
+
+# (b) f16 packed gather bit-exactness on compiled Mosaic
+from tpufluid.ops.pallas import advect as pa
+from tpufluid.ops.quant import f16_pack_planes
+
+rng = np.random.default_rng(7)
+H, W = 1024, 1024
+vel16 = jnp.clip(jnp.asarray(
+    (rng.standard_normal((2, H, W)) * 700).astype(np.float16)), -1000, 1000)
+src_np = rng.random((3, H, W)).astype(np.float16)
+src_np[:, 10:14, 20:40] = (rng.random((3, 4, 20)) * 5e-5).astype(np.float16)
+src16 = jnp.asarray(src_np)
+dtv = jnp.float32(0.016666)
+vel = vel16.astype(jnp.float32)
+mdx = 1000.0 / 60.0
+want_fn = jax.jit(lambda v, s: pa.advect_pallas(
+    v, s.astype(jnp.float32), dtv, 1.0, max_disp_x=mdx))
+got_fn = jax.jit(lambda v, s: pa.advect_pallas(
+    v, f16_pack_planes(s), dtv, 1.0, max_disp_x=mdx, f16c=3))
+want = np.asarray(want_fn(vel, src16))
+got = np.asarray(got_fn(vel, src16))
+bitexact = bool((want.view(np.uint32) == got.view(np.uint32)).all())
+print("f16 packed vs staged bit-exact:", bitexact,
+      "max|diff|", float(np.abs(want - got).max()))
+
+# (c) A/B timing: staged f32 3-channel gather vs packed f16 (scan of 50)
+def scan_time(fn, *args, n=50, reps=3):
+    def body(c, _):
+        return fn(*((c,) + args[1:])), None
+    run = jax.jit(lambda a0: jax.lax.scan(body, a0, None, length=n)[0])
+    out = run(args[0]); float(jnp.sum(out))  # compile+load
+    out = run(args[0]); float(jnp.sum(out))  # discard lazy-load execs
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = run(args[0]); float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best * 1e6
+
+# staged: cast f16->f32, f32 kernel, cast back (what the old path did)
+def staged(s, v):
+    o = pa.advect_pallas(v, s.astype(jnp.float32), dtv, 1.0, max_disp_x=mdx)
+    return o.astype(jnp.float16)
+
+def packed(s, v):
+    o = pa.advect_pallas(v, f16_pack_planes(s), dtv, 1.0, max_disp_x=mdx,
+                         f16c=3)
+    return o.astype(jnp.float16)
+
+t_staged = scan_time(lambda s: staged(s, vel), src16)
+t_packed = scan_time(lambda s: packed(s, vel), src16)
+print(f"dye 3ch 1024^2 advect us/step: staged_f32={t_staged:.1f} "
+      f"packed_f16={t_packed:.1f} speedup={t_staged / t_packed:.2f}x")

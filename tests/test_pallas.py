@@ -4,6 +4,7 @@ bench exercises the compiled path)."""
 from unittest import mock
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -925,3 +926,84 @@ def test_tiling_invariance_interior_blocks(rng):
             yf = np.asarray(y, np.float32)
             scale = max(np.abs(yf).max(), 1.0)
             assert np.abs(xf - yf).max() / scale < 1e-6
+
+
+def test_f16_bits_to_f32_exhaustive():
+    """quant.f16_bits_to_f32 decodes EVERY half bit pattern exactly as XLA's
+    convert (the staged-f32 path the packed kernel replaces) — including
+    subnormals (integer path: immune to VPU flush-to-zero) and infinities;
+    NaNs stay NaN (payloads may differ). High-half garbage is ignored."""
+    from tpufluid.ops.quant import f16_bits_to_f32
+
+    bits = jnp.arange(65536, dtype=jnp.uint32)
+    ours = np.asarray(f16_bits_to_f32(bits | (jnp.uint32(0xABCD) << 16)))
+    ref = np.asarray(jax.lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.float16).astype(jnp.float32))
+    nan = np.isnan(ref)
+    np.testing.assert_array_equal(ours[~nan].view(np.uint32),
+                                  ref[~nan].view(np.uint32))
+    assert np.isnan(ours[nan]).all()
+
+
+def test_f16_pack_planes_roundtrip(rng):
+    """Pack layout: full pairs (lo/hi), odd trailing channel column-paired
+    (x in low, clamp(x+1) in high)."""
+    from tpufluid.ops.quant import f16_bits_to_f32, f16_pack_planes
+
+    src = jnp.asarray(rng.standard_normal((3, 8, 16)).astype(np.float16))
+    pk = f16_pack_planes(src)
+    assert pk.shape == (2, 8, 16) and pk.dtype == jnp.uint32
+    np.testing.assert_array_equal(np.asarray(f16_bits_to_f32(pk[0])),
+                                  np.asarray(src[0], np.float32))
+    np.testing.assert_array_equal(np.asarray(f16_bits_to_f32(pk[0] >> 16)),
+                                  np.asarray(src[1], np.float32))
+    np.testing.assert_array_equal(np.asarray(f16_bits_to_f32(pk[1])),
+                                  np.asarray(src[2], np.float32))
+    xp = np.asarray(f16_bits_to_f32(pk[1] >> 16))
+    want = np.concatenate([np.asarray(src[2, :, 1:], np.float32),
+                           np.asarray(src[2, :, -1:], np.float32)], axis=-1)
+    np.testing.assert_array_equal(xp, want)
+
+
+@pytest.mark.parametrize("channels", [2, 3])
+def test_advect_f16_packed_bitexact_vs_staged(channels, rng):
+    """The channel-packed float16 gather (round-4 verdict #1): pre-packed
+    uint32 planes + in-register half decode must be BIT-IDENTICAL to the
+    staged-f32 kernel on the f32-cast source — same f32 math on the same
+    values, ceil(C/2) gathers per corner instead of C. Sources include
+    half subnormals (decode's integer path) and exact zeros."""
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.quant import f16_pack_planes
+
+    H, W = 64, 256
+    vel16 = jnp.clip(jnp.asarray(
+        (rng.standard_normal((2, H, W)) * 700).astype(np.float16)),
+        -1000, 1000)
+    src_np = rng.random((channels, H, W)).astype(np.float16)
+    src_np[:, 10:14, 20:40] = (rng.random((channels, 4, 20)) * 5e-5
+                               ).astype(np.float16)  # subnormal halves
+    src_np[:, 30:32, :] = 0.0
+    src16 = jnp.asarray(src_np)
+    dt = jnp.float32(0.016666)
+    vel = vel16.astype(jnp.float32)
+    with _interp(pa):
+        want = pa.advect_pallas(vel, src16.astype(jnp.float32), dt, 0.7,
+                                max_disp_x=1000.0 / 60.0)
+        got = pa.advect_pallas(vel, f16_pack_planes(src16), dt, 0.7,
+                               max_disp_x=1000.0 / 60.0, f16c=channels)
+    assert got.dtype == jnp.float32
+    # XLA:CPU contracts the two graphs' bilinear FMAs differently (1-ULP
+    # stragglers, same effect as test_jacobi_exact_equals_masked); measured
+    # max |diff| 6e-8 here. Device bit-equality is pinned in test_tpu.py.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-7, atol=3e-7)
+    # The decoded packed values themselves are exact: zero-velocity advection
+    # (pure decode + dissipation, no bilinear mix) must agree bitwise.
+    with _interp(pa):
+        g0 = pa.advect_pallas(jnp.zeros_like(vel), f16_pack_planes(src16),
+                              dt, 0.7, max_disp_x=1000.0 / 60.0,
+                              f16c=channels)
+        w0 = pa.advect_pallas(jnp.zeros_like(vel),
+                              src16.astype(jnp.float32), dt, 0.7,
+                              max_disp_x=1000.0 / 60.0)
+    np.testing.assert_array_equal(np.asarray(g0), np.asarray(w0))

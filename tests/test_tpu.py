@@ -288,6 +288,39 @@ def test_float16_staged_step_on_device(warm_tunnel):
     assert err < 0.003 * scale, (err, scale)
 
 
+def test_f16_packed_gather_bit_exact_on_device(warm_tunnel):
+    """Channel-packed float16 gather (pre-packed uint32 planes + in-register
+    IEEE-half decode) must be BIT-IDENTICAL on device to the staged-f32
+    kernel it replaces — same f32 math on the same values (quant.
+    f16_bits_to_f32 is exact, incl. subnormal halves). Also pins that the
+    f16 dispatch ROUTES through the packed kernel (returns non-None)."""
+    from tpufluid.ops.pallas import advect as pa
+    from tpufluid.ops.pallas import dispatch as K
+    from tpufluid.ops.quant import f16_pack_planes
+
+    rng = np.random.default_rng(7)
+    H, W = 256, 256
+    vel16 = jnp.clip(jnp.asarray(
+        (rng.standard_normal((2, H, W)) * 700).astype(np.float16)),
+        -1000, 1000)
+    src_np = rng.random((3, H, W)).astype(np.float16)
+    src_np[:, 10:14, 20:40] = (rng.random((3, 4, 20)) * 5e-5
+                               ).astype(np.float16)  # subnormal halves
+    src16 = jnp.asarray(src_np)
+    dt = jnp.float32(0.016666)
+    vel = vel16.astype(jnp.float32)
+    mdx = 1000.0 / 60.0
+    want = jax.jit(lambda v, s: pa.advect_pallas(
+        v, s.astype(jnp.float32), dt, 1.0, max_disp_x=mdx))(vel, src16)
+    got = jax.jit(lambda v, s: pa.advect_pallas(
+        v, f16_pack_planes(s), dt, 1.0, max_disp_x=mdx, f16c=3))(vel, src16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    routed = jax.jit(lambda v, s: K._advect_f16_packed(
+        v, s, dt, 1.0, pa.HALO - 2, mdx))(vel16, src16)
+    assert routed is not None
+    np.testing.assert_array_equal(np.asarray(routed), np.asarray(want))
+
+
 def test_display_kernel_matches_jnp_on_device(warm_tunnel):
     """Fused display resample+shading kernel (compiled Mosaic) == jnp taps.
 

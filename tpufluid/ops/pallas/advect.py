@@ -250,6 +250,30 @@ def _corners_from_rgb9e5(g0, g1):
     return rgb9e5_unpack(g0[0]), rgb9e5_unpack(g1[0])
 
 
+def _corners_from_packed_f16(g0, g1, c: int):
+    """(x0, x1) f32 channel stacks from PRE-PACKED float16 gather results
+    (ops/quant.f16_pack_planes layout — identical to the bf16 pairs layout;
+    only the 16-bit decode differs: IEEE half -> f32 via quant.
+    f16_bits_to_f32, which is exact for every finite half)."""
+    from tpufluid.ops.quant import f16_bits_to_f32
+
+    cp = (c + 1) // 2
+    odd = c % 2 == 1
+    ch0, ch1 = [], []
+    for k in range(cp):
+        lo0 = f16_bits_to_f32(g0[k])
+        hi0 = f16_bits_to_f32(g0[k] >> 16)
+        if odd and k == cp - 1:
+            ch0.append(lo0)
+            ch1.append(hi0)
+        else:
+            ch0.append(lo0)
+            ch1.append(f16_bits_to_f32(g1[k]))
+            ch0.append(hi0)
+            ch1.append(f16_bits_to_f32(g1[k] >> 16))
+    return jnp.stack(ch0), jnp.stack(ch1)
+
+
 def _corners_from_packed(g0, g1, c: int):
     """(x0, x1) f32 channel stacks from packed gather results. Full planes
     carry TWO CHANNELS at one corner (g0/g1 are the x0/x1 corner gathers);
@@ -336,7 +360,23 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
             for ch in range(channels)])
 
     nrk = r + _trip_unroll(win, r, align) * align
-    if packed:
+    if packed == "f16":
+        # float16 mode: the source arrives PRE-PACKED as uint32 channel-pair
+        # planes (ops/quant.f16_pack_planes) — Mosaic has no f16 refs, so
+        # unlike bf16 the pack cannot happen here; splat bumps were
+        # pre-applied (with f16 storage rounding) in the same XLA pack pass.
+        # Staging is therefore just the lane-alignment roll — or nothing.
+        if col_halo:
+            win_ref = scratch[0]
+            win_ref[:] = pltpu.roll(src_ref[:],
+                                    jnp.mod(lane_off - coff, cbw), axis=2)
+
+            def load2(al):
+                return win_ref[:, pl.ds(al, nrk), :]
+        else:
+            def load2(al):
+                return src_ref[:, pl.ds(al, nrk), :]
+    elif packed:
         # Channel-packed bf16 mode: TWO bf16 channels share one uint32
         # gather plane — tpu.dynamic_gather is 32-bit-only, so this cuts the
         # gather issues and the per-trip roll bytes ~in half. Packed once per
@@ -475,11 +515,14 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
 
     def sub_body(oy, rows_op, acc):
         cp = rows_op.shape[0]
-        odd = packed == "pairs" and c % 2 == 1  # trailing channel col-paired
+        # trailing channel col-paired (its x1 corner is its own upper half)
+        odd = packed in ("pairs", "f16") and c % 2 == 1
         g0 = gather_at(x0i, rows_op, cp)
         g1 = gather_at(x1i, rows_op, cp - 1 if odd else cp)
         if packed == "rgb9e5":
             g0, g1 = _corners_from_rgb9e5(g0, g1)
+        elif packed == "f16":
+            g0, g1 = _corners_from_packed_f16(g0, g1, c)
         elif packed:
             g0, g1 = _corners_from_packed(g0, g1, c)
         gx = g0.astype(jnp.float32) * (1.0 - fx)[None] + g1.astype(jnp.float32) * fx[None]
@@ -511,7 +554,8 @@ def _gather_stream(load2, c, win, cbw, x_local, yp, x_lo, x_hi, yp_hi,
 def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                   dissipation: float, rows_per_block: int = 0,
                   true_shape=None, halo: int = HALO, span: int = 1,
-                  splat=None, max_disp_x=None, quant=None) -> jnp.ndarray:
+                  splat=None, max_disp_x=None, quant=None,
+                  f16c: int = 0) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
     texels/second*; source (C,H,W) or (H,W) on the SAME grid.
 
@@ -522,10 +566,24 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     the span worst case (lane_window_plan); None keeps the legacy plan.
     splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
     added to the source in-kernel before sampling (one MXU bump per window
-    instead of a separate full-grid splat pass)."""
+    instead of a separate full-grid splat pass).
+    f16c > 0: float16 mode — ``source`` is the PRE-PACKED (ceil(f16c/2),H,W)
+    uint32 plane stack of an (f16c,H,W) float16 field (ops/quant.
+    f16_pack_planes); output is float32 (caller rounds to f16 storage at the
+    pass boundary, exactly where the reference's half-float FBO write rounds,
+    script.js:145-153). Splats must be pre-applied (Mosaic has no f16 refs,
+    so the bump cannot ride the in-kernel pack as it does for bf16)."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
+    if f16c:
+        if splat is not None:
+            raise ValueError("f16 packed mode: pre-apply splats in the pack "
+                             "pass (no f16 refs in Mosaic)")
+        if src.dtype != jnp.uint32 or c != (f16c + 1) // 2:
+            raise ValueError(f"f16c={f16c} expects ({(f16c + 1) // 2},H,W) "
+                             f"uint32 planes, got {src.shape} {src.dtype}")
+        c = f16c
     if true_shape is None:
         true_shape = (h, w)
     align = row_align(src.dtype.itemsize)
@@ -567,7 +625,9 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     # splat bumps round to bf16 storage at staging (matching the jnp
     # fallback's (src + bump).astype(dtype)).
     packed = False
-    if src.dtype == jnp.bfloat16 and c > 1:
+    if f16c:
+        packed = "f16"
+    elif src.dtype == jnp.bfloat16 and c > 1:
         packed = "rgb9e5" if (quant == "rgb9e5" and c == 3) else "pairs"
     n_planes = 1 if packed == "rgb9e5" else (c + 1) // 2
     lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
@@ -583,7 +643,8 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((_Element(2, (0, 0)), _Element(rows), _Element(cols)),
                      vel_idx, memory_space=pltpu.VMEM),
-        pl.BlockSpec((_Element(c, (0, 0)), _Element(win), _Element(cbw)),
+        pl.BlockSpec((_Element(src.shape[0], (0, 0)), _Element(win),
+                      _Element(cbw)),
                      src_idx, memory_space=pltpu.VMEM),
     ]
     args = [dt_arr, velocity, src]
@@ -597,13 +658,19 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
+        # f16 mode outputs f32 (Mosaic has no f16 stores; the caller rounds
+        # to f16 storage at the pass boundary like the reference's FBO write).
+        out_shape=jax.ShapeDtypeStruct(
+            (c, h, w), jnp.float32 if packed == "f16" else src.dtype),
         # Staged modes keep the window 32-bit (dynamic rotate/gather are
         # 32-bit-only in this Mosaic): channel-packed uint32 planes for
-        # splat-free bf16, f32 otherwise.
+        # splat-free bf16 and pre-packed f16 (the latter stages only when a
+        # lane-alignment roll is needed), f32 otherwise.
         scratch_shapes=(
-            [pltpu.VMEM((n_planes, win, cbw), jnp.uint32)] if packed
-            else [pltpu.VMEM((c, win, cbw), jnp.float32)] if col_halo
+            [pltpu.VMEM((n_planes, win, cbw), jnp.uint32)]
+            if (packed and (packed != "f16" or col_halo))
+            else [pltpu.VMEM((c, win, cbw), jnp.float32)]
+            if (col_halo and not packed)
             else []),
         cost_estimate=pl.CostEstimate(
             flops=50 * c * h * w,

@@ -332,6 +332,46 @@ def advect(velocity, source, dt, dissipation, splat_factors=None, quant=None):
                             splat_factors=splat_factors, quant=quant)
 
 
+def _advect_f16_packed(velocity, source, dt, dissipation, max_disp_y,
+                       max_disp_x):
+    """Channel-packed float16 gather (round-4 verdict #1): f16 is the
+    reference's LITERAL storage format (script.js:145-153), and its bits
+    pack two 16-bit channels per uint32 gather lane exactly like bf16's —
+    but Mosaic has no f16 refs, so the pack happens HERE (one fused XLA
+    bitcast pass over the f16 state, splat bump already applied with f16
+    rounding by the caller) and the kernel decodes IEEE half -> f32
+    in-register (quant.f16_bits_to_f32, exact for every finite half). Same
+    f32 math on the same values as the staged-f32 path it replaces, so
+    results are BIT-IDENTICAL — with ceil(C/2) gathers per corner instead
+    of C (the odd trailing channel column-pairs, skipping its x1 gather).
+    Returns float32 (caller rounds to f16 at the pass boundary) or None
+    when the geometry is unsupported (caller stages f32)."""
+    if source.ndim != 3 or source.shape[0] < 2:
+        return None
+    c, h, w = source.shape
+    from tpufluid.ops.pallas import advect as _pl
+
+    halo = _pl.halo_for_displacement(max_disp_y)
+    if halo > _pl.HALO:
+        # Cross-resolution halos route to the HBM-segment kernel, which has
+        # no pre-packed mode yet — stage f32 (which may still use it).
+        return None
+    span = _pl.group_span_for_displacement(max_disp_x)
+    cp = (c + 1) // 2
+    pad = _padded_shape(h, w, "advect", 4,
+                        min_h=row_align(4) + 2 * round_up(halo, row_align(4)))
+    if pad is None or not _pl.supported((cp,) + pad, 4, halo, span):
+        return None
+    from tpufluid.ops.quant import f16_pack_planes
+
+    pk = f16_pack_planes(pad_to(source, *pad))
+    vel_p = pad_to(velocity.astype(jnp.float32), *pad)
+    out = _pl.advect_pallas(vel_p, pk, dt, dissipation, true_shape=(h, w),
+                            halo=halo, span=span, max_disp_x=max_disp_x,
+                            f16c=c)
+    return out[..., :h, :w]
+
+
 def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
                      max_disp_x, splat_factors=None, quant=None):
     """Advection with the velocity ALREADY on the source grid in
@@ -342,9 +382,12 @@ def advect_same_grid(velocity, source, dt, dissipation, max_disp_y,
     if _f16_staged(source.dtype):
         if splat_factors is not None:
             source = _apply_bump_rounded(source, splat_factors)
-        out = advect_same_grid(velocity.astype(jnp.float32),
-                               source.astype(jnp.float32), dt, dissipation,
-                               max_disp_y, max_disp_x)
+        out = _advect_f16_packed(velocity, source, dt, dissipation,
+                                 max_disp_y, max_disp_x)
+        if out is None:  # geometry unsupported: stage full f32 as before
+            out = advect_same_grid(velocity.astype(jnp.float32),
+                                   source.astype(jnp.float32), dt,
+                                   dissipation, max_disp_y, max_disp_x)
         return out.astype(jnp.float16)
     # quant="rgb9e5" applies to 3-channel bfloat16 sources only. Every path
     # that runs with quant set honors it (kernels pack/unpack, the jnp

@@ -84,3 +84,77 @@ def rgb9e5_unpack(p: jnp.ndarray) -> jnp.ndarray:
 def rgb9e5_roundtrip(rgb: jnp.ndarray) -> jnp.ndarray:
     """Quantize a (3, ...) field through RGB9E5 storage (float32 out)."""
     return rgb9e5_unpack(rgb9e5_pack(rgb))
+
+
+# --- IEEE binary16 bit machinery for the channel-packed f16 gather --------
+#
+# float16 is the reference's LITERAL storage format (RGBA16F/RG16F/R16F,
+# script.js:145-153). Mosaic has no f16 refs/vectors ("Unsupported type in
+# mosaic dialect: f16", measured on device), but tpu.dynamic_gather is
+# 32-bit-only anyway — so exactly like the bf16 kernels, two 16-bit channels
+# ride one uint32 gather lane; the only difference is WHERE the bits
+# pack/unpack: bf16 packs in-kernel from a native ref, f16 packs OUTSIDE
+# (XLA bitcasts over the f16 state) and DECODES to f32 in-register after the
+# gather. The decode below is exact for every finite half (subnormals take
+# an integer path — no f32-subnormal arithmetic, so a flush-to-zero VPU
+# cannot corrupt them) and fixes up inf/nan, so kernel results stay
+# bit-identical to the staged-f32 path (XLA's convert_element_type).
+
+
+def f16_bits_to_f32(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 whose LOW 16 bits hold an IEEE binary16 -> exact float32.
+    Bits above 16 are ignored. Pure jnp bit math, Pallas-safe."""
+    u = bits.astype(jnp.uint32)
+    em = (u & jnp.uint32(0x7FFF)) << 13  # exp+mantissa in f32 position
+    sign = (u & jnp.uint32(0x8000)) << 16
+    # Normals: exponent rebias 127-15 is an integer add on the bit pattern.
+    norm = em + jnp.uint32(112 << 23)
+    # Subnormals (half exponent 0): value is m * 2^-24 exactly; int->float
+    # convert is exact for m <= 1023 and the result is a NORMAL f32.
+    m = (u & jnp.uint32(0x3FF)).astype(jnp.int32)
+    sub = m.astype(jnp.float32) * jnp.float32(2.0 ** -24)
+    mag = jnp.where(em < jnp.uint32(1 << 23),  # half exponent field == 0
+                    sub,
+                    lax.bitcast_convert_type(
+                        # inf/nan (half exponent 31): force f32 exponent 255,
+                        # keeping the shifted mantissa (nan payload).
+                        jnp.where(em >= jnp.uint32(0x1F << 23),
+                                  em + jnp.uint32(0xE0 << 23),
+                                  norm),
+                        jnp.float32))
+    return lax.bitcast_convert_type(
+        sign | lax.bitcast_convert_type(mag, jnp.uint32), jnp.float32)
+
+
+def f16_pack(lo: jnp.ndarray, hi) -> jnp.ndarray:
+    """Pack two float16 planes into one uint32 plane (lo in bits 0..15)."""
+    b_lo = lax.bitcast_convert_type(lo, jnp.uint16).astype(jnp.uint32)
+    if hi is None:
+        return b_lo
+    b_hi = lax.bitcast_convert_type(hi, jnp.uint16).astype(jnp.uint32)
+    return b_lo | (b_hi << 16)
+
+
+def f16_pack_xpair(v: jnp.ndarray) -> jnp.ndarray:
+    """Pack the COLUMN pair (v[x], v[x+1]) of one f16 plane into uint32
+    (v[x] low); the last lane pairs with itself — CLAMP_TO_EDGE's
+    x1 = min(x0+1, edge). The f16 analog of the bf16 kernel's
+    _pack_bf16_xpair: one gather yields BOTH bilinear x-corners of an odd
+    trailing channel."""
+    b = lax.bitcast_convert_type(v, jnp.uint16).astype(jnp.uint32)
+    nxt = jnp.concatenate([b[..., 1:], b[..., -1:]], axis=-1)
+    return b | (nxt << 16)
+
+
+def f16_pack_planes(src: jnp.ndarray) -> jnp.ndarray:
+    """(C, H, W) float16 -> (ceil(C/2), H, W) uint32 gather planes: full
+    channel pairs share a plane (both channels at one bilinear corner per
+    gather); an odd trailing channel packs its own column pair instead
+    (both corners in one gather). Mirrors the bf16 kernels' in-kernel
+    packing layout exactly (ops/pallas/advect._advect_kernel)."""
+    c = src.shape[0]
+    cp = (c + 1) // 2
+    return jnp.stack([
+        f16_pack(src[2 * k], src[2 * k + 1]) if 2 * k + 1 < c
+        else f16_pack_xpair(src[2 * k])
+        for k in range(cp)])
