@@ -38,6 +38,12 @@ def rng():
 
 
 def pytest_configure(config):
+    # "quick": the fast verification subset — ops/step/golden/render oracle
+    # paths in ~2-3 min on this 1-CPU host (round-4 verdict #9: keeps
+    # suite-green claims independently checkable as the suite grows).
+    # Run with:  python -m pytest tests/ -m quick -q
+    config.addinivalue_line(
+        "markers", "quick: fast verification subset (ops/step/golden/render)")
     # tests/test_tpu.py deliberately runs on the device (invoked standalone
     # in a process where jax already initialized the TPU backend).
     if _TPU_RUN:

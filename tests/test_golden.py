@@ -5,6 +5,9 @@ variation). Regenerate with: python tests/test_golden.py"""
 import os
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick  # fast verification subset (CLAUDE.md)
 import jax
 import jax.numpy as jnp
 

@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.quick  # fast verification subset (CLAUDE.md)
+
 from tpufluid.ops import stencil
 from tpufluid.ops.advect import advect
 from tpufluid.ops.splat import apply_splat_batch, make_splat_array, splat_field

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.quick  # fast verification subset (CLAUDE.md)
+
 from tpufluid import FluidConfig, init_state, make_step
 from tpufluid.step import fluid_step, make_multi_step
 from tpufluid.trace import swirl_trace

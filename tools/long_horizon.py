@@ -83,6 +83,15 @@ def main(argv=None) -> dict:
     t0 = time.time()
     step = 0
     warned = 0
+    # Rate accounting (round-4 verdict weak #6): the wall rate divides by
+    # EVERYTHING, but each chunk also runs a dozen whole-field diagnostic
+    # reductions + host pulls over the (slow) tunnel — at 4096^2 those
+    # pulls explained an apparent 2x "regression" vs bench config 4.
+    # Split the clock: compute_seconds closes each chunk with one scalar
+    # read (block_until_ready alone may return early on tunneled
+    # backends, CLAUDE.md); diagnostics_seconds is logger.log.
+    compute_s = 0.0
+    diag_s = 0.0
     while step < args.steps:
         n = min(args.chunk, args.steps - step)
         if step < args.splat_steps:
@@ -91,9 +100,14 @@ def main(argv=None) -> dict:
                 chunk = np.concatenate([chunk, none_batch[:n - len(chunk)]])
         else:
             chunk = none_batch[:n]
+        ta = time.time()
         state = multi(state, dt, jnp.asarray(chunk))
+        float(jnp.sum(state.pressure[:1, :8]))  # close the compute timing
+        tb = time.time()
         step += n
         rec = logger.log(step, state, cfg)
+        diag_s += time.time() - tb
+        compute_s += tb - ta
         records.append(rec)
         if contract_warning(rec):
             warned += 1
@@ -114,6 +128,15 @@ def main(argv=None) -> dict:
                    "splat_steps": args.splat_steps,
                    "jacobi_iters": args.jacobi_iters},
         "steps_per_s": round(args.steps / elapsed, 2),
+        # Reconciles with bench config 4: steps_per_s_compute excludes the
+        # per-chunk diagnostic reductions/host pulls (the bench has none).
+        "steps_per_s_compute": round(args.steps / max(compute_s, 1e-9), 2),
+        "compute_seconds": round(compute_s, 2),
+        "diagnostics_seconds": round(diag_s, 2),
+        "rate_accounting": ("wall = compute + per-chunk diagnostics "
+                            "(whole-field reductions + device->host pulls); "
+                            "compare steps_per_s_compute, not steps_per_s, "
+                            "with bench --config 4"),
         "nonfinite_total": sum(r["nonfinite"] for r in records),
         "max_component_speed_peak": max(r["max_component_speed"]
                                         for r in records),

@@ -57,6 +57,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the run into this dir")
     p.add_argument("--gif", type=str, default=None,
                    help="also write rendered frames as an animated GIF")
+    p.add_argument("--dither", type=str, default=None,
+                   help="external dither texture PNG (R channel, tiled at "
+                        "ditherScale like the reference's LDR_LLL1_0.png, "
+                        "script.js:960,1626-1631); default: the generated "
+                        "blue-noise tile")
     p.add_argument("--debug-nans", action="store_true",
                    help="jax_debug_nans: fail loudly on the first non-finite "
                         "value in any pass (SURVEY.md §5.2 debug mode)")
@@ -118,6 +123,11 @@ def main(argv: Optional[list] = None) -> None:
 
     step = make_step(config)
     render = make_render(config)
+    dither = None
+    if args.dither:
+        from tpufluid.io import load_dither
+
+        dither = jnp.asarray(load_dither(args.dither))
     logger = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
     # Trace v2 carries a per-step dt (reference calcDeltaTime recomputes dt
     # every frame, script.js:1188-1194); past the recording, free-run at the
@@ -137,7 +147,7 @@ def main(argv: Optional[list] = None) -> None:
                 state = step(state, dt, batch)
         if args.render_every and (t + 1) % args.render_every == 0:
             with jax.profiler.TraceAnnotation("render"):
-                frame = np.asarray(render(state))
+                frame = np.asarray(render(state, dither))
             save_png(frame, os.path.join(args.out, f"frame_{t + 1:06d}.png"))
             if args.gif:
                 gif_frames.append(frame)
@@ -162,7 +172,8 @@ def main(argv: Optional[list] = None) -> None:
     if args.capture:
         from tpufluid.render import capture_frame
 
-        save_png(np.asarray(capture_frame(state, config)), args.capture)
+        save_png(np.asarray(capture_frame(state, config, dither=dither)),
+                 args.capture)
         print(f"capture written to {args.capture}")
     if args.gif and gif_frames:
         from tpufluid.io import save_gif

@@ -70,3 +70,21 @@ def save_gif(frames: Iterable[np.ndarray], path: str, fps: float = 60.0) -> int:
     imgs[0].save(path, save_all=True, append_images=imgs[1:],
                  duration=max(int(1000.0 / fps), 10), loop=0)
     return len(imgs)
+
+
+def load_dither(path: str) -> np.ndarray:
+    """Load a dither texture PNG -> (H, W) float32 in [0, 1].
+
+    The reference ships a 64x64 blue-noise asset (LDR_LLL1_0.png, loaded by
+    createTextureAsync, script.js:960,1128-1158) and its display shader
+    samples only the RED channel (texture2D(uDithering, ...).r,
+    script.js:602), normalized from 8-bit storage — so an arbitrary
+    external PNG reduces to its R channel / 255. Rows keep PNG order (the
+    same array orientation the GL acceptance harness uploads, so parity
+    holds pixel-for-pixel)."""
+    from PIL import Image
+
+    arr = np.asarray(Image.open(path), dtype=np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr / 255.0

@@ -125,7 +125,8 @@ def capture_frame(state: FluidState, config: FluidConfig,
 
 @lru_cache(maxsize=None)
 def make_step_and_render(config: FluidConfig,
-                         out_hw: Optional[Tuple[int, int]] = None):
+                         out_hw: Optional[Tuple[int, int]] = None,
+                         dither_path: Optional[str] = None):
     """One jitted dispatch per interactive frame: step + render + uint8
     quantize + vertical flip ON-DEVICE -> (state, (h, w, 3) uint8 top-down).
 
@@ -133,11 +134,17 @@ def make_step_and_render(config: FluidConfig,
     backends (~450 us per dispatch): fusing the reference's per-frame
     step(dt) + render(null) pair (script.js:1182-1184) into one dispatch and
     shipping 3-byte pixels instead of f32 RGBA cuts both the dispatch count
-    and the device->host transfer."""
-    return jax.jit(tick_body(config, out_hw), donate_argnums=0)
+    and the device->host transfer.
+
+    dither_path: optional external dither PNG (a PATH so this factory stays
+    lru_cache-hashable) baked into the compiled frame as a constant — the
+    analog of the reference's createTextureAsync'd LDR_LLL1_0.png
+    (script.js:960,1128-1158)."""
+    return jax.jit(tick_body(config, out_hw, dither_path), donate_argnums=0)
 
 
-def tick_body(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None):
+def tick_body(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None,
+              dither_path: Optional[str] = None):
     """The UNJITTED per-frame body (step + render + uint8 quantize + flip):
     shared by the single-session server (jitted directly above) and the
     multi-tenant server (vmapped over sessions, serve_batch.make_batched_tick)
@@ -146,18 +153,25 @@ def tick_body(config: FluidConfig, out_hw: Optional[Tuple[int, int]] = None):
 
     def tick(state: FluidState, dt, splats):
         state = fluid_step(state, dt, splats, config)
-        return state, frame_u8(state, config, out_hw=out_hw)
+        return state, frame_u8(state, config, out_hw=out_hw,
+                               dither_path=dither_path)
 
     return tick
 
 
 def frame_u8(state: FluidState, config: FluidConfig,
-             out_hw: Optional[Tuple[int, int]] = None) -> jnp.ndarray:
+             out_hw: Optional[Tuple[int, int]] = None,
+             dither_path: Optional[str] = None) -> jnp.ndarray:
     """Rendered frame in the servers' wire format, computed ON DEVICE:
     render + clip01*255 quantize + vertical flip -> (h, w, 3) uint8
     top-down. Shared by tick_body and the fast-forward substepped tick
     (serve_batch.make_substepped_tick), which renders ONCE after its K
     substeps rather than per substep."""
-    frame = render_frame(state, config, out_hw=out_hw)
+    dither = None
+    if dither_path is not None:
+        from tpufluid.io import load_dither
+
+        dither = jnp.asarray(load_dither(dither_path))
+    frame = render_frame(state, config, out_hw=out_hw, dither=dither)
     rgb = (jnp.clip(frame[:3], 0.0, 1.0) * 255.0).astype(jnp.uint8)
     return jnp.transpose(rgb, (1, 2, 0))[::-1]

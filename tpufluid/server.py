@@ -232,7 +232,8 @@ class FluidServer:
     MAX_INFLIGHT_EVENTS = 32
 
     def __init__(self, config, seed: int = 0, quality: int = 80,
-                 resume: Optional[str] = None):
+                 resume: Optional[str] = None,
+                 dither_path: Optional[str] = None):
         from tpufluid import init_state
         from tpufluid.render import make_render, make_step_and_render
         from tpufluid.trace import PointerTracer
@@ -255,8 +256,18 @@ class FluidServer:
             self.config = config
             self.tracer = PointerTracer(config, seed=seed)
         self._init_state = init_state
+        # Optional external dither texture (the reference's LDR_LLL1_0.png
+        # analog, script.js:960): a PATH, baked into the compiled frame.
+        self.dither_path = dither_path
+        self._dither = None
+        if dither_path is not None:
+            import jax.numpy as jnp
+
+            from tpufluid.io import load_dither
+
+            self._dither = jnp.asarray(load_dither(dither_path))
         # One fused step+render+quantize dispatch per frame.
-        self.tick = make_step_and_render(config)
+        self.tick = make_step_and_render(config, dither_path=dither_path)
         self.render = make_render(config)
         self.quality = quality
         self.paused = False
@@ -327,7 +338,7 @@ class FluidServer:
         self._acquire_or_503()
         try:
             cfg = dataclasses.replace(self.config, **updates).validate()
-            new_tick = make_step_and_render(cfg)
+            new_tick = make_step_and_render(cfg, dither_path=self.dither_path)
             new_render = make_render(cfg)
             if self.state is not None:
                 self.state = resize_state(self.state, cfg)
@@ -392,7 +403,7 @@ class FluidServer:
             state, cfg = self.state, self.config
             if state is None:
                 return None
-            frame = np.asarray(capture_frame(state, cfg))
+            frame = np.asarray(capture_frame(state, cfg, dither=self._dither))
         finally:
             self.lock.release()
         arr = frame_to_uint8(frame)
@@ -463,7 +474,8 @@ class FluidServer:
                     self.recorded.append(batch)
                     self.recorded_dts.append(dt_wall)
                 if paused:
-                    frame = frame_to_uint8(np.asarray(self.render(self.state)))[..., :3]
+                    frame = frame_to_uint8(np.asarray(
+                        self.render(self.state, self._dither)))[..., :3]
                 else:
                     self.state, rgb = self.tick(self.state, jnp.float32(dt_wall),
                                                 jnp.asarray(batch))
@@ -650,13 +662,18 @@ def main(argv=None):
     p.add_argument("--resume", type=str, default=None,
                    help="resume an interactive session from a /checkpoint.npz "
                         "download (fields + config + tracer RNG cursors)")
+    p.add_argument("--dither", type=str, default=None,
+                   help="external dither texture PNG (R channel, ditherScale "
+                        "tiling — the reference's LDR_LLL1_0.png analog, "
+                        "script.js:960,1626-1631)")
     args = p.parse_args(argv)
 
     cw, ch = (int(x) for x in args.canvas.split("x"))
     config = FluidConfig(SIM_RESOLUTION=args.sim_res, DYE_RESOLUTION=args.dye_res,
                          CANVAS_WIDTH=cw, CANVAS_HEIGHT=ch,
                          BLOOM=not args.no_bloom, SUNRAYS=not args.no_sunrays).validate()
-    server = FluidServer(config, seed=args.seed, resume=args.resume)
+    server = FluidServer(config, seed=args.seed, resume=args.resume,
+                         dither_path=args.dither)
     sim_thread = threading.Thread(target=server.run, daemon=True)
     sim_thread.start()
 
