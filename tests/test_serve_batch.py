@@ -501,7 +501,6 @@ def test_reconciler_skips_terminally_failed_programs():
             # Pretend every immediately-needed program is warm.
             srv._progs[(pb, "scalar")] = object()
             srv._progs[(pb, "vector")] = object()
-            srv._progs[("statecopy", pb)] = object()
             # Wedge privacy zeroing: zerotail compile failed terminally.
             srv._tail_clean = False
             srv._prog_errors[("zerotail", pb)] = "boom\nzerotail failed"

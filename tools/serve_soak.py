@@ -17,8 +17,10 @@ What it certifies (the production-serving robustness + latency spec):
                                 one 16.7 ms frame, script.js:1185)
     resize     p99 <= 5 s      (two-phase: bookkeeping only; the
                                 reconciler compiles/swap off-path)
-    checkpoint p99 <= 5 s      (device copy under the locks; transfer +
-                                deflate outside them)
+    checkpoint p99 <= 1 s      (round 5: AOT async device copy under the
+                                locks; forcing + transfer + serialization
+                                outside them — bounded independent of tick
+                                duration and fleet size)
     frame      p99 <= 250 ms   (lazy JPEG encode + lock reads)
   and >= 10 resizes actually executed during the soak.
 
@@ -40,7 +42,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SLO_MS = {"events": 250.0, "resize": 5000.0, "checkpoint": 5000.0,
+SLO_MS = {"events": 250.0, "resize": 5000.0, "checkpoint": 1000.0,
           "frame": 250.0}
 MIN_RESIZES = 10
 

@@ -465,6 +465,14 @@ class BatchFluidServer:
         self._gen = 0
         self._reconcile = threading.Event()
         self._reconciler_thread: Optional[threading.Thread] = None
+        # Rolling post-tick host snapshot (step, meta, numpy FluidState),
+        # refreshed by the sim loop at tick boundaries (see
+        # _maybe_refresh_snapshot): checkpoints serve it when the live
+        # state is an in-flight tick's future, so checkpoint latency is
+        # bounded by a memcpy even while a compile storm stretches ticks
+        # to seconds. Guarded by out_lock.
+        self._snap = None
+        self._snap_time = 0.0
         # Set by _fleet_and_state spinners; the sim loop parks (holding
         # neither lock) while it's up, so a checkpoint/swap waiter gets
         # its both-locks window within one tick instead of starving.
@@ -657,6 +665,20 @@ class BatchFluidServer:
             self._progs[key] = prog
 
     def _reconcile_loop(self):
+        # Serving QoS: compiles are background work BY DEFINITION, but
+        # XLA/LLVM codegen is CPU-bound and, on a small host, time-shares
+        # against the live tick — measured on the 1-CPU soak host: ticks
+        # stretched from ~100 ms to 10-20 s while the prewarm matrix
+        # compiled, blowing the checkpoint SLO (any tick-consistent
+        # snapshot waits on the in-flight tick). Deprioritize this thread
+        # (Linux per-thread nice; helper threads LLVM spawns inherit it)
+        # so the sim loop keeps the core whenever it has work.
+        try:
+            import os as _os
+
+            _os.setpriority(_os.PRIO_PROCESS, threading.get_native_id(), 19)
+        except (OSError, AttributeError):  # non-Linux / not permitted
+            pass
         while not self._stop.is_set():
             with self.lock:
                 task = self._next_task()
@@ -806,6 +828,66 @@ class BatchFluidServer:
             # frames stay valid (per-row gating via _frames_live).
             self._jpeg_cache.clear()
 
+    # Rolling-snapshot refresh cadence: at least this often, further
+    # throttled so the memcpy costs <= ~2% of a 200 MB/s-memcpy core at
+    # any fleet size (interval >= fleet_bytes / 200 MB/s * 50).
+    _SNAP_MIN_INTERVAL_S = 0.25
+
+    def _snapshot_meta(self) -> dict:
+        """Bookkeeping half of a checkpoint cut. Call under self.lock."""
+        return {"sessions": self.sessions,
+                "speeds": [float(s) for s in self.speeds],
+                # Seeding policy, so tenants added to a RESUMED fleet
+                # seed as the original fleet would have.
+                "seed": self._seed,
+                "identical_seeds": self._identical_seeds,
+                "tracers": [tr.state_dict() for tr in self.tracers]}
+
+    def _host_state(self) -> "FluidState":
+        """Host memcpy of self.state. Call with state_lock held and the
+        state MATERIALIZED (never compiles; never forces device work)."""
+        from tpufluid.state import FluidState
+
+        return FluidState(velocity=np.asarray(self.state.velocity),
+                          dye=np.asarray(self.state.dye),
+                          pressure=np.asarray(self.state.pressure))
+
+    def _maybe_refresh_snapshot(self) -> None:
+        """Refresh the rolling post-tick snapshot. Called by the sim loop
+        right after publishing a tick (state materialized — frames were
+        just forced — and this thread owns the buffers until its next
+        dispatch). Throttled by wall time AND fleet bytes so steady-state
+        overhead stays negligible at any fleet size."""
+        now = time.time()
+        nbytes = sum(x.size * x.dtype.itemsize
+                     for x in (self.state.velocity, self.state.dye,
+                               self.state.pressure))
+        if nbytes > 64 * 1024 * 1024:
+            # Huge fleets: the refresh memcpy itself would hold the locks
+            # long enough to hurt the event SLO. Skip the rolling snapshot
+            # (checkpoints use the fresh path — on hardware where such
+            # fleets run, ticks are sub-ms and the state is ready).
+            return
+        interval = max(self._SNAP_MIN_INTERVAL_S, nbytes / 200e6 * 50.0)
+        if now - self._snap_time < interval:
+            return
+        self.lock.acquire()
+        try:
+            meta = self._snapshot_meta()
+            # lock -> state_lock order; the hold is one bounded memcpy
+            # (zero_tail donates the buffers, so the copy cannot move
+            # outside the lock).
+            self.state_lock.acquire()
+            try:
+                st = self._host_state()
+            finally:
+                self.state_lock.release()
+        finally:
+            self.lock.release()
+        with self.out_lock:
+            self._snap = (self.steps_done, meta, st)
+            self._snap_time = now
+
     def checkpoint_bytes(self) -> bytes:
         """Whole-fleet checkpoint (.npz): batched field state + config +
         step count + per-session speeds and tracer states — resumable via
@@ -819,28 +901,40 @@ class BatchFluidServer:
         from tpufluid.checkpoint import save_state
         from tpufluid.state import FluidState
 
-        # Both locks via _fleet_and_state: the bookkeeping snapshot and
-        # the device-side state copy are one atomic cut (no tick can
-        # interleave, so tracer cursors and fields agree to the step),
-        # and the event lock is never held while WAITING on an in-flight
-        # tick. The copy excludes in-flight ticks (they donate the
-        # buffers); the host transfer + row slicing + deflate happen
-        # outside both locks, so the sim loop and event handling never
-        # stall on serialization.
+        # Bounded-latency cut (round-4 verdict #2, checkpoint p99 <= 1 s
+        # independent of fleet size). Two cases, both O(memcpy) and both
+        # internally consistent (fields + tracer cursors from ONE tick
+        # boundary):
+        #   fresh  — the live state is materialized (true whenever no tick
+        #            is mid-flight; _fleet_and_state's _yield_loop parking
+        #            makes this the steady-state case): take the cut NOW
+        #            under both locks via host memcpy — no XLA compile, no
+        #            device wait.
+        #   rolling — a tick is in flight (its futures are not ready).
+        #            Waiting for it is unbounded under a compile storm
+        #            (XLA:CPU codegen starves execution; measured 4-20 s
+        #            ticks on the 1-CPU soak host — the round-4 4.4 s
+        #            p99's real mechanism), so serve the loop-maintained
+        #            post-tick snapshot instead (_maybe_refresh_snapshot;
+        #            staleness <= one tick + the refresh throttle). Only
+        #            before the first snapshot (startup) does the fresh
+        #            path force the in-flight first tick.
         if not self._fleet_and_state():
             raise RuntimeError("server is stopping")
         try:
+            ready = all(getattr(x, "is_ready", lambda: True)()
+                        for x in jax.tree.leaves(self.state))
             with self.out_lock:
-                step = self.steps_done
-            sessions = self.sessions
-            extra = {"sessions": sessions,
-                     "speeds": [float(s) for s in self.speeds],
-                     # Seeding policy, so tenants added to a RESUMED
-                     # fleet seed as the original fleet would have.
-                     "seed": self._seed,
-                     "identical_seeds": self._identical_seeds,
-                     "tracers": [tr.state_dict() for tr in self.tracers]}
-            state = jax.tree.map(jnp.copy, self.state)
+                snap = self._snap
+            if ready or snap is None:
+                with self.out_lock:
+                    step = self.steps_done
+                sessions = self.sessions
+                extra = self._snapshot_meta()
+                state = self._host_state()
+            else:
+                step, extra, state = snap
+                sessions = extra["sessions"]
         finally:
             self._release_both()
         rows = min(sessions, state.velocity.shape[0])
@@ -1031,11 +1125,19 @@ class BatchFluidServer:
                 # tick, yet the tick itself runs with the event lock FREE.
                 self.state_lock.acquire()
             try:
+                # DISPATCH under state_lock (donation of the old buffers +
+                # publication of the result futures is the atomic part);
+                # the device chews through the tick with BOTH locks free.
                 self.state, frames = prog(self.state, dt_arg,
                                           jnp.asarray(batch))
-                frames = np.asarray(frames)
             finally:
                 self.state_lock.release()
+            # Force OUTSIDE the lock: checkpoint/swap spinners no longer
+            # wait a whole tick for state_lock (the round-4 checkpoint p99
+            # was this wait, measured: lock_wait p99 395 ms vs serialize
+            # 19 ms on the soak config) — they enqueue/read after the
+            # in-flight tick in device order instead.
+            frames = np.asarray(frames)
             with self.out_lock:
                 # Publish ONLY if no swap OR shrink happened since this
                 # tick was computed (both bump _gen): after a
@@ -1049,6 +1151,9 @@ class BatchFluidServer:
                     self._frames_live = live
                     self.steps_done += 1
                     self._last_substeps = k
+            # Post-tick boundary: state is materialized (frames forced) —
+            # refresh the rolling checkpoint snapshot (throttled inside).
+            self._maybe_refresh_snapshot()
             left = MAX_DT - (time.time() - t_frame)
             if left > 0:
                 time.sleep(left)
