@@ -1007,3 +1007,29 @@ def test_advect_f16_packed_bitexact_vs_staged(channels, rng):
                               src16.astype(jnp.float32), dt, 0.7,
                               max_disp_x=1000.0 / 60.0)
     np.testing.assert_array_equal(np.asarray(g0), np.asarray(w0))
+
+
+def test_advect_hbm_f16_packed_bitexact_vs_staged(rng):
+    """The HBM-segment kernel's pre-packed float16 mode (the demo's 8x
+    dye/sim cross-resolution geometry) must be bit-close to the staged-f32
+    HBM kernel on the f32-cast source (XLA:CPU FMA contraction allows
+    1-ULP stragglers; device equality class pinned by the windowed test)."""
+    import tpufluid.ops.pallas.advect_hbm as ah
+    from tpufluid.ops.quant import f16_pack_planes
+
+    H, W, C = 128, 256, 3
+    vel16 = jnp.clip(jnp.asarray(
+        (rng.standard_normal((2, H, W)) * 700).astype(np.float16)),
+        -1000, 1000)
+    src16 = jnp.asarray(rng.random((C, H, W)).astype(np.float16))
+    dt = jnp.float32(0.016666)
+    vel = vel16.astype(jnp.float32)
+    mdx = 8.0 * 1000.0 / 60.0  # demo-scale column bound
+    with _interp(ah):
+        want = ah.advect_pallas_hbm(vel, src16.astype(jnp.float32), dt, 1.0,
+                                    max_disp_x=mdx)
+        got = ah.advect_pallas_hbm(vel, f16_pack_planes(src16), dt, 1.0,
+                                   max_disp_x=mdx, f16c=C)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-7, atol=3e-7)

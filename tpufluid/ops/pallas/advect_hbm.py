@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpufluid.ops.pallas.advect import (_clamped_start,
                                         _corners_from_packed,
+                                        _corners_from_packed_f16,
                                         _corners_from_rgb9e5, _pack_bf16,
                                         _pack_bf16_xpair,
                                         backtrace_col_bounds,
@@ -115,7 +116,12 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
     else:
         out_ref = rest[0]
         scratch_list = rest[1:]
-    if packed:
+    if packed == "f16":
+        # Segments arrive PRE-PACKED from HBM (uint32 channel-pair planes,
+        # ops/quant.f16_pack_planes): no per-segment pack, no pk scratch.
+        scratch, sem = scratch_list
+        pk_ref = st_ref = None
+    elif packed:
         scratch, pk_ref, sem = scratch_list
         st_ref = None
     elif with_splats:
@@ -273,7 +279,8 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
         cp = rows_op.shape[0]
         # Odd trailing channel is column-paired: its single gather carries
         # both x-corners, so the x1 gather skips that plane entirely.
-        cp1 = cp - 1 if packed == "pairs" and channels % 2 == 1 else cp
+        cp1 = (cp - 1 if packed in ("pairs", "f16") and channels % 2 == 1
+               else cp)
         g0 = gather_groups(idx0, rows_op, s_inner, cp)
         g1 = gather_groups(idx1, rows_op, s_inner, cp1)
         if not s_outer:
@@ -303,7 +310,9 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
         def _():
             seg_copy(k + 1, lax.rem(k + 1, 2)).start()
 
-        if packed:
+        if packed == "f16":
+            pass  # segments are pre-packed uint32 planes straight from HBM
+        elif packed:
             # Pack the DMA'd bf16 segment ONCE (channel pairs per uint32
             # lane, ops/pallas/advect._pack_bf16) so every trip slices and
             # rolls half the planes. A fused splat bump rounds to bf16
@@ -369,6 +378,8 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             g0, g1 = gather_pair(x0i, x1i, rows_op)
             if packed == "rgb9e5":
                 g0, g1 = _corners_from_rgb9e5(g0, g1)
+            elif packed == "f16":
+                g0, g1 = _corners_from_packed_f16(g0, g1, channels)
             elif packed:
                 g0, g1 = _corners_from_packed(g0, g1, channels)
             gxv = g0 * (1.0 - fx)[None] + g1 * fx[None]
@@ -381,7 +392,9 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
             al_un = ((i * r + oy) // align) * align
             al = pl.multiple_of(jnp.clip(al_un, 0, h_global - nr2), align)
             al_loc = pl.multiple_of(al - seg_start, align)
-            if packed:
+            if packed == "f16":
+                sl16 = scratch[slot, :, pl.ds(al_loc, nr2), :]
+            elif packed:
                 sl16 = pk_ref[:, pl.ds(al_loc, nr2), :]
             elif with_splats:
                 sl16 = st_ref[:, pl.ds(al_loc, nr2), :]
@@ -406,7 +419,8 @@ def _kernel(dt_ref, lo_ref, hi_ref, xlo_ref, xhi_ref, vel_ref, src_ref, *rest,
 def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                       dissipation: float, true_shape=None,
                       span: int = 1, splat=None,
-                      max_disp_x=None, quant=None) -> jnp.ndarray:
+                      max_disp_x=None, quant=None,
+                      f16c: int = 0) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection, velocity in source-texels/second.
 
     No worst-case row halo: segments are DMA'd on demand, so this is the
@@ -415,10 +429,21 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     (source texels) tightens the gather group plan below the span worst case
     (advect.lane_window_plan).
     splat: optional (gy (H,S), gx (S,W), amt (S,C)) separable splat factors
-    added to each slice in-kernel before sampling."""
+    added to each slice in-kernel before sampling.
+    f16c > 0: float16 mode — ``source`` is the PRE-PACKED (ceil(f16c/2),H,W)
+    uint32 plane stack (ops/quant.f16_pack_planes; see advect.advect_pallas);
+    output float32, splats pre-applied by the caller."""
     squeeze = source.ndim == 2
     src = source[None] if squeeze else source
     c, h, w = src.shape
+    if f16c:
+        if splat is not None:
+            raise ValueError("f16 packed mode: pre-apply splats in the pack "
+                             "pass (no f16 refs in Mosaic)")
+        if src.dtype != jnp.uint32 or c != (f16c + 1) // 2:
+            raise ValueError(f"f16c={f16c} expects ({(f16c + 1) // 2},H,W) "
+                             f"uint32 planes, got {src.shape} {src.dtype}")
+        c = f16c
     if true_shape is None:
         true_shape = (h, w)
     align = row_align(src.dtype.itemsize)
@@ -456,7 +481,9 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
     # storage at segment packing (matching the jnp fallback's
     # (src + bump).astype(dtype)).
     packed = False
-    if src.dtype == jnp.bfloat16 and c > 1:
+    if f16c:
+        packed = "f16"
+    elif src.dtype == jnp.bfloat16 and c > 1:
         packed = "rgb9e5" if (quant == "rgb9e5" and c == 3) else "pairs"
     n_planes = 1 if packed == "rgb9e5" else (c + 1) // 2
     lane_off, s_lo, s_hi = lane_window_plan(max_disp_x, span, cols, cbw)
@@ -488,11 +515,14 @@ def advect_pallas_hbm(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((c, rows, cols), lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((c, h, w), src.dtype),
+        # f16 mode outputs f32 (the caller rounds to f16 at the pass
+        # boundary, where the reference's half-float FBO write rounds).
+        out_shape=jax.ShapeDtypeStruct(
+            (c, h, w), jnp.float32 if packed == "f16" else src.dtype),
         scratch_shapes=(
-            [pltpu.VMEM((2, c, win2, cbw), src.dtype)]
+            [pltpu.VMEM((2, src.shape[0], win2, cbw), src.dtype)]
             + ([pltpu.VMEM((n_planes, win2, cbw), jnp.uint32)]
-               if packed else
+               if packed and packed != "f16" else
                [pltpu.VMEM((c, win2, cbw), jnp.float32)] if with_splats
                else [])
             + [pltpu.SemaphoreType.DMA((2,))]),

@@ -350,20 +350,29 @@ def _advect_f16_packed(velocity, source, dt, dissipation, max_disp_y,
         return None
     c, h, w = source.shape
     from tpufluid.ops.pallas import advect as _pl
+    from tpufluid.ops.quant import f16_pack_planes
 
     halo = _pl.halo_for_displacement(max_disp_y)
-    if halo > _pl.HALO:
-        # Cross-resolution halos route to the HBM-segment kernel, which has
-        # no pre-packed mode yet — stage f32 (which may still use it).
-        return None
     span = _pl.group_span_for_displacement(max_disp_x)
     cp = (c + 1) // 2
+    if halo > _pl.HALO:
+        # Cross-resolution displacement bound (demo 8x dye/sim): the
+        # HBM-segment kernel DMAs pre-packed uint32 segments on demand.
+        from tpufluid.ops.pallas import advect_hbm as _hbm
+
+        pad = _padded_shape(h, w, "advect", 4)
+        if pad is None or not _hbm.supported((c,) + pad, 4, span):
+            return None
+        pk = f16_pack_planes(pad_to(source, *pad))
+        vel_p = pad_to(velocity.astype(jnp.float32), *pad)
+        out = _hbm.advect_pallas_hbm(vel_p, pk, dt, dissipation,
+                                     true_shape=(h, w), span=span,
+                                     max_disp_x=max_disp_x, f16c=c)
+        return out[..., :h, :w]
     pad = _padded_shape(h, w, "advect", 4,
                         min_h=row_align(4) + 2 * round_up(halo, row_align(4)))
     if pad is None or not _pl.supported((cp,) + pad, 4, halo, span):
         return None
-    from tpufluid.ops.quant import f16_pack_planes
-
     pk = f16_pack_planes(pad_to(source, *pad))
     vel_p = pad_to(velocity.astype(jnp.float32), *pad)
     out = _pl.advect_pallas(vel_p, pk, dt, dissipation, true_shape=(h, w),
