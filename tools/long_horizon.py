@@ -92,6 +92,7 @@ def main(argv=None) -> dict:
     # backends, CLAUDE.md); diagnostics_seconds is logger.log.
     compute_s = 0.0
     diag_s = 0.0
+    chunk_secs = []  # per-chunk compute (chunk 0 carries the compile)
     while step < args.steps:
         n = min(args.chunk, args.steps - step)
         if step < args.splat_steps:
@@ -108,6 +109,7 @@ def main(argv=None) -> dict:
         rec = logger.log(step, state, cfg)
         diag_s += time.time() - tb
         compute_s += tb - ta
+        chunk_secs.append(tb - ta)
         records.append(rec)
         if contract_warning(rec):
             warned += 1
@@ -128,15 +130,33 @@ def main(argv=None) -> dict:
                    "splat_steps": args.splat_steps,
                    "jacobi_iters": args.jacobi_iters},
         "steps_per_s": round(args.steps / elapsed, 2),
-        # Reconciles with bench config 4: steps_per_s_compute excludes the
-        # per-chunk diagnostic reductions/host pulls (the bench has none).
+        # Reconciles with bench config 4: the MEDIAN chunk's compute rate
+        # (steady-state kernel rate, what the bench times) — total compute
+        # seconds do NOT reconcile because chunk 0 carries the XLA compile
+        # and the tunneled runtime's per-dispatch latency DEGRADES
+        # monotonically as a process ages (measured e05: 0.56 -> 0.84 s per
+        # 50-step chunk over 10 chunks at 4096^2; the CLAUDE.md "450 us
+        # fresh -> 7 ms in long-lived workers" pathology, accelerated by
+        # the ~15 diagnostic dispatches each chunk issues). An environment
+        # artifact of the axon tunnel, not a kernel regression — bench
+        # config 4 measures the same program at its 2nd-4th executions.
+        "steps_per_s_compute_median": round(
+            args.chunk / float(np.median(chunk_secs[1:] or chunk_secs)), 2),
         "steps_per_s_compute": round(args.steps / max(compute_s, 1e-9), 2),
         "compute_seconds": round(compute_s, 2),
+        "first_chunk_seconds": round(chunk_secs[0], 2),  # compile + load
+        "tunnel_decay_x": round(
+            float(np.mean(chunk_secs[-max(1, len(chunk_secs) // 4):])
+                  / max(np.mean(chunk_secs[1:1 + max(1, len(chunk_secs)
+                                                     // 4)]), 1e-9)), 2)
+        if len(chunk_secs) > 2 else None,
         "diagnostics_seconds": round(diag_s, 2),
-        "rate_accounting": ("wall = compute + per-chunk diagnostics "
-                            "(whole-field reductions + device->host pulls); "
-                            "compare steps_per_s_compute, not steps_per_s, "
-                            "with bench --config 4"),
+        "rate_accounting": ("wall = compile (first_chunk_seconds) + chunk "
+                            "compute (degrading per-dispatch tunnel latency "
+                            "as the process ages; tunnel_decay_x = last/first "
+                            "quartile) + per-chunk diagnostics; compare "
+                            "steps_per_s_compute_median with bench "
+                            "--config 4"),
         "nonfinite_total": sum(r["nonfinite"] for r in records),
         "max_component_speed_peak": max(r["max_component_speed"]
                                         for r in records),
