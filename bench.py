@@ -357,6 +357,8 @@ def _summary_line(out: dict) -> dict:
          "vs_baseline": out.get("vs_baseline")}
     if out.get("error"):
         s["error"] = out["error"]
+        # An outage tail capture must retain the cause, not just the label.
+        s["detail"] = str(out.get("detail", ""))[:150]
     floors = out.get("floors") or {}
     star = floors.get("north_star") or {}
     if "north_star_10k_reachable_projected" in star:

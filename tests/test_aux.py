@@ -239,11 +239,15 @@ def test_burst_spills_over_max_splats():
 
 def test_trace_v2_per_step_dt(tmp_path):
     """Trace v2 records per-step dt (calcDeltaTime, script.js:1188-1194) and
-    clamps at 1/60; v1 scalar-dt files still load."""
+    clamps at the reference's LITERAL 0.016666 (script.js:1191 — just below
+    1/60, so a 60 Hz frame always clamps); v1 scalar-dt files still load."""
+    from tpufluid.config import MAX_DT
+
     batches = np.zeros((4, 2, 8), np.float32)
-    dts = [1 / 120, 1 / 90, 0.5, 1 / 60]  # 0.5 s frame hitch -> clamped
+    dts = [1 / 120, 1 / 90, 0.5, 1 / 60]  # 0.5 s hitch AND 1/60 -> clamped
     tr = Trace(batches, dts)
-    assert tr.dts[2] == pytest.approx(1 / 60)
+    assert tr.dts[2] == pytest.approx(MAX_DT)
+    assert tr.dts[3] == pytest.approx(MAX_DT)  # 1/60 > 0.016666 clamps too
     p = str(tmp_path / "v2.npz")
     tr.save(p)
     tr2 = Trace.load(p)
@@ -252,7 +256,7 @@ def test_trace_v2_per_step_dt(tmp_path):
     p1 = str(tmp_path / "v1.npz")
     np.savez_compressed(p1, batches=batches, dt=np.float64(1 / 60))
     tr3 = Trace.load(p1)
-    assert tr3.dts.shape == (4,) and tr3.dt == pytest.approx(1 / 60)
+    assert tr3.dts.shape == (4,) and tr3.dt == pytest.approx(MAX_DT)
 
 
 def test_variable_dt_replay_deterministic():
