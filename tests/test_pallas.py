@@ -1033,3 +1033,67 @@ def test_advect_hbm_f16_packed_bitexact_vs_staged(rng):
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-7, atol=3e-7)
+
+
+def test_padded_shape_row_divisor_repair():
+    """The 304^2 serving cliff (docs/BENCH.md round 14): heights like
+    304 = 16*19 offer only 16-row blocks to the bf16 kernels — 5x halo
+    overcompute per sweep, measured at 45% of neighboring grids' texel
+    rate — so _padded_shape steps them up to the next divisor-friendly
+    height inside the pad budget."""
+    from tpufluid.ops.pallas.dispatch import _padded_shape
+
+    for kind in ("jacobi", "stencil", "advect"):
+        assert _padded_shape(304, 304, kind, 2) == (320, 384), kind
+    # f32's align-8 divisor set already serves 304 (152-row blocks fit).
+    assert _padded_shape(304, 304, "jacobi", 4) == (304, 384)
+    # Friendly heights stay put — hp == h is what keeps the select-free
+    # Jacobi chain engaged on unpadded grids (ops/pallas/jacobi._exact_fits).
+    for h in (128, 256, 288, 320, 512, 1024):
+        for it in (2, 4):
+            assert _padded_shape(h, h, "jacobi", it)[0] == h, (h, it)
+    # Budget guard: when every divisor-friendly height would bust the +60%
+    # pad budget, keep the (cheap, small-grid) bad divisors instead of
+    # refusing the kernel outright.
+    assert _padded_shape(96, 96, "jacobi", 2) == (96, 128)
+
+
+def test_dispatch_repaired_pad_matches_oracle(rng):
+    """Dispatch at a repaired height (bf16 304 -> 320 pad): jacobi, the
+    fused pre-pressure stencil, and advection routed through
+    ops/pallas/dispatch (interpret kernels, _on_tpu mocked) match the jnp
+    oracle path on the true region at the 16-bit tolerance class."""
+    import tpufluid.ops.pallas.dispatch as D
+    import tpufluid.ops.pallas.advect as pa
+    from tpufluid.ops.advect import advect
+
+    H, W = 304, 256
+    bf = jnp.bfloat16
+    dt = jnp.float32(0.016666)
+    vel = jnp.clip(jnp.asarray(rng.standard_normal((2, H, W)) * 400),
+                   -1000, 1000).astype(bf)
+    src = jnp.asarray(rng.random((3, H, W))).astype(bf)
+    p = jnp.asarray(rng.standard_normal((H, W))).astype(bf)
+    d = jnp.asarray(rng.standard_normal((H, W))).astype(bf)
+
+    with mock.patch.object(D, "_on_tpu", lambda: True), _interp(pa):
+        got_p = D.jacobi_pressure(p, d, 12)
+        got_v, got_d = D.pre_pressure(vel, 30.0, dt)
+        got_a = D.advect_same_grid(vel, src, dt, 1.0,
+                                   max_disp_y=1000.0 / 60.0,
+                                   max_disp_x=1000.0 / 60.0)
+    want_p = stencil.jacobi_pressure(p.astype(jnp.float32),
+                                     d.astype(jnp.float32), 12)
+    np.testing.assert_allclose(np.asarray(got_p, np.float32),
+                               np.asarray(want_p), rtol=0, atol=0.05)
+    vf = vel.astype(jnp.float32)
+    c = stencil.curl(vf)
+    v1 = stencil.vorticity_confinement(vf, c, 30.0, dt)
+    d1 = stencil.divergence(v1)
+    assert float(jnp.abs(got_v.astype(jnp.float32) - v1).max()) \
+        < 0.02 * float(jnp.abs(v1).max()) + 1e-6
+    assert float(jnp.abs(got_d.astype(jnp.float32) - d1).max()) \
+        < 0.05 * float(jnp.abs(d1).max()) + 1e-6
+    want_a = advect(vf, src.astype(jnp.float32), dt, 1.0)
+    np.testing.assert_allclose(np.asarray(got_a, np.float32),
+                               np.asarray(want_a), rtol=0, atol=0.02)

@@ -12,11 +12,12 @@ files, groups by (grid, B), prints a markdown table plus a JSON summary
 line, and derives the >10k crossover grid by pixel-rate interpolation
 between the bracketing saturated grids.
 
-Grids whose side is tile-unfriendly (not a multiple of 32) can fall off a
-Mosaic tile-picker cliff (measured: 304^2 runs at ~45% of its neighbors'
-texel rate — the same phenomenon as the sharded-step ghost-width note in
-parallel/sharded_step.py). Such rows are printed but excluded from the
-crossover derivation: the bracket uses the saturated-envelope grids only
+Grids whose side has no aligned row divisor (e.g. 304 = 16*19) used to
+fall off a 5x-halo-overcompute cliff (~45% of neighbors' texel rate);
+dispatch._padded_shape now pad-repairs such heights (304 -> 320, device
+A/B 4,640 -> 8,608 aggregate — docs/BENCH.md round 14). Non-multiple-of-32
+rows are labeled "(pad-repaired)" and still excluded from the crossover
+derivation when their texel rate sits below the saturated envelope
 (texel rate >= the over-grid's).
 
 Usage: python tools/knee_table.py out/bench_r15.jsonl out/bench_r16.jsonl \
@@ -65,7 +66,7 @@ def main():
             cells.append(f"{v:,.0f}" if v is not None else "")
             if v is not None:
                 best[r] = max(best.get(r, 0.0), v)
-        cliff = " (tiling cliff)" if r % 32 else ""
+        cliff = " (pad-repaired)" if r % 32 else ""
         print(f"| {r}^2{cliff} | " + " | ".join(cells)
               + f" | {best[r] * r * r / 1e9:.2f} Gtexel/s |")
 

@@ -66,11 +66,42 @@ def _f16_staged(dtype) -> bool:
     return dtype == jnp.float16 and _on_tpu()
 
 
+def _has_good_rows(h: int, align: int, halo: int) -> bool:
+    """True when h offers a row-block divisor with <= 2x halo overcompute:
+    some aligned r in [2*halo, 8*halo] divides h and its window fits. The
+    upper bound keeps the qualifying window moderate so every kernel's
+    VMEM budget can actually take it (pickers scan all divisors anyway)."""
+    r = 2 * halo
+    while r <= min(h, 8 * halo):
+        if h % r == 0 and r + 2 * halo <= h:
+            return True
+        r += align
+    return False
+
+
 def _padded_shape(h: int, w: int, kind: str, itemsize: int = 4,
                   min_h: int = 0) -> Optional[Tuple[int, int]]:
-    hp = max(round_up(h, row_align(itemsize)), _MIN_H[kind][itemsize], min_h)
+    align = row_align(itemsize)
+    hp = max(round_up(h, align), _MIN_H[kind][itemsize], min_h)
     wp = round_up(w, LANE)
-    if hp * wp > (1 + _MAX_PAD_FRACTION) * h * w:
+    budget = (1 + _MAX_PAD_FRACTION) * h * w
+    # Row-divisor repair (the 304^2 serving cliff, docs/BENCH.md round 14):
+    # kernels tile rows into aligned divisors of hp, so a height like
+    # 304 = 16*19 offers only 16-row blocks — (16 + 2*32)/16 = 5x halo
+    # overcompute per bf16 sweep, measured at 45% of neighboring grids'
+    # texel rate. When hp has no divisor within 2x overcompute, step it up
+    # to the next height that does, inside the pad budget the caller
+    # already accepts. Good heights are untouched (hp == h keeps the
+    # select-free Jacobi engaged on unpadded grids).
+    halo = max((_MIN_H[kind][itemsize] - align) // 2, (min_h - align) // 2)
+    if not _has_good_rows(hp, align, halo):
+        cand = hp + align
+        while cand * wp <= budget:
+            if _has_good_rows(cand, align, halo):
+                hp = cand
+                break
+            cand += align
+    if hp * wp > budget:
         return None
     return hp, wp
 
