@@ -528,3 +528,63 @@ def test_reconciler_skips_terminally_failed_programs():
             assert srv._next_task() == ("swap", pb, target)
     finally:
         srv.stop()
+
+
+def test_checkpoint_rolling_snapshot_respects_resize():
+    """Regression (flaked in full-suite runs as resumed.sessions == 5 != 3):
+    a checkpoint taken after an ACKed shrink, while a tick is in flight so
+    the ROLLING snapshot path serves the fields, must carry the post-ACK
+    bookkeeping (sessions, speeds) — and must never serialize the evicted
+    tenants' stale field copies out of the snapshot (the /checkpoint.npz
+    analog of the frame-path _gen fence)."""
+    import io as _io
+    from unittest import mock
+
+    import numpy as np
+
+    from tpufluid.checkpoint import load_state
+
+    srv = BatchFluidServer(CFG, sessions=5, seed=0)
+    try:
+        # Plant a stale 5-session rolling snapshot whose soon-to-be-evicted
+        # rows hold sentinel data.
+        st = srv._host_state()
+        for name in ("velocity", "dye", "pressure"):
+            a = np.asarray(getattr(st, name)).copy()
+            a[3:] = 7.0
+            setattr(st, name, a)
+        with srv.out_lock:
+            srv._snap = (12, st)
+            srv._snap_time = time.time()
+            srv._snap_floor = 5
+        srv.resize_fleet(3)          # ACKed shrink: sids 3,4 evicted
+        srv.speeds[2] = 0.25         # post-snapshot bookkeeping change
+
+        class _NotReady:
+            def is_ready(self):
+                return False
+
+        # Force the rolling path: pretend a tick is in flight.
+        with mock.patch("jax.tree.leaves", return_value=[_NotReady()]):
+            data = srv.checkpoint_bytes()
+        state, cfg, step, extra = load_state(_io.BytesIO(data))
+        assert extra["sessions"] == 3          # post-ACK, not the snap's 5
+        assert extra["speeds"][2] == pytest.approx(0.25)
+        assert step == 12                      # fields are the snap's cut
+        assert state.velocity.shape[0] == 3    # evicted rows never leave
+        assert not np.any(np.asarray(state.velocity) == 7.0)
+
+        # Shrink-then-grow inside the staleness window: the reused sids
+        # must serialize as ZERO rows (the fresh-tenant contract), not as
+        # the evicted tenants' snapshot fields.
+        srv.resize_fleet(5)
+        with mock.patch("jax.tree.leaves", return_value=[_NotReady()]):
+            data2 = srv.checkpoint_bytes()
+        state2, _, _, extra2 = load_state(_io.BytesIO(data2))
+        assert extra2["sessions"] == 5
+        v2 = np.asarray(state2.velocity)
+        assert v2.shape[0] == 5
+        assert not np.any(v2 == 7.0)
+        assert np.all(v2[3:] == 0.0)
+    finally:
+        srv.stop()

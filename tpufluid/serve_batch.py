@@ -465,14 +465,21 @@ class BatchFluidServer:
         self._gen = 0
         self._reconcile = threading.Event()
         self._reconciler_thread: Optional[threading.Thread] = None
-        # Rolling post-tick host snapshot (step, meta, numpy FluidState),
+        # Rolling post-tick host snapshot (step, numpy FluidState),
         # refreshed by the sim loop at tick boundaries (see
-        # _maybe_refresh_snapshot): checkpoints serve it when the live
-        # state is an in-flight tick's future, so checkpoint latency is
-        # bounded by a memcpy even while a compile storm stretches ticks
-        # to seconds. Guarded by out_lock.
+        # _maybe_refresh_snapshot): checkpoints serve its FIELDS when the
+        # live state is an in-flight tick's future, so checkpoint latency
+        # is bounded by a memcpy even while a compile storm stretches
+        # ticks to seconds. Bookkeeping (sessions/speeds/tracers) always
+        # comes from the live server, never the snapshot — a checkpoint
+        # taken after an ACKed resize must reflect it. _snap_floor is the
+        # min live-row count since the snapshot was captured: snapshot
+        # rows at or above it are evicted tenants' stale fields (or
+        # pending zeros) and must serialize as zeros, never as data.
+        # All three guarded by out_lock.
         self._snap = None
         self._snap_time = 0.0
+        self._snap_floor = self._live_rows
         # Set by _fleet_and_state spinners; the sim loop parks (holding
         # neither lock) while it's up, so a checkpoint/swap waiter gets
         # its both-locks window within one tick instead of starving.
@@ -827,6 +834,11 @@ class BatchFluidServer:
             # Cached encodes may belong to retired sids; drop them. Live
             # frames stay valid (per-row gating via _frames_live).
             self._jpeg_cache.clear()
+            # A shrink evicts rows >= n: the rolling snapshot's copies of
+            # them are now another (departed) tenant's fields — fence them
+            # out of checkpoints until the next refresh.
+            if n < b:
+                self._snap_floor = min(self._snap_floor, n)
 
     # Rolling-snapshot refresh cadence: at least this often, further
     # throttled so the memcpy costs <= ~2% of a 200 MB/s-memcpy core at
@@ -873,7 +885,8 @@ class BatchFluidServer:
             return
         self.lock.acquire()
         try:
-            meta = self._snapshot_meta()
+            # Rows valid in THIS capture: live, non-pending tenants.
+            floor0 = min(self.sessions, self._live_rows)
             # lock -> state_lock order; the hold is one bounded memcpy
             # (zero_tail donates the buffers, so the copy cannot move
             # outside the lock).
@@ -885,8 +898,12 @@ class BatchFluidServer:
         finally:
             self.lock.release()
         with self.out_lock:
-            self._snap = (self.steps_done, meta, st)
+            self._snap = (self.steps_done, st)
             self._snap_time = now
+            # Reset the since-capture floor — folding in the current
+            # bookkeeping (plain int reads) so a shrink that lands in the
+            # capture-to-publish gap can never raise it back up.
+            self._snap_floor = min(floor0, self.sessions, self._live_rows)
 
     def checkpoint_bytes(self) -> bytes:
         """Whole-fleet checkpoint (.npz): batched field state + config +
@@ -902,23 +919,28 @@ class BatchFluidServer:
         from tpufluid.state import FluidState
 
         # Bounded-latency cut (round-4 verdict #2, checkpoint p99 <= 1 s
-        # independent of fleet size). Two cases, both O(memcpy) and both
-        # internally consistent (fields + tracer cursors from ONE tick
-        # boundary):
+        # independent of fleet size). BOOKKEEPING (sessions, speeds,
+        # tracer cursors) is always the live, post-ACK truth — a client
+        # that resized or set a speed and then checkpointed must get what
+        # it was ACKed (the rolling path once served a pre-shrink session
+        # count here: evicted tenants resurrected into the npz). FIELDS
+        # come from one of two O(memcpy) cuts:
         #   fresh  — the live state is materialized (true whenever no tick
         #            is mid-flight; _fleet_and_state's _yield_loop parking
-        #            makes this the steady-state case): take the cut NOW
-        #            under both locks via host memcpy — no XLA compile, no
-        #            device wait.
+        #            makes this the steady-state case): host memcpy NOW —
+        #            no XLA compile, no device wait.
         #   rolling — a tick is in flight (its futures are not ready).
         #            Waiting for it is unbounded under a compile storm
         #            (XLA:CPU codegen starves execution; measured 4-20 s
         #            ticks on the 1-CPU soak host — the round-4 4.4 s
         #            p99's real mechanism), so serve the loop-maintained
-        #            post-tick snapshot instead (_maybe_refresh_snapshot;
-        #            staleness <= one tick + the refresh throttle). Only
-        #            before the first snapshot (startup) does the fresh
-        #            path force the in-flight first tick.
+        #            post-tick snapshot's fields instead (staleness <= one
+        #            tick + the refresh throttle). Only before the first
+        #            snapshot (startup) does the fresh path force the
+        #            in-flight first tick.
+        # Either way, rows at or above the row floor — evicted tenants'
+        # stale copies (rolling, _snap_floor) or un-zeroed/pending rows
+        # (fresh, _live_rows) — serialize as ZEROS, never as field data.
         if not self._fleet_and_state():
             raise RuntimeError("server is stopping")
         try:
@@ -926,18 +948,19 @@ class BatchFluidServer:
                         for x in jax.tree.leaves(self.state))
             with self.out_lock:
                 snap = self._snap
+                snap_floor = self._snap_floor
+                step = self.steps_done
+            sessions = self.sessions
+            extra = self._snapshot_meta()
             if ready or snap is None:
-                with self.out_lock:
-                    step = self.steps_done
-                sessions = self.sessions
-                extra = self._snapshot_meta()
+                floor = min(sessions, self._live_rows)
                 state = self._host_state()
             else:
-                step, extra, state = snap
-                sessions = extra["sessions"]
+                step, state = snap
+                floor = snap_floor
         finally:
             self._release_both()
-        rows = min(sessions, state.velocity.shape[0])
+        rows = min(sessions, floor, state.velocity.shape[0])
 
         def take(x):
             a = np.asarray(x)[:rows]
