@@ -294,6 +294,44 @@ def _bench_batched_steps(config, batch: int, chunks: int, chunk: int,
     return chunks * chunk * batch / elapsed, state
 
 
+def _bench_packed_steps(config, batch: int, chunks: int, chunk: int):
+    """Lane-packed fleet serving (tpufluid/batch_packed.py): the B sims
+    live side by side in LANES of one (C, H, B*W) array — zero 128-lane
+    pad waste at small grids (a 288-wide sim alone pads to 384 = +33%
+    dead lanes) and one deep grid instead of B shallow ones. Same
+    protocol as _bench_batched_steps (per-sim seeded traces, lock-step
+    dt); per-sim dts are the vmapped mode's job."""
+    import jax.numpy as jnp
+
+    from tpufluid.batch_packed import (init_packed, make_packed_multi_step,
+                                       packed_supported)
+    from tpufluid.trace import swirl_trace
+
+    if not packed_supported(config, batch):
+        raise ValueError(
+            f"packed mode unsupported for {config.sim_size} x{batch} "
+            f"{config.DTYPE} (needs sim==dye grid, f32/bf16, (B*W)%128==0, "
+            f"kernel-friendly unpadded geometry) — drop --packed for the "
+            f"vmapped mode")
+    splats_seq = jnp.stack(
+        [jnp.asarray(swirl_trace(config, chunk, seed=42 + i).batches)
+         for i in range(batch)], axis=1)  # (T, B, MAX_SPLATS, 8)
+    dt = jnp.float32(1.0 / 60.0)
+    multi = make_packed_multi_step(config, batch)
+    state = init_packed(config, batch)
+    for _ in range(3):  # compile + discard lazy-load executions
+        state = multi(state, dt, splats_seq)
+    float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
+
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        state = multi(state, dt, splats_seq)
+    checksum = float(jnp.sum(jnp.abs(state.velocity.astype(jnp.float32))))
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum), "velocity went non-finite during bench"
+    return chunks * chunk * batch / elapsed, state
+
+
 def _bench_render(config, frames: int = 200):
     import jax
     import jax.numpy as jnp
@@ -389,6 +427,11 @@ def _parse_args() -> argparse.Namespace:
                    help="config 7: bench the (T, B) per-sim dt-vector "
                         "program (tenants on their own wall clocks) "
                         "instead of the lock-step scalar-dt program")
+    p.add_argument("--packed", action="store_true",
+                   help="config 7: lane-packed fleet mode "
+                        "(tpufluid/batch_packed.py) — B sims side by side "
+                        "in lanes of ONE array, zero 128-lane pad waste "
+                        "at small grids; lock-step dt only")
     p.add_argument("--dtype", choices=["float32", "bfloat16", "float16"],
                    default=None,
                    help="state dtype override: configs 1-2 default to float32, "
@@ -487,12 +530,20 @@ def _run(args: argparse.Namespace) -> dict:
         # the d01 profile pinned the vmapped program rate-identical to
         # the single step once warmed, out/batched_tax_b1.json.)
         chunk = 100
-        value, state = _bench_batched_steps(cfg, batch=args.batch,
-                                            chunks=3, chunk=chunk,
-                                            per_sim_dt=args.per_sim_dt)
+        if args.packed:
+            if args.per_sim_dt:
+                raise ValueError("--packed is lock-step only (per-sim dts "
+                                 "run the vmapped mode)")
+            value, state = _bench_packed_steps(cfg, batch=args.batch,
+                                               chunks=3, chunk=chunk)
+        else:
+            value, state = _bench_batched_steps(cfg, batch=args.batch,
+                                                chunks=3, chunk=chunk,
+                                                per_sim_dt=args.per_sim_dt)
         dt_kind = "per-sim dt" if args.per_sim_dt else "lock-step dt"
-        metric = (f"aggregate sim steps/sec, {args.batch} batched {r}^2 sims "
-                  f"per dispatch (serving mode, {dt_kind}), "
+        pack_kind = "lane-packed fleet" if args.packed else "batched"
+        metric = (f"aggregate sim steps/sec, {args.batch} {pack_kind} "
+                  f"{r}^2 sims per dispatch (serving mode, {dt_kind}), "
                   f"{it or 20} Jacobi iters, {tag}")
         out_extra = {"per_sim_steps_per_s": round(value / args.batch, 2)}
     elif args.config == 6:

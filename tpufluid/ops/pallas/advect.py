@@ -303,7 +303,8 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
                    rows: int, cols: int, h_global: int, w_global: int,
                    channels: int, h_true: int, w_true: int, halo: int,
                    span: int, col_halo: int, align: int, with_splats: bool,
-                   packed: bool, lane_off: int, s_range: Tuple[int, int]):
+                   packed: bool, lane_off: int, s_range: Tuple[int, int],
+                   sim_w: int):
     if with_splats:
         gy_ref, gx_ref, amt_ref, out_ref = rest[:4]
         scratch = rest[4:]
@@ -446,6 +447,18 @@ def _advect_kernel(dt_ref, vel_ref, src_ref, *rest,
     x_lo = jnp.maximum(jnp.float32(lane_off) - jcb, 0.0)
     x_hi = jnp.minimum(jnp.float32(w_true - 1) - jcb + lane_off,
                        jnp.float32(cbw - 1))
+    if sim_w:
+        # Lane-packed fleet mode: each output lane's backtrace clamps at ITS
+        # sim's walls (a wall every sim_w columns), never reading a foreign
+        # sim's lanes with nonzero weight. The per-lane bounds only NARROW
+        # the global window bounds, so the clamped sample stays between the
+        # lane's own position and its unclamped backtrace — always inside
+        # the statically planned gather window.
+        gcol = lax.broadcasted_iota(jnp.int32, (1, cb), 1) + j * cb
+        base = ((gcol // sim_w) * sim_w).astype(jnp.float32) - jcb \
+            + jnp.float32(lane_off)
+        x_lo = jnp.maximum(base, x_lo)
+        x_hi = jnp.minimum(base + jnp.float32(sim_w - 1), x_hi)
     yp_hi = jnp.minimum(jnp.float32(win - 1),
                         jnp.float32(h_true - 1) - rstart.astype(jnp.float32))
 
@@ -555,7 +568,7 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
                   dissipation: float, rows_per_block: int = 0,
                   true_shape=None, halo: int = HALO, span: int = 1,
                   splat=None, max_disp_x=None, quant=None,
-                  f16c: int = 0) -> jnp.ndarray:
+                  f16c: int = 0, sim_w: int = 0) -> jnp.ndarray:
     """Same-grid semi-Lagrangian advection. velocity (2,H,W) in *source-grid
     texels/second*; source (C,H,W) or (H,W) on the SAME grid.
 
@@ -637,7 +650,7 @@ def advect_pallas(velocity: jnp.ndarray, source: jnp.ndarray, dt,
         h_true=true_shape[0], w_true=true_shape[1],
         halo=halo, span=span, col_halo=col_halo, align=align,
         with_splats=with_splats, packed=packed,
-        lane_off=lane_off, s_range=(s_lo, s_hi),
+        lane_off=lane_off, s_range=(s_lo, s_hi), sim_w=sim_w,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),

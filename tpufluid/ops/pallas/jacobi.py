@@ -140,7 +140,8 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
                          col_halo: int, rows_per_block: int,
                          cols_per_block: int, h_global: int, w_global: int,
                          h_true: int, w_true: int, align: int,
-                         prescale: float, exact: bool):
+                         prescale: float, exact: bool, sim_w: int,
+                         rows_exact: bool):
     i = pl.program_id(0)
     blk_h = p_ref.shape[0]
     blk_w = p_ref.shape[1]
@@ -177,13 +178,38 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
             acc = acc + edge_shift(p, 1, axis=0)
             acc = acc + edge_shift(p, -1, axis=0)
             p = (acc - div) * 0.25
+    elif sim_w and rows_exact:
+        # Lane-packed fleet mode (batch_packed.py): B independent sims side
+        # by side in lanes, a TRUE wall every sim_w columns. The modular
+        # masks make each sweep's wall condition (neighbor-of-self) cut the
+        # dependency cone at every sim boundary, so sims never contaminate
+        # each other even inside a shared window. ROWS keep the select-free
+        # edge-clamped shifts (packed_supported gates on unpadded rows, so
+        # the exact-path argument holds per axis: a true row wall only ever
+        # sits at a window edge) — half the masked chain's per-sweep
+        # selects, and the sum order matches it exactly.
+        cols = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1) + cstart
+        cm = jnp.remainder(cols, sim_w)
+        first_col = cm == 0
+        last_col = cm == sim_w - 1
+        for _ in range(sweeps):
+            acc = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
+            acc = acc + jnp.where(last_col, p, pltpu.roll(p, blk_w - 1, axis=1))
+            acc = acc + edge_shift(p, 1, axis=0)
+            acc = acc + edge_shift(p, -1, axis=0)
+            p = (acc - div) * 0.25
     else:
         rows = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 0) + start
         cols = lax.broadcasted_iota(jnp.int32, (blk_h, blk_w), 1) + cstart
         first_row = rows == 0
         last_row = rows == h_true - 1
-        first_col = cols == 0
-        last_col = cols == w_true - 1
+        if sim_w:  # packed fleet on row-padded arrays: modular col walls
+            cm = jnp.remainder(cols, sim_w)
+            first_col = cm == 0
+            last_col = cm == sim_w - 1
+        else:
+            first_col = cols == 0
+            last_col = cols == w_true - 1
         for _ in range(sweeps):
             # pltpu.roll needs non-negative shift: roll by N-1 == shift -1.
             left = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
@@ -208,7 +234,7 @@ def _jacobi_chunk_kernel(p_ref, d_ref, out_ref, *, sweeps: int, halo: int,
 
 def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
                   rows_per_block: int, cols_per_block: int, true_shape,
-                  prescale: float = 1.0) -> jnp.ndarray:
+                  prescale: float = 1.0, sim_w: int = 0) -> jnp.ndarray:
     h, w = p.shape
     align = row_align(p.dtype.itemsize)
     n_blocks = h // rows_per_block
@@ -218,8 +244,9 @@ def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
         _jacobi_chunk_kernel, sweeps=sweeps, halo=halo, col_halo=col_halo,
         rows_per_block=rows_per_block, cols_per_block=cols_per_block,
         h_global=h, w_global=w, h_true=true_shape[0], w_true=true_shape[1],
-        align=align, prescale=float(prescale),
-        exact=_exact_fits(true_shape, (h, w), col_halo),
+        align=align, prescale=float(prescale), sim_w=sim_w,
+        exact=_exact_fits(true_shape, (h, w), col_halo) and not sim_w,
+        rows_exact=true_shape[0] == h,
     )
     win = rows_per_block + 2 * halo
     cw = cols_per_block + 2 * col_halo
@@ -253,13 +280,16 @@ def _jacobi_chunk(p: jnp.ndarray, div: jnp.ndarray, sweeps: int, halo: int,
 
 def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
                     chunk: int = 20, true_shape=None,
-                    prescale: float = 1.0) -> jnp.ndarray:
+                    prescale: float = 1.0, sim_w: int = 0) -> jnp.ndarray:
     """``iterations`` Jacobi sweeps, K=chunk sweeps per HBM pass.
 
     true_shape: (h_true, w_true) when the arrays are edge-padded to tile
     alignment; boundary masks act at the true extents.
     prescale: warm-start factor applied to the incoming pressure (the
-    reference's clearShader p *= PRESSURE pass, fused into the first load)."""
+    reference's clearShader p *= PRESSURE pass, fused into the first load).
+    sim_w > 0: lane-packed fleet mode (batch_packed.py) — the array holds
+    W/sim_w independent sims side by side in lanes; column walls repeat
+    every sim_w columns (modular masks) while rows keep the global walls."""
     if iterations == 0:
         if prescale == 1.0:
             return pressure
@@ -282,6 +312,7 @@ def jacobi_pressure(pressure: jnp.ndarray, div: jnp.ndarray, iterations: int,
     while done < iterations:
         k = min(chunk, iterations - done)
         p = _jacobi_chunk(p, div, k, halo, rows_per_block, cols_per_block,
-                          true_shape, prescale=prescale if done == 0 else 1.0)
+                          true_shape, prescale=prescale if done == 0 else 1.0,
+                          sim_w=sim_w)
         done += k
     return p

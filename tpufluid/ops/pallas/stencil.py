@@ -99,7 +99,7 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
             out_vel_ref, out_div_ref, *,
             curl_strength: float, rows_per_block: int, cols_per_block: int,
             h_global: int, w_global: int, with_splats: bool, halo: int,
-            col_halo: int, align: int):
+            col_halo: int, align: int, sim_w: int):
     i = pl.program_id(0)
     blk_h = vel_ref.shape[1]
     w = vel_ref.shape[2]
@@ -118,8 +118,15 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
     # walls it does not own; padded/ghost regions then never mask.
     first_row = rows == bounds_ref[0]
     last_row = rows == bounds_ref[1]
-    first_col = cols == bounds_ref[2]
-    last_col = cols == bounds_ref[3]
+    if sim_w:
+        # Lane-packed fleet mode (batch_packed.py): a TRUE wall every sim_w
+        # columns — the clamp and -C reflection act at every sim boundary.
+        cm = jnp.remainder(cols, sim_w)
+        first_col = cm == 0
+        last_col = cm == sim_w - 1
+    else:
+        first_col = cols == bounds_ref[2]
+        last_col = cols == bounds_ref[3]
 
     def shift_l(x):
         return jnp.where(first_col, x, pltpu.roll(x, 1, axis=1))
@@ -211,7 +218,7 @@ def _kernel(dt_ref, bounds_ref, vel_ref, gy_ref, gx_ref, amt_ref,
 def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int,
                cols_per_block: int, h_global: int, w_global: int,
                h_true: int, w_true: int, halo: int, col_halo: int,
-               align: int):
+               align: int, sim_w: int):
     """vel - un-halved grad(p) (gradientSubtractShader, script.js:892-913 —
     the reference's missing 0.5 factor is deliberate, see ops/stencil.py)."""
     i = pl.program_id(0)
@@ -228,8 +235,13 @@ def _gs_kernel(vel_ref, p_ref, out_ref, *, rows_per_block: int,
     cols = lax.broadcasted_iota(jnp.int32, (blk_h, w), 1) + cstart
     first_row = rows == 0
     last_row = rows == h_true - 1
-    first_col = cols == 0
-    last_col = cols == w_true - 1
+    if sim_w:  # lane-packed fleet mode: walls every sim_w columns
+        cm = jnp.remainder(cols, sim_w)
+        first_col = cm == 0
+        last_col = cm == sim_w - 1
+    else:
+        first_col = cols == 0
+        last_col = cols == w_true - 1
 
     p = p_ref[:].astype(jnp.float32)
     pl_ = jnp.where(first_col, p, pltpu.roll(p, 1, axis=1))
@@ -283,10 +295,11 @@ def _tile_geometry(h: int, w: int, itemsize: int):
 
 
 def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
-                      true_shape=None) -> jnp.ndarray:
+                      true_shape=None, sim_w: int = 0) -> jnp.ndarray:
     """One-HBM-pass Pallas gradient subtract (the projection's last step;
     the self-advection gather then reads the projected velocity straight
-    from its ref — single-device and sharded paths share this split)."""
+    from its ref — single-device and sharded paths share this split).
+    sim_w > 0: lane-packed fleet mode — column walls every sim_w lanes."""
     _, h, w = velocity.shape
     if true_shape is None:
         true_shape = (h, w)
@@ -295,7 +308,8 @@ def gradient_subtract(velocity: jnp.ndarray, pressure: jnp.ndarray,
     kernel = functools.partial(_gs_kernel, rows_per_block=rows,
                                cols_per_block=cols, h_global=h, w_global=w,
                                h_true=true_shape[0], w_true=true_shape[1],
-                               halo=halo, col_halo=col_halo, align=align)
+                               halo=halo, col_halo=col_halo, align=align,
+                               sim_w=sim_w)
     out_idx = (lambda i: (0, i, 0)) if not col_halo else \
         (lambda i, j: (0, i, j))
     return pl.pallas_call(
@@ -322,7 +336,8 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
                               splat_gy: Optional[jnp.ndarray] = None,
                               splat_gx: Optional[jnp.ndarray] = None,
                               splat_amt: Optional[jnp.ndarray] = None,
-                              true_shape=None, true_bounds=None):
+                              true_shape=None, true_bounds=None,
+                              sim_w: int = 0):
     """(vel', div) — fused (optional splat) + curl + confinement + divergence.
 
     splat_gy (H, S), splat_gx (S, W), splat_amt (S, 2): the separable splat
@@ -357,7 +372,7 @@ def curl_vorticity_divergence(velocity: jnp.ndarray, curl_strength: float, dt,
                                rows_per_block=rows, cols_per_block=cols,
                                h_global=h, w_global=w,
                                with_splats=with_splats, halo=halo,
-                               col_halo=col_halo, align=align)
+                               col_halo=col_halo, align=align, sim_w=sim_w)
 
     def gy_idx(i, j=0):
         return (window_start(i, rows, halo, h, align), 0)
